@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` maps every
+implemented operator from SURVEY.md §2 to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` holds the DuckDB-equivalent SQL for each
+SQL-expressible key (rows-only keys are intentionally absent there).
 """
 
 from __future__ import annotations
@@ -15,24 +14,45 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
+    from abr_etl_spark.plans.analytics import q1_pricing_summary
+
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def _registry() -> tuple[dict, dict]:
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    import abr_etl_spark.plans.analytics as analytics
+
+    modules = [analytics]
+    try:
+        import abr_etl_spark.plans.etl_parity as etl_parity
+
+        modules.append(etl_parity)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline as llm_pipeline
+
+        modules.append(llm_pipeline)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.streaming_queries as streaming_queries
+
+        modules.append(streaming_queries)
+    except ImportError:
+        pass
+    for m in modules:
+        queries.update(m.QUERIES)
+        oracles.update(m.ORACLES)
+    return queries, oracles
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

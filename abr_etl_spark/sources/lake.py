@@ -1,0 +1,122 @@
+"""Data-lake readers/writers.
+
+Re-expresses the reference's lake layout (load.go:19-21 ``DataKey``:
+``DATA/<Dataset>/importdate=<date>/...``) as Spark-native partitioned
+tables, and its Athena ``MSCK REPAIR`` + partition listing
+(agency-delta.go:20,97-124) as catalog/partition discovery on the
+DataFrame API.
+
+Scale notes: partitioned parquet + ``importdate`` partition column means
+Catalyst prunes snapshots at the metadata level -- a two-snapshot delta on a
+100 TB lake touches exactly two partitions, never the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (columnar parquet scan; pruning/pushdown
+    verified in tests/test_plans.py).
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a nanos
+    long (spark.sql.legacy.parquet.nanosAsLong); convert to a micros
+    timestamp with exact integer division -- same truncation DuckDB
+    applies, so both engines see identical instants.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so operators can use spark.sql."""
+    for t in TPCH_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_col: str = "importdate",
+    fmt: str = "parquet",
+    mode: str = "append",
+    compression: str | None = None,
+) -> None:
+    """Write a snapshot into the lake partitioned by ``partition_col``.
+
+    The reference gzips whole text files and names keys by hand
+    (load.go:19-36); here the writer emits partition directories
+    (``importdate=<date>/``) that any engine -- Spark, Athena/Trino, DuckDB
+    -- discovers natively, with columnar compression instead of whole-file
+    gzip. dynamic partitionOverwriteMode only rewrites touched snapshots.
+    """
+    w = df.write.format(fmt).mode(mode).partitionBy(partition_col)
+    if compression:
+        w = w.option("compression", compression)
+    w.option("partitionOverwriteMode", "dynamic").save(path)
+
+
+def read_lake(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned lake table; partition values become columns."""
+    return spark.read.parquet(path)
+
+
+def discover_partitions(df: DataFrame, partition_col: str = "importdate") -> list[str]:
+    """Sorted distinct partition values (MSCK-equivalent listing,
+    agency-delta.go:97-124). Metadata-only for partitioned parquet: the
+    scan prunes to the partition column, no data pages read.
+    """
+    rows = df.select(partition_col).distinct().collect()
+    return sorted(str(r[0]) for r in rows)
+
+
+def newest_previous(df: DataFrame, partition_col: str = "importdate") -> tuple[str, str]:
+    """The two newest snapshot dates (agency-delta.go:118-123); raises like
+    the reference's 'Not enough partitions' error when <2 exist."""
+    parts = discover_partitions(df, partition_col)
+    if len(parts) < 2:
+        raise ValueError("Not enough partitions to run delta")
+    return parts[-1], parts[-2]
+
+
+def export_stable_csv(df: DataFrame, directory: str, filename: str) -> str:
+    """Single stable-named CSV export (reference RenameDelta,
+    agency-delta.go:44-72: rename Athena's <query-id>.csv to a fixed name).
+
+    coalesce(1) is an explicit single-file contract for downstream SFTP
+    consumers -- a deliberate driver-side funnel, only for small delta
+    outputs, never for bulk data (bulk stays partitioned).
+    """
+    import glob
+    import os
+    import shutil
+
+    tmp = os.path.join(directory, "_tmp_export")
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    target = os.path.join(directory, filename)
+    shutil.move(part, target)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return target

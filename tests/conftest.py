@@ -1,0 +1,78 @@
+"""Shared fixtures: one SparkSession + a DuckDB oracle comparator that
+mirrors the driver's gate (row count + schema names + order-insensitive
+value compare with columns sorted by name)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from abr_etl_spark.session import get_spark
+from abr_etl_spark.sources.lake import TPCH_TABLES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    s = get_spark("abr-etl-tests", master="local[4]")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for sf in (SF_SMOKE, SF_ORACLE):
+        pass
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def normalize(df_pandas):
+    """Columns sorted by name; rows -> sorted list of normalized tuples."""
+    cols = sorted(df_pandas.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows)
+
+
+def assert_matches_oracle(spark_df, ddb_con, sql: str, key: str = "?"):
+    """The driver-equivalent compare for one query."""
+    got = spark_df.toPandas()
+    want = ddb_con.execute(sql).df()
+    gcols, grows = normalize(got)
+    wcols, wrows = normalize(want)
+    assert gcols == wcols, f"[{key}] schema mismatch: spark={gcols} oracle={wcols}"
+    assert len(grows) == len(wrows), (
+        f"[{key}] row count mismatch: spark={len(grows)} oracle={len(wrows)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(grows, wrows) if a != b
+    ]
+    assert not mismatches, f"[{key}] value mismatch (first 3): {mismatches[:3]}"
