@@ -1,0 +1,292 @@
+"""ETL-parity query plans (SURVEY.md §2 A-block).
+
+These exercise the reference's data semantics (filename routing,
+partition discovery, two-snapshot CDC deltas, SCD2) through the engine's
+operators, on *synthetic snapshots derived deterministically from the
+``orders`` table* so the DuckDB oracle can derive the exact same inputs
+from the same parquet:
+
+- ``new`` snapshot  = orders with o_orderkey % 7 != 0
+- ``old`` snapshot  = orders with o_orderkey % 5 != 0, with o_totalprice
+  shifted +1.0 where o_orderkey % 3 == 0 (the "changed" rows)
+
+So: added keys = %7!=0 and %5==0; removed = %5!=0 and %7==0; updated =
+present in both and %3==0. The Spark side does NOT use that knowledge --
+it runs the generic hash-based delta engine (operators/delta.py); the
+oracle runs literal column-compare SQL (the reference's agencyChangeSQL
+shape, agency-delta.go:126) -- agreement proves the hash path implements
+the reference semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from abr_etl_spark.operators import delta
+from abr_etl_spark.sources.lake import load_table
+from abr_etl_spark.sources.routed_ingest import route_files, routes_as_df
+
+# ---------------------------------------------------------------- snapshots
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load_table(spark, sf_dir, "orders")
+    new = o.where(F.col("o_orderkey") % 7 != 0)
+    old = o.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(F.col("o_orderkey") % 3 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    return new, old
+
+
+_SNAP_CTE = """
+    WITH newd AS (
+        SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+    ), oldd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + CASE WHEN o_orderkey % 3 = 0
+                                   THEN 1.0 ELSE 0.0 END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+"""
+
+_ORDER_OUT = """o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice, 2) AS totalprice,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority"""
+
+_DIFF_PRED = """(n.o_custkey IS DISTINCT FROM o.o_custkey
+            OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+            OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+            OR n.o_orderdate IS DISTINCT FROM o.o_orderdate
+            OR n.o_orderpriority IS DISTINCT FROM o.o_orderpriority)"""
+
+
+def _fmt_orders(df: DataFrame) -> DataFrame:
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+def q_delta_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    new, old = _snapshots(spark, sf_dir)
+    return _fmt_orders(delta.delta_updated(new, old, "o_orderkey"))
+
+
+def q_delta_added(spark: SparkSession, sf_dir: str) -> DataFrame:
+    new, old = _snapshots(spark, sf_dir)
+    return _fmt_orders(delta.delta_added(new, old, "o_orderkey"))
+
+
+def q_delta_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    new, old = _snapshots(spark, sf_dir)
+    return _fmt_orders(delta.delta_removed(new, old, "o_orderkey"))
+
+
+def q_delta_unchanged_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    new, old = _snapshots(spark, sf_dir)
+    return delta.delta_unchanged_count(new, old, "o_orderkey")
+
+
+def _snapshot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-week snapshot series over a narrow payload (totalprice)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    s1 = base.withColumn("importdate", F.lit("2024-01-01"))
+    s2 = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", F.round(F.col("o_totalprice") + 10, 2).alias("totalprice"))
+        .withColumn("importdate", F.lit("2024-01-08"))
+    )
+    s3 = (
+        o.where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", F.round(F.col("o_totalprice") + 20, 2).alias("totalprice"))
+        .withColumn("importdate", F.lit("2024-01-15"))
+    )
+    return s1.unionByName(s2).unionByName(s3)
+
+
+_SERIES_CTE = """
+    WITH snaps AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+               '2024-01-01' AS importdate FROM orders
+        UNION ALL
+        SELECT o_orderkey, round(o_totalprice + 10, 2), '2024-01-08'
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, round(o_totalprice + 20, 2), '2024-01-15'
+        FROM orders WHERE o_orderkey % 4 = 0
+    )
+"""
+
+
+def q_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = _snapshot_series(spark, sf_dir)
+    return delta.snapshot_latest(series, "o_orderkey").select(
+        "o_orderkey", "totalprice", "importdate"
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = _snapshot_series(spark, sf_dir)
+    return delta.scd2(series, "o_orderkey").select(
+        "o_orderkey",
+        "totalprice",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+_FILENAMES = [
+    "VIC190429_ABR_Agency_Data.txt",
+    "VIC190429_ABR_ACNC.txt",
+    "VIC190422_ABR_Businessname.txt",
+    "VIC190429_ABR_Funds.txt",
+    "readme.txt",
+    "VIC190506_ABR_Replacedabn.txt",
+    "VIC190429_ABR_Othtrdnames.txt",
+    "VIC190506_ABR_Associates.txt",
+    "VIC190422_ABR_Businesslocation.txt",
+    "VIC190422_ABR_Agency_Data.backup",
+]
+
+
+def q_ingest_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = route_files(routes_as_df(spark, _FILENAMES))
+    return df.select(
+        "filename",
+        "dataset",
+        F.col("importdate").cast("string").alias("importdate"),
+    )
+
+
+def q_lake_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition discovery: the two newest month-partitions of orders."""
+    o = load_table(spark, sf_dir, "orders")
+    parts = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("importdate")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("importdate").desc())
+    return (
+        parts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+    )
+
+
+QUERIES = {
+    "delta_updated": q_delta_updated,
+    "delta_added": q_delta_added,
+    "delta_removed": q_delta_removed,
+    "delta_unchanged_count": q_delta_unchanged_count,
+    "snapshot_latest": q_snapshot_latest,
+    "scd2": q_scd2,
+    "ingest_routed": q_ingest_routed,
+    "lake_partitions": q_lake_partitions,
+}
+
+_VALUES = ",\n            ".join(f"('{f}')" for f in _FILENAMES)
+
+_ROUTE_CASE = """
+        CASE
+            WHEN regexp_matches(filename, 'VIC[0-9]{6}_ABR_ACNC\\.txt$') THEN 'ACNC'
+            WHEN regexp_matches(filename, 'VIC[0-9]{6}_ABR_Agency_Data\\.txt$') THEN 'Agency_Data'
+            WHEN regexp_matches(filename, 'VIC[0-9]{6}_ABR_Associates\\.txt$') THEN 'Associates'
+            WHEN regexp_matches(filename, 'VIC[0-9]{6}_ABR_Businesslocation\\.txt$') THEN 'Businesslocation'
+            WHEN regexp_matches(filename, 'VIC[0-9]{6}_ABR_Businessname\\.txt$') THEN 'Businessname'
+            WHEN regexp_matches(filename, 'VIC[0-9]{6}_ABR_Funds\\.txt$') THEN 'Funds'
+            WHEN regexp_matches(filename, 'VIC[0-9]{6}_ABR_Othtrdnames\\.txt$') THEN 'Othtrdnames'
+            WHEN regexp_matches(filename, 'VIC[0-9]{6}_ABR_Replacedabn\\.txt$') THEN 'Replacedabn'
+        END
+"""
+
+ORACLES = {
+    "delta_updated": _SNAP_CTE
+    + f"""
+        SELECT {_ORDER_OUT.replace('o_orderkey', 'n.o_orderkey').replace('o_custkey', 'n.o_custkey').replace('o_orderstatus', 'n.o_orderstatus').replace('o_totalprice', 'n.o_totalprice').replace('o_orderdate', 'n.o_orderdate').replace('o_orderpriority', 'n.o_orderpriority')}
+        FROM newd n JOIN oldd o ON n.o_orderkey = o.o_orderkey
+        WHERE {_DIFF_PRED}
+    """,
+    "delta_added": _SNAP_CTE
+    + f"""
+        SELECT {_ORDER_OUT}
+        FROM newd
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM oldd)
+    """,
+    "delta_removed": _SNAP_CTE
+    + f"""
+        SELECT {_ORDER_OUT}
+        FROM oldd
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM newd)
+    """,
+    "delta_unchanged_count": _SNAP_CTE
+    + f"""
+        SELECT CASE
+                 WHEN o.o_orderkey IS NULL THEN 'added'
+                 WHEN n.o_orderkey IS NULL THEN 'removed'
+                 WHEN {_DIFF_PRED} THEN 'updated'
+                 ELSE 'unchanged'
+               END AS change,
+               count(*) AS n
+        FROM newd n FULL OUTER JOIN oldd o ON n.o_orderkey = o.o_orderkey
+        GROUP BY 1
+    """,
+    "snapshot_latest": _SERIES_CTE
+    + """
+        SELECT o_orderkey, totalprice, importdate
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_orderkey ORDER BY importdate DESC) AS rn
+            FROM snaps
+        ) WHERE rn = 1
+    """,
+    "scd2": _SERIES_CTE
+    + """
+        , versions AS (
+            SELECT o_orderkey, totalprice, importdate,
+                   lag(totalprice) OVER w AS prev_price
+            FROM snaps
+            WINDOW w AS (PARTITION BY o_orderkey ORDER BY importdate ASC)
+        ), changed AS (
+            SELECT o_orderkey, totalprice, importdate
+            FROM versions
+            WHERE prev_price IS NULL OR prev_price IS DISTINCT FROM totalprice
+        )
+        SELECT o_orderkey, totalprice,
+               importdate AS valid_from,
+               lead(importdate) OVER (
+                   PARTITION BY o_orderkey ORDER BY importdate ASC) AS valid_to,
+               CASE WHEN lead(importdate) OVER (
+                   PARTITION BY o_orderkey ORDER BY importdate ASC) IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM changed
+    """,
+    "ingest_routed": f"""
+        SELECT filename,
+               {_ROUTE_CASE} AS dataset,
+               CASE WHEN regexp_matches(filename, 'VIC[0-9]{{6}}_ABR_')
+                    THEN strftime(strptime(
+                        regexp_extract(filename, 'VIC([0-9]{{6}})_ABR_', 1),
+                        '%y%m%d'), '%Y-%m-%d')
+               END AS importdate
+        FROM (VALUES {_VALUES}) AS t(filename)
+    """,
+    "lake_partitions": """
+        SELECT importdate, rank FROM (
+            SELECT importdate, row_number() OVER (ORDER BY importdate DESC) AS rank
+            FROM (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS importdate
+                  FROM orders)
+        ) WHERE rank <= 2
+    """,
+}
