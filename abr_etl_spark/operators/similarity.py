@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force exact top-k: broadcast the (small) query set against the
+  corpus -- a map-side nested loop with JVM-side dot products; the only
+  shuffle is the final per-query top-k (rows = queries x k).
+- LSH-bucketed ANN: deterministic random-hyperplane signatures bucket the
+  corpus; queries probe their own bucket only. The scale path: bucket
+  cardinality ~ corpus / 2^bits, recall measured in tests.
+- embedding near-dup pairs: all-pairs >= tau at test SF; at scale the
+  LSH bucketing bounds the candidate set the same way minhash-LSH does
+  for text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from abr_etl_spark.functions import texthash as th
+
+# Deterministic hyperplane seeds (inlined into both engines' expressions).
+HYPERPLANE_BITS = 8
+
+
+def _hyperplane_sign(bit: int, dim_expr: str) -> str:
+    """Pseudo-random +-1 for (hyperplane bit, dimension) -- an LCG on the
+    flattened index, identical constant math in Spark and DuckDB."""
+    # CAST keeps the LCG in BIGINT (ANSI int32 would overflow); the CAST
+    # syntax is shared by Spark SQL and DuckDB so both engines run the
+    # identical string.
+    return (
+        f"CASE WHEN ((1103515245 * CAST({bit} * 4096 + {dim_expr} + 1 AS BIGINT) "
+        f"+ 12345) % 65536) < 32768 THEN -1.0 ELSE 1.0 END"
+    )
+
+
+def sp_lsh_bucket(vec: str, bits: int = HYPERPLANE_BITS) -> str:
+    """Random-hyperplane bucket id for a float-array expression (Spark)."""
+    projections = []
+    for b in range(bits):
+        proj = (
+            f"aggregate(zip_with({vec}, sequence(0, size({vec}) - 1), "
+            f"(v, i) -> cast(v as double) * ({_hyperplane_sign(b, 'i')})), "
+            f"0.0D, (s, x) -> s + x)"
+        )
+        projections.append(f"CASE WHEN ({proj}) > 0 THEN {1 << b} ELSE 0 END")
+    return "(" + " + ".join(projections) + ")"
+
+
+def dk_lsh_bucket(vec: str, bits: int = HYPERPLANE_BITS) -> str:
+    """Same bucket id in DuckDB SQL."""
+    projections = []
+    for b in range(bits):
+        proj = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(0, len({vec})), "
+            f"i -> {vec}[i + 1]::DOUBLE * ({_hyperplane_sign(b, 'i')}))), "
+            f"(s, x) -> s + x)"
+        )
+        projections.append(f"CASE WHEN ({proj}) > 0 THEN {1 << b} ELSE 0 END")
+    return "(" + " + ".join(projections) + ")"
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Broadcast nested-loop join (queries are small by contract); cosine in
+    doubles with sequential summation (oracle-identical). Deterministic
+    rank: (rounded score desc, neighbor id asc).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(F.expr(th.sp_cosine("q_vec", "c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = HYPERPLANE_BITS,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket.
+
+    Recall < 1 by design; tests measure it against cosine_topk. At scale
+    the bucket join replaces the corpus broadcast with an equi-join on
+    bucket id -- candidate set shrinks ~2^bits-fold.
+    """
+    bucket = lambda col: F.expr(sp_lsh_bucket(col, bits))  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        bucket(vec_col).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket(vec_col).alias("bucket"),
+    )
+    scored = (
+        c.join(broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(F.expr(th.sp_cosine("q_vec", "c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact; LSH-bucketable at scale
+    by pre-joining on bucket id -- see lsh_ann_topk)."""
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos", F.round(F.expr(th.sp_cosine("va", "vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b", "cos")
+    )

@@ -1,0 +1,283 @@
+"""LLM-training-data pipeline queries (SURVEY.md §2 C-block).
+
+Dedup / similarity / text-analysis operators exposed through the driver
+contract, with DuckDB oracles. Two oracle styles:
+
+- *replicated*: the oracle replays the exact algorithm (minhash seeds,
+  hyperplane LSH buckets, simhash math are deterministic constants
+  inlined into both engines from functions/texthash.py).
+- *semantic*: the oracle computes the ground truth a cheaper way
+  (brute-force exact jaccard / hamming pairs); the Spark side uses the
+  scalable algorithm (LSH banding, pigeonhole hamming bands) that is
+  exact-or-near-exact by construction. dedup_minhash_lsh's miss
+  probability at the 0.9 verify threshold is (1-0.9^4)^16 ~ 3e-4 per
+  pair; simhash banding is pigeonhole-EXACT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from abr_etl_spark.functions import texthash as th
+from abr_etl_spark.operators import dedup, similarity, text
+from abr_etl_spark.sources.lake import load_table
+
+JACCARD_TAU = 0.9
+COS_TAU = 0.45
+ANN_K = 5
+N_QUERY_VECS = 10
+
+
+# ------------------------------------------------------------------ helpers
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact copies of doc_id < 50 (ids shifted +10000) so
+    exact dedup has something to find; the oracle plants identically."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    return d.unionByName(planted)
+
+
+_PLANT_CTE = """
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+    )
+"""
+
+
+# ------------------------------------------------------------------ queries
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs_with_planted_dups(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=JACCARD_TAU)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=3)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_pairs(e, threshold=COS_TAU)
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.cosine_topk(e, q, k=ANN_K)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.lsh_ann_topk(e, q, k=ANN_K)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_language(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_quality(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.with_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: documents as opaque bytes + typed metadata
+    (the decode path itself is the mapInPandas stub in
+    operators/multimodal.py, pytest-covered)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.ascii(F.substring("text", 1, 1)).alias("header_code"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+
+# ------------------------------------------------------------------ oracles
+
+_DK_TOK = th.dk_tokens("text")
+_DK_SH = th.dk_shingles("text", 3)
+
+_JACCARD_BRUTE = f"""
+    WITH t AS (
+        SELECT doc_id, {_DK_SH} AS sh FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   AS j
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(j, 4) AS jaccard
+    FROM pairs WHERE j >= {JACCARD_TAU}
+"""
+
+_STOP = {k: "[" + ",".join(f"'{w}'" for w in v) + "]" for k, v in text.STOPWORDS.items()}
+
+
+def _dk_hits(lang: str) -> str:
+    return (
+        f"len(list_filter({_DK_TOK}, t -> list_contains({_STOP[lang]}, lower(t))))"
+    )
+
+
+_DK_PUNCT = (
+    "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE"
+    " / greatest(length(text), 1)"
+)
+_DK_STOP_EN = (
+    f"{_dk_hits('en')}::DOUBLE / greatest(len({_DK_TOK}), 1)"
+)
+# Integer-scaled quality (see operators/text.quality_score): exact
+# arithmetic, no cross-engine rounding knife-edges.
+_DK_NPUNCT = "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+_DK_QUALITY = (
+    f"((4000 * {_dk_hits('en')}) // greatest(len({_DK_TOK}), 1) "
+    f"+ least(30 * len({_DK_TOK}), 3000) "
+    f"+ 3000 - (3000 * {_DK_NPUNCT}) // greatest(length(text), 1))"
+)
+
+_LANGS = list(text.STOPWORDS)
+_BEST = "greatest(" + ", ".join(f"h_{g}" for g in _LANGS) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _BEST + " = 0 THEN 'unknown' "
+    + " ".join(f"WHEN h_{g} = {_BEST} THEN '{g}'" for g in _LANGS)
+    + " END"
+)
+
+ORACLES = {
+    "dedup_exact": _PLANT_CTE
+    + """
+        SELECT min(doc_id) AS kept_id, count(*) AS n_copies
+        FROM (SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+              FROM all_docs)
+        GROUP BY n
+    """,
+    "dedup_ngram_jaccard": _JACCARD_BRUTE,
+    "dedup_minhash_lsh": _JACCARD_BRUTE,
+    "dedup_simhash": f"""
+        WITH f AS (
+            SELECT doc_id,
+                   {th.dk_simhash(th.dk_token_hashes(_DK_TOK))} AS simhash
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "dedup_embedding": f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round({th.dk_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round({th.dk_cosine('a.embedding', 'b.embedding')}, 6) >= {COS_TAU}
+    """,
+    "ann_bruteforce": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                   FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round({th.dk_cosine('q_vec', 'c_vec')}, 6) AS cos
+            FROM c, q WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_K}
+    """,
+    "ann_lsh": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec,
+                          {similarity.dk_lsh_bucket('embedding')} AS bucket
+                   FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec,
+                     {similarity.dk_lsh_bucket('embedding')} AS bucket
+              FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round({th.dk_cosine('q_vec', 'c_vec')}, 6) AS cos
+            FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_K}
+    """,
+    "text_stats": f"""
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               len({_DK_TOK}) AS n_tokens,
+               len(regexp_extract_all(text, '{text.BPE_REGEX}')) AS n_bpe_tokens,
+               round({_DK_PUNCT}, 4) AS punct_ratio,
+               round({_DK_STOP_EN}, 4) AS stopword_ratio_en
+        FROM documents
+    """,
+    "lang_id": f"""
+        SELECT doc_id, {_LANG_CASE} AS lang_pred FROM (
+            SELECT doc_id,
+                   {", ".join(f"{_dk_hits(g)} AS h_{g}" for g in _LANGS)}
+            FROM documents
+        )
+    """,
+    "quality_score": f"""
+        SELECT doc_id,
+               {_DK_QUALITY} AS quality,
+               CASE WHEN {_DK_QUALITY} >= 5000 THEN 1 ELSE 0 END AS keep
+        FROM documents
+    """,
+    "fingerprint": f"""
+        SELECT doc_id, {th.dk_polyhash('text')} AS fingerprint FROM documents
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               unicode(substr(text, 1, 1)) AS header_code,
+               'text/plain' AS mime
+        FROM documents
+    """,
+}
