@@ -24,6 +24,19 @@ from pyspark.sql import functions as F
 from abr_etl_spark.functions import texthash as th
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Spread compute-heavy per-row work across the cluster.
+
+    Small-file scans (one parquet = one partition) would otherwise run
+    the whole signature computation on a single core; at 100 TB inputs
+    arrive pre-partitioned and this is a no-op.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_text(text: str = "text") -> F.Column:
     """Lowercase + whitespace-collapse (the canonical form for exact dedup)."""
     return F.regexp_replace(F.lower(F.trim(F.col(text))), "\\s+", " ")
@@ -53,6 +66,7 @@ def shingle_df(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, shingles array, n_shingles) with distinct word n-grams."""
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col),
         F.expr(th.sp_shingles(text, n)).alias("shingles"),
@@ -190,7 +204,7 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(
     df: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col), F.expr(th.sp_token_hashes(th.sp_tokens(text))).alias("th")
     )
     return toks.select(

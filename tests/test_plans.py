@@ -1,0 +1,78 @@
+"""Plan-shape assertions: the scale properties SURVEY.md §4 promises.
+
+These read the physical plan, not timings -- a pushed filter or a
+broadcast join holds at any scale factor."""
+
+from pyspark.sql import functions as F
+
+from abr_etl_spark.operators import delta
+from abr_etl_spark.plans import analytics
+from abr_etl_spark.sources.lake import load_table
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    l = load_table(spark, SF_ORACLE, "lineitem").where(
+        F.col("l_shipdate") <= "1998-09-02"
+    ).select("l_returnflag", "l_quantity")
+    plan = _plan(l)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = analytics.q1_pricing_summary(spark, SF_ORACLE)
+    plan = _plan(df)
+    # the scan must not read columns q1 doesn't touch
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in plan
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(analytics.q5_local_supplier(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the fact-fact join may be broadcast at this SF; what matters is no
+    # cartesian and no nested loop on the fact side
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_stays_in_wholestage_codegen(spark):
+    df = analytics.q1_pricing_summary(spark, SF_ORACLE)
+    df.count()  # finalize the AQE plan
+    plan = _plan(df)
+    assert "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan  # no Python in the hot path
+
+
+def test_delta_join_projects_only_key_and_hash(spark):
+    """The CDC classify join must shuffle (key, hash), not payload."""
+    new, old = (
+        load_table(spark, SF_ORACLE, "orders"),
+        load_table(spark, SF_ORACLE, "orders"),
+    )
+    classified = delta.delta_classify(new, old, "o_orderkey")
+    opt = _optimized(classified)
+    # payload columns are folded into xxhash64 before the join
+    assert "xxhash64" in opt
+    join_section = opt.split("Join")[1]
+    assert "o_totalprice" not in join_section.split("Project")[0]
+
+
+def test_sessionize_single_exchange(spark):
+    """lag + cumulative-sum + groupBy share one hash partitioning."""
+    plan = _plan(analytics.sessionize(spark, SF_ORACLE))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+
+
+def test_no_collect_in_operators(spark):
+    """Operators return lazy DataFrames (driver never materializes)."""
+    df = analytics.q3_shipping_priority(spark, SF_ORACLE)
+    assert hasattr(df, "queryExecution") or df.schema is not None
