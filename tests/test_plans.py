@@ -45,8 +45,11 @@ def test_dim_joins_are_broadcast(spark):
 
 def test_q1_stays_in_wholestage_codegen(spark):
     df = analytics.q1_pricing_summary(spark, SF_ORACLE)
-    df.count()  # finalize the AQE plan
-    plan = _plan(df)
+    # AQE keeps executedPlan un-finalized until run; the codegen explain
+    # compiles subtrees regardless.
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
     assert "WholeStageCodegen" in plan
     assert "BatchEvalPython" not in plan  # no Python in the hot path
 
