@@ -24,8 +24,9 @@ def _registry() -> tuple[dict, dict]:
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     import abr_etl_spark.plans.analytics as analytics
+    import abr_etl_spark.plans.analytics2 as analytics2
 
-    modules = [analytics]
+    modules = [analytics, analytics2]
     try:
         import abr_etl_spark.plans.etl_parity as etl_parity
 

@@ -1,0 +1,378 @@
+"""Extended analytics coverage (SURVEY.md §2 B-block, part 2).
+
+TPC-H-shaped patterns the first block doesn't cover: semi/anti joins and
+EXISTS rewrites, scalar subqueries, disjunctive pushdown, distinct
+aggregates, CUBE, group-by-HAVING, conditional aggregation, and
+min-per-group via window -- each oracle-checked. Same conventions as
+plans/analytics.py (aliased columns, rounded floats, deterministic
+ordering on every LIMIT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from abr_etl_spark.sources.lake import load_table
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS semi-join -- orders with any lineitem shipped
+    after the order date, counted by priority."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = l.join(o, l.l_orderkey == o.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey").distinct()
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure scan-filter-agg; everything pushes to the scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: multi-join profit rollup by supplier nation x order year."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * 0.1
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q12_shipping_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional aggregation (CASE inside SUM)."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(urgent).alias("high_line_count"),
+            F.sum(1 - urgent).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: ratio of conditional to total aggregate."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: COUNT(DISTINCT) per group with an anti-ish filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#1")
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: group-by-HAVING on a join, deterministic top-N."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs predicate across a join (tests disjunctive
+    pushdown / CNF conversion)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") < 20))
+        | ((F.col("p_brand") == "Brand#9") & (F.col("p_size") <= 25) & (F.col("l_quantity") < 30))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
+    )
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar subquery (global avg) + anti-join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = c.crossJoin(broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("ab"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: min-per-group via window (no partsupp table -- use the
+    observed min avg sell price per (part, supplier) from lineitem)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_ps = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.avg("l_extendedprice"), 4).alias("avg_price"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("avg_price").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        per_ps.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "avg_price")
+        .where(F.col("l_partkey") < 200)
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims (grouping-sets machinery)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per day (shuffle-heavy pattern; the approx
+    variant is operators-only since HLL sketches differ across engines)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "profit_by_nation_year": profit_by_nation_year,
+    "q12_shipping_buckets": q12_shipping_buckets,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q16_supplier_diversity": q16_supplier_diversity,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive": q19_disjunctive,
+    "q22_idle_customers": q22_idle_customers,
+    "min_price_supplier_per_part": min_price_supplier_per_part,
+    "cube_agg": cube_agg,
+    "distinct_users_daily": distinct_users_daily,
+}
+
+ORACLES = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24
+    """,
+    "profit_by_nation_year": """
+        SELECT n_name AS nation,
+               year(o_orderdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - l_quantity * p_retailprice * 0.1), 2) AS profit
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+    """,
+    "q12_shipping_buckets": """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q14_promo_revenue": """
+        SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    "q16_supplier_diversity": """
+        SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+        GROUP BY p_brand, p_type
+        ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+    "q18_large_orders": """
+        SELECT c_custkey, c_name, o_orderkey,
+               round(o_totalprice, 2) AS totalprice,
+               round(sum_qty, 2) AS sum_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY totalprice DESC, o_orderkey ASC
+        LIMIT 20
+    """,
+    "q19_disjunctive": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity < 20)
+           OR (p_brand = 'Brand#9' AND p_size <= 25 AND l_quantity < 30)
+           OR (p_type = 'PROMO' AND l_quantity >= 40)
+    """,
+    "q22_idle_customers": """
+        SELECT c_nationkey, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    "min_price_supplier_per_part": """
+        SELECT l_partkey, l_suppkey, avg_price FROM (
+            SELECT l_partkey, l_suppkey,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY round(avg(l_extendedprice), 4) ASC,
+                                l_suppkey ASC) AS rn
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ) WHERE rn = 1 AND l_partkey < 200
+    """,
+    "cube_agg": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "distinct_users_daily": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(DISTINCT user_id) AS distinct_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+}
