@@ -166,6 +166,49 @@ def delta_unchanged_count(
     )
 
 
+def delta_from_lake(
+    lake_df: DataFrame,
+    key: str,
+    *,
+    newest: str,
+    previous: str,
+    partition_col: str = "importdate",
+) -> DataFrame:
+    """Single-scan CDC over a partitioned lake table: the 100 TB plan.
+
+    Where ``delta_classify`` joins two scans, this reads BOTH snapshots in
+    ONE partition-pruned scan (``importdate IN (newest, previous)``),
+    hashes each row, and classifies with a single groupBy on the key --
+    one shuffle total, map-side partial aggregation, no join at all:
+
+        scan(2 partitions) -> project(key, side, hash) -> groupBy(key)
+
+    Returns (key, change) like delta_classify.
+    """
+    p = F.col(partition_col).cast("string")
+    pruned = lake_df.where(p.isin(newest, previous))
+    cols = [
+        c for c in lake_df.columns if c not in (key, partition_col)
+    ]
+    hashed = row_hash(pruned, cols).select(
+        F.col(key),
+        F.when(p == newest, F.col(_HASH_COL)).alias("__h_new"),
+        F.when(p == previous, F.col(_HASH_COL)).alias("__h_old"),
+    )
+    agg = hashed.groupBy(key).agg(
+        F.max("__h_new").alias("__h_new"),
+        F.max("__h_old").alias("__h_old"),
+    )
+    return agg.select(
+        key,
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_new") != F.col("__h_old"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+
+
 def snapshot_latest(
     df: DataFrame,
     key: str,

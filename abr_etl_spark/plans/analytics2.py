@@ -240,7 +240,28 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spark_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw SQL surface: register the lake as views and run
+    ANSI SQL through spark.sql (same text a Trino/Athena user would port)."""
+    from abr_etl_spark.sources.lake import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               round(avg(o_totalprice), 4) AS avg_order
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_mktsegment
+        ORDER BY revenue DESC, c_mktsegment
+        """
+    )
+
+
 QUERIES = {
+    "spark_sql_interface": spark_sql_interface,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "profit_by_nation_year": profit_by_nation_year,
@@ -256,6 +277,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "spark_sql_interface": """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               round(avg(o_totalprice), 4) AS avg_order
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_mktsegment
+        ORDER BY revenue DESC, c_mktsegment
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

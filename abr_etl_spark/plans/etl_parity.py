@@ -185,8 +185,21 @@ def q_lake_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_classify_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan lake CDC (delta.delta_from_lake): both snapshots in one
+    pass, one shuffle, no join -- the plan that wins at 100 TB."""
+    new, old = _snapshots(spark, sf_dir)
+    lake_df = new.withColumn("importdate", F.lit("2024-01-08")).unionByName(
+        old.withColumn("importdate", F.lit("2024-01-01"))
+    )
+    return delta.delta_from_lake(
+        lake_df, "o_orderkey", newest="2024-01-08", previous="2024-01-01"
+    )
+
+
 QUERIES = {
     "delta_updated": q_delta_updated,
+    "delta_classify_lake": q_delta_classify_lake,
     "delta_added": q_delta_added,
     "delta_removed": q_delta_removed,
     "delta_unchanged_count": q_delta_unchanged_count,
@@ -223,6 +236,17 @@ ORACLES = {
         SELECT {_ORDER_OUT}
         FROM newd
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM oldd)
+    """,
+    "delta_classify_lake": _SNAP_CTE
+    + f"""
+        SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE
+                 WHEN o.o_orderkey IS NULL THEN 'added'
+                 WHEN n.o_orderkey IS NULL THEN 'removed'
+                 WHEN {_DIFF_PRED} THEN 'updated'
+                 ELSE 'unchanged'
+               END AS change
+        FROM newd n FULL OUTER JOIN oldd o ON n.o_orderkey = o.o_orderkey
     """,
     "delta_removed": _SNAP_CTE
     + f"""

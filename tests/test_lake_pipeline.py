@@ -1,0 +1,111 @@
+"""End-to-end reference workflow on a real partitioned lake:
+ingest routed drops -> partitioned write -> partition discovery ->
+single-scan delta -> stable CSV export. This is the full abr-etl.go main()
+data path (minus SFTP/S3 transport) on Spark.
+
+Also asserts the scale contracts: partition pruning reaches the scan and
+the single-scan delta plans exactly one shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from abr_etl_spark.operators import delta
+from abr_etl_spark.sources import lake, routed_ingest
+
+
+@pytest.fixture(scope="module")
+def lake_path(spark, tmp_path_factory):
+    """Two weekly Agency_Data drops written as importdate partitions."""
+    tmp = tmp_path_factory.mktemp("abr")
+    drop = tmp / "drop"
+    drop.mkdir()
+    week1 = ["pid|abn|org_nm"] + [
+        f"p{i}|{1000 + i}|Org {i}" for i in range(100)
+    ]
+    # week2: p0..p89 kept (p10..p19 changed), p90+ removed, q* added
+    week2 = ["pid|abn|org_nm"]
+    for i in range(90):
+        abn = 1000 + i if i >= 20 or i < 10 else 9999
+        week2.append(f"p{i}|{abn}|Org {i}")
+    week2 += [f"q{i}|{2000 + i}|New {i}" for i in range(5)]
+    (drop / "VIC190422_ABR_Agency_Data.txt").write_text("\n".join(week1) + "\n")
+    (drop / "VIC190429_ABR_Agency_Data.txt").write_text("\n".join(week2) + "\n")
+
+    df = routed_ingest.ingest_delimited(spark, str(drop), "Agency_Data")
+    path = str(tmp / "lake" / "Agency_Data")
+    lake.write_partitioned(df, path)
+    return path
+
+
+def test_partition_discovery(spark, lake_path):
+    table = lake.read_lake(spark, lake_path)
+    assert lake.newest_previous(table) == ("2019-04-29", "2019-04-22")
+
+
+def test_partition_pruning_reaches_scan(spark, lake_path):
+    table = lake.read_lake(spark, lake_path)
+    new_df, _ = delta.snapshot_pair(
+        table, "pid", newest="2019-04-29", previous="2019-04-22"
+    )
+    plan = new_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "importdate" in plan
+
+
+def test_single_scan_delta_counts(spark, lake_path):
+    table = lake.read_lake(spark, lake_path)
+    newest, previous = lake.newest_previous(table)
+    classified = delta.delta_from_lake(
+        table, "pid", newest=newest, previous=previous
+    )
+    by = classified.groupBy("change").count().collect()
+    got = {r["change"]: r["count"] for r in by}
+    assert got == {"added": 5, "removed": 10, "updated": 10, "unchanged": 80}
+
+
+def test_single_scan_delta_one_shuffle(spark, lake_path):
+    table = lake.read_lake(spark, lake_path)
+    classified = delta.delta_from_lake(
+        table, "pid", newest="2019-04-29", previous="2019-04-22"
+    )
+    plan = classified._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_two_scan_delta_agrees_with_single_scan(spark, lake_path):
+    table = lake.read_lake(spark, lake_path)
+    new_df, old_df = delta.snapshot_pair(
+        table, "pid", newest="2019-04-29", previous="2019-04-22"
+    )
+    two = {
+        (r["pid"], r["change"])
+        for r in delta.delta_classify(
+            new_df, old_df, "pid", exclude=("importdate",)
+        ).collect()
+    }
+    one = {
+        (r["pid"], r["change"])
+        for r in delta.delta_from_lake(
+            table, "pid", newest="2019-04-29", previous="2019-04-22"
+        ).collect()
+    }
+    assert one == two
+
+
+def test_full_reference_flow_export(spark, lake_path, tmp_path):
+    """updated + added rows exported under the reference's stable names
+    (DELTA/{UPDATED,ADDED}/... , agency-delta.go:35-41)."""
+    table = lake.read_lake(spark, lake_path)
+    newest, previous = lake.newest_previous(table)
+    new_df, old_df = delta.snapshot_pair(
+        table, "pid", newest=newest, previous=previous
+    )
+    updated = delta.delta_updated(new_df, old_df, "pid")
+    added = delta.delta_added(new_df, old_df, "pid")
+    out_u = lake.export_stable_csv(
+        updated, str(tmp_path), "Agency_Data_updated.csv"
+    )
+    out_a = lake.export_stable_csv(added, str(tmp_path), "Agency_Data_added.csv")
+    n_updated = len(open(out_u).read().strip().splitlines()) - 1
+    n_added = len(open(out_a).read().strip().splitlines()) - 1
+    assert (n_updated, n_added) == (10, 5)
