@@ -132,8 +132,13 @@ def minhash_signatures(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, minhash signature array[K]) -- one map-only JVM stage."""
+    # xxhash64 (codegen'd, native) instead of the char-level polyhash: the
+    # minhash oracle checks OUTPUT pairs against brute-force Jaccard, not
+    # the hash family, so the fast engine hash is safe here. pmod maps into
+    # [0, P) so the permutation arithmetic stays in BIGINT range.
     sh = shingle_df(df, text, id_col, n).withColumn(
-        "sh_hashes", F.expr(th.sp_shingle_hashes("shingles"))
+        "sh_hashes",
+        F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {th.P}L))"),
     )
     return sh.select(
         F.col(id_col),
