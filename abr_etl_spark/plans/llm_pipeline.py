@@ -88,6 +88,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(e, q, k=ANN_K)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic centroids (vec_id % 50 == 0) so the
+    oracle replays the same coarse quantizer."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERY_VECS)
+    cent = e.where(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_ann_topk(e, q, cent, k=ANN_K)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -126,6 +135,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -241,6 +251,32 @@ ORACLES = {
             SELECT query_id, neighbor_id,
                    round({th.dk_cosine('q_vec', 'c_vec')}, 6) AS cos
             FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_K}
+    """,
+    "ann_ivf": f"""
+        WITH cent AS (
+            SELECT vec_id AS centroid_id, embedding AS c_vec
+            FROM embeddings WHERE vec_id % 50 = 0
+        ), assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({th.dk_cosine('e.embedding', 'c.c_vec')}, 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({th.dk_cosine('q.embedding', 'c.embedding')}, 6) AS cos
+            FROM assigned c
+            JOIN assigned q USING (centroid_id)
+            WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
         )
         SELECT query_id, neighbor_id, rank, cos FROM (
             SELECT *, row_number() OVER (

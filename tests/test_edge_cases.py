@@ -1,0 +1,76 @@
+"""Edge cases the 100 TB runs will hit: null keys, empty snapshots,
+unicode text, single-token docs, empty embeddings handled upstream."""
+
+from pyspark.sql import functions as F
+
+from abr_etl_spark.operators import dedup, delta, text
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "pid string, v string, importdate string")
+
+
+def test_delta_with_empty_old_snapshot(spark):
+    new = _snap(spark, [("k1", "a", "d2"), ("k2", "b", "d2")])
+    old = _snap(spark, []).where(F.lit(False))
+    assert delta.delta_added(new, old, "pid").count() == 2
+    assert delta.delta_updated(new, old, "pid").count() == 0
+    assert delta.delta_removed(new, old, "pid").count() == 0
+
+
+def test_delta_null_key_rows_kept_distinct(spark):
+    """NULL keys never equi-join; they classify as added+removed (the
+    safe CDC interpretation -- a keyless row can't be 'the same' row)."""
+    new = _snap(spark, [(None, "a", "d2"), ("k1", "x", "d2")])
+    old = _snap(spark, [(None, "a", "d1"), ("k1", "x", "d1")])
+    classified = delta.delta_classify(new, old, "pid")
+    by = {r["change"] for r in classified.collect()}
+    assert "unchanged" in by  # k1
+    added = delta.delta_added(new, old, "pid").count()
+    removed = delta.delta_removed(new, old, "pid").count()
+    assert (added, removed) == (1, 1)
+
+
+def test_dedup_exact_unicode_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Héllo  Wörld"),
+            (2, "héllo wörld"),
+            (3, "中文 文本"),
+            (4, "中文  文本"),
+            (5, "distinct"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["kept_id"]: r["n_copies"] for r in dedup.dedup_exact(df).collect()}
+    assert out == {1: 2, 3: 2, 5: 1}
+
+
+def test_shingles_shorter_than_n(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "single")], "doc_id long, text string"
+    )
+    sh = {r["doc_id"]: r["shingles"] for r in dedup.shingle_df(df, n=3).collect()}
+    assert sh[1] == ["one two"] and sh[2] == ["single"]
+
+
+def test_jaccard_identical_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_quality_score_empty_text(spark):
+    df = spark.createDataFrame([(1, ""), (2, "the of and")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["quality"] for r in text.with_quality(df).collect()}
+    assert rows[1] >= 0  # no division-by-zero under ANSI mode
+    assert rows[2] > rows[1]
+
+
+def test_scd2_single_snapshot(spark):
+    df = _snap(spark, [("k1", "a", "2024-01-01")])
+    hist = delta.scd2(df, "pid").collect()
+    assert len(hist) == 1 and hist[0]["is_current"]
