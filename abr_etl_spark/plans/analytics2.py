@@ -240,6 +240,33 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event annotated with the user's most
+    recent prior (or simultaneous) view event. Oracle = DuckDB's native
+    ASOF JOIN -- a genuinely independent implementation of the semantics.
+    """
+    from abr_etl_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", F.col("ts").alias("v_ts")
+    )
+    joined = asof_join(
+        purchases, views, on="ts", by="user_id", value_cols=["value", "v_ts"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value_asof", 4).alias("v_value"),
+        (
+            F.col("ts").cast("long") - F.col("v_ts_asof").cast("long")
+        ).alias("gap_s"),
+    )
+
+
 def spark_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's raw SQL surface: register the lake as views and run
     ANSI SQL through spark.sql (same text a Trino/Athena user would port)."""
@@ -261,6 +288,7 @@ def spark_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "asof_purchase_view": asof_purchase_view,
     "spark_sql_interface": spark_sql_interface,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -277,6 +305,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "asof_purchase_view": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id,
+               round(v.value, 4) AS v_value,
+               CAST(floor(epoch(p.ts)) AS BIGINT)
+                   - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_s
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
     "spark_sql_interface": """
         SELECT c_mktsegment,
                count(*) AS n_orders,

@@ -97,6 +97,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(e, q, cent, k=ANN_K)
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: near-dup pairs -> connected components ->
+    (doc_id, canonical_id). Oracle = recursive CTE over the brute-force
+    pair graph (independent CC implementation)."""
+    from abr_etl_spark.operators.graph import canonicalize_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU)
+    return canonicalize_pairs(pairs)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -133,6 +144,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_canonical": q_dedup_canonical,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -207,6 +219,26 @@ ORACLES = {
     """,
     "dedup_ngram_jaccard": _JACCARD_BRUTE,
     "dedup_minhash_lsh": _JACCARD_BRUTE,
+    "dedup_canonical": f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, {_DK_SH} AS sh FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                  >= {JACCARD_TAU}
+        ), sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ), reach(node, label) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
+        )
+        SELECT node AS doc_id, min(label) AS canonical_id
+        FROM reach GROUP BY node
+    """,
     "dedup_simhash": f"""
         WITH f AS (
             SELECT doc_id,

@@ -61,3 +61,16 @@ def test_dedup_exact_finds_planted_copies(spark):
     dups = deduped.where(F.col("n_copies") > 1)
     assert dups.count() == 50
     assert deduped.agg(F.sum("n_copies")).collect()[0][0] == 550
+
+
+def test_connected_components_chain(spark):
+    from abr_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
