@@ -47,6 +47,52 @@ def windowed_counts(
     )
 
 
+def sliding_avg(
+    events: DataFrame,
+    *,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding event-time windows (each row lands in window/slide panes).
+    Same batch/stream duality as windowed_counts."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "avg_value",
+            "n",
+        )
+    )
+
+
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: the dim side is a batch DataFrame broadcast to
+    every micro-batch -- the standard pattern for decorating events with
+    slowly-changing reference data (re-read per batch if the dim is a
+    lake table that updates)."""
+    from pyspark.sql.functions import broadcast
+
+    return stream.join(broadcast(dim), on=on, how="left")
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon:
+    dropDuplicatesWithinWatermark bounds state, unlike global
+    dropDuplicates which would grow state forever on an infinite stream."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 def read_event_stream(
     spark: SparkSession,
     dir_path: str,

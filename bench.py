@@ -19,7 +19,9 @@ HEADLINERS = [
     "q5_local_supplier",
     "q10_returned_items",
     "delta_updated",
+    "delta_classify_lake",
     "sessionize",
+    "asof_purchase_view",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_bruteforce",

@@ -71,3 +71,68 @@ def test_stateful_running_counts(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_sliding_window_stream_equals_batch(spark, tmp_path):
+    src_dir = _stage_events(tmp_path)
+    stream = stream_ops.read_event_stream(spark, src_dir)
+    q = stream_ops.run_stream_to_memory(
+        stream_ops.sliding_avg(stream), "sl_stream"
+    )
+    try:
+        got = {tuple(r) for r in spark.sql("select * from sl_stream").collect()}
+        want = {
+            tuple(r)
+            for r in stream_ops.sliding_avg(
+                load_table(spark, SF_SMOKE, "events")
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_stream_static_join(spark, tmp_path):
+    src_dir = _stage_events(tmp_path)
+    stream = stream_ops.read_event_stream(spark, src_dir)
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    enriched = stream_ops.enrich_stream_with_dim(stream, dim, "event_type")
+    q = stream_ops.run_stream_to_memory(
+        enriched.groupBy("category").count(), "enr_stream"
+    )
+    try:
+        got = {
+            r["category"]: r["count"]
+            for r in spark.sql("select * from enr_stream").collect()
+        }
+        batch = load_table(spark, SF_SMOKE, "events").join(dim, "event_type", "left")
+        want = {
+            r["category"]: r["count"]
+            for r in batch.groupBy("category").count().collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_dedup_stream_drops_replayed_duplicates(spark, tmp_path):
+    import shutil as _sh
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    _sh.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
+    _sh.copy(f"{SF_SMOKE}/events.parquet", d / "b.parquet")  # full replay dup
+    stream = stream_ops.read_event_stream(spark, str(d), max_files_per_trigger=2)
+    deduped = stream_ops.dedup_stream(stream, ["event_id"])
+    q = stream_ops.run_stream_to_memory(
+        deduped, "dd_stream", output_mode="append"
+    )
+    try:
+        n = spark.sql("select count(distinct event_id) c, count(*) n from dd_stream").first()
+        want = load_table(spark, SF_SMOKE, "events").count()
+        assert n["n"] == want and n["c"] == want
+    finally:
+        q.stop()
