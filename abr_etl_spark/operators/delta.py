@@ -127,9 +127,21 @@ def delta_updated(
             .where(cond)
             .select(*new_df.columns)
         )
-    changed = _keys_of(new_df, old_df, key, exclude, "updated")
-    # Semi-join recovers full rows; AQE broadcasts `changed` when small.
-    return new_df.join(changed, on=key, how="left_semi")
+    # Direct formulation: full new rows join the old side projected to
+    # (key, hash) -- 16 bytes/row. One join, two exchanges max; when the
+    # old narrow side fits the broadcast threshold AQE turns this into a
+    # broadcast join and the new side is never shuffled at all. (The
+    # classify-then-semi-join alternative shuffles new TWICE.)
+    cols = _payload_cols(new_df, key, exclude)
+    n = row_hash(new_df, cols).withColumnRenamed(_HASH_COL, "__h_new")
+    o = row_hash(old_df, cols).select(
+        F.col(key), F.col(_HASH_COL).alias("__h_old")
+    )
+    return (
+        n.join(o, on=key, how="inner")
+        .where(F.col("__h_new") != F.col("__h_old"))
+        .select(*new_df.columns)
+    )
 
 
 def delta_added(
