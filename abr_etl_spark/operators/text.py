@@ -100,6 +100,49 @@ def fingerprint(text: str = "text") -> Column:
     return F.expr(th.sp_polyhash(text))
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the unit of
+    LLM pretraining examples). stride = chunk_tokens - overlap; one
+    explode, no Python. Output: (doc_id, chunk_idx, chunk_text, n_tokens).
+    """
+    stride = chunk_tokens - overlap
+    t = th.sp_tokens(text)
+    starts = f"sequence(0, greatest(size({t}) - 1, 0), {stride})"
+    chunks = (
+        f"transform({starts}, s -> array_join(slice({t}, s + 1, {chunk_tokens}), ' '))"
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.expr(chunks)).alias("chunk_idx", "chunk_text"),
+        )
+        .withColumn("n_tokens", F.size(F.expr(th.sp_tokens("chunk_text"))))
+        .where(F.col("chunk_text") != "")
+    )
+
+
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Regex PII scrubbing (emails, phone-like digit runs) -- JVM
+    regexp_replace chain, extendable with further patterns."""
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 def text_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(
         id_col,

@@ -124,6 +124,35 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(d, chunk_tokens=50, overlap=10)
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing demo: plant a deterministic email+phone per doc (the
+    corpus has none), then redact -- oracle replicates plant+redact."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    planted = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +61 3 9999 00"),
+        F.lpad(F.col("doc_id").cast("string"), 2, "0"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    return d.select(
+        "doc_id", text.redact_pii(planted).alias("clean_text")
+    )
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via key-mod (hash-mod in production;
+    mod here so the oracle derives the identical sample)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") % 10 == 3).select("doc_id", "n_chars")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: documents as opaque bytes + typed metadata
     (the decode path itself is the mapInPandas stub in
@@ -153,6 +182,9 @@ QUERIES = {
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "chunk_documents": q_chunk_documents,
+    "redact_pii": q_redact_pii,
+    "sample_deterministic": q_sample_deterministic,
 }
 
 
@@ -340,6 +372,32 @@ ORACLES = {
     """,
     "fingerprint": f"""
         SELECT doc_id, {th.dk_polyhash('text')} AS fingerprint FROM documents
+    """,
+    "chunk_documents": f"""
+        WITH t AS (
+            SELECT doc_id, {_DK_TOK} AS tok FROM documents
+        ), c AS (
+            SELECT doc_id, u.i,
+                   array_to_string(list_slice(tok, u.i + 1, u.i + 50), ' ') AS chunk_text
+            FROM t, UNNEST(range(0, greatest(len(tok) - 1, 0) + 1, 40)) AS u(i)
+        )
+        SELECT doc_id, i // 40 AS chunk_idx, chunk_text,
+               len(regexp_split_to_array(trim(chunk_text), '\\s+')) AS n_tokens
+        FROM c WHERE chunk_text <> ''
+    """,
+    "redact_pii": """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(
+                   'contact user' || doc_id || '@example.com or +61 3 9999 00'
+                       || lpad(CAST(doc_id AS VARCHAR), 2, '0') || ' re: '
+                       || substr(text, 1, 40),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+        FROM documents WHERE doc_id < 100
+    """,
+    "sample_deterministic": """
+        SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 3
     """,
     "multimodal_meta": """
         SELECT doc_id,
