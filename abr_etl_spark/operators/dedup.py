@@ -209,6 +209,11 @@ def minhash_lsh_pairs(
 def simhash_fingerprints(
     df: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
+    """Map-only formulation: fingerprint computed per-row with
+    higher-order functions -- zero shuffle. (An explode + 48-column
+    SUM(CASE) aggregate variant was benchmarked and lost: the extra
+    shuffle of exploded token hashes outweighs escaping interpreted
+    lambdas.)"""
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.expr(th.sp_token_hashes(th.sp_tokens(text))).alias("th")
     )
