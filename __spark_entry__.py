@@ -25,9 +25,10 @@ def _registry() -> tuple[dict, dict]:
     oracles: dict[str, str] = {}
     import abr_etl_spark.plans.analytics as analytics
     import abr_etl_spark.plans.analytics2 as analytics2
+    import abr_etl_spark.plans.analytics3 as analytics3
     import abr_etl_spark.plans.semistructured as semistructured
 
-    modules = [analytics, analytics2, semistructured]
+    modules = [analytics, analytics2, analytics3, semistructured]
     try:
         import abr_etl_spark.plans.etl_parity as etl_parity
 
