@@ -138,6 +138,55 @@ def lsh_ann_topk(
     )
 
 
+def lsh_ann_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = HYPERPLANE_BITS,
+) -> DataFrame:
+    """Multiprobe LSH ANN: each query probes its own bucket plus every
+    bucket at hamming distance 1 (bits+1 probes) -- the standard
+    recall/cost knob. Implemented by exploding the probe list on the
+    (small) query side, so the corpus is still touched via equi-join.
+    """
+    bucket = lambda col: F.expr(sp_lsh_bucket(col, bits))  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        bucket(vec_col).alias("bucket"),
+    )
+    probes = F.expr(
+        "transform(sequence(0, {n}), i -> CASE WHEN i = {n} THEN q_bucket "
+        "ELSE cast(q_bucket ^ shiftleft(1, i) as int) END)".format(n=bits)
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            bucket(vec_col).alias("q_bucket"),
+        )
+        .withColumn("bucket", F.explode(probes))
+    )
+    scored = (
+        c.join(broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(F.expr(th.sp_cosine("q_vec", "c_vec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

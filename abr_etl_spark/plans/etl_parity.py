@@ -197,9 +197,49 @@ def q_delta_classify_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-rate report over a frame with synthesized nulls (every 7th
+    balance) -- one conditional-agg scan."""
+    from abr_etl_spark.operators.quality import completeness_report
+    from abr_etl_spark.sources.lake import load_table as _lt
+
+    c = _lt(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    return completeness_report(c, "customer_bal", ["c_mktsegment", "bal"])
+
+
+def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness report over orders with planted duplicate keys."""
+    from abr_etl_spark.operators.quality import uniqueness_report
+    from abr_etl_spark.sources.lake import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders")
+    with_dups = o.unionByName(o.where(F.col("o_orderkey") % 100 == 0))
+    return uniqueness_report(with_dups, "orders_dup", "o_orderkey")
+
+
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan report: orders -> customers with every 10th customer removed."""
+    from abr_etl_spark.operators.quality import referential_report
+    from abr_etl_spark.sources.lake import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders")
+    c = _lt(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 != 0)
+    return referential_report(
+        o, c, child_key="o_custkey", parent_key="c_custkey", name="orders->customer"
+    )
+
+
 QUERIES = {
     "delta_updated": q_delta_updated,
     "delta_classify_lake": q_delta_classify_lake,
+    "dq_completeness": q_dq_completeness,
+    "dq_uniqueness": q_dq_uniqueness,
+    "dq_referential": q_dq_referential,
     "delta_added": q_delta_added,
     "delta_removed": q_delta_removed,
     "delta_unchanged_count": q_delta_unchanged_count,
@@ -236,6 +276,49 @@ ORACLES = {
         SELECT {_ORDER_OUT}
         FROM newd
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM oldd)
+    """,
+    "dq_completeness": """
+        WITH src AS (
+            SELECT c_mktsegment,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL
+                        ELSE c_acctbal END AS bal
+            FROM customer
+        ), agg AS (
+            SELECT count(*) AS total,
+                   sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS n2
+            FROM src
+        )
+        SELECT 'customer_bal' AS table_name, col_name, n_nulls,
+               total AS n_rows,
+               CASE WHEN n_nulls = 0 THEN 1 ELSE 0 END AS complete
+        FROM (
+            SELECT total, 'c_mktsegment' AS col_name, n1 AS n_nulls FROM agg
+            UNION ALL
+            SELECT total, 'bal', n2 FROM agg
+        )
+    """,
+    "dq_uniqueness": """
+        WITH with_dups AS (
+            SELECT * FROM orders
+            UNION ALL SELECT * FROM orders WHERE o_orderkey % 100 = 0
+        ), d AS (
+            SELECT o_orderkey, count(*) AS n FROM with_dups
+            GROUP BY o_orderkey HAVING count(*) > 1
+        )
+        SELECT 'orders_dup' AS table_name, 'o_orderkey' AS key_col,
+               coalesce(count(*), 0) AS dup_keys,
+               coalesce(sum(n), 0) AS dup_rows,
+               CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS is_unique
+        FROM d
+    """,
+    "dq_referential": """
+        SELECT 'orders->customer' AS relation,
+               count(*) AS n_orphans,
+               CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS intact
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey % 10 <> 0)
     """,
     "delta_classify_lake": _SNAP_CTE
     + f"""

@@ -88,6 +88,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(e, q, k=ANN_K)
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH: query bucket + all hamming-1 buckets. Oracle joins
+    on bit_count(xor(buckets)) <= 1 -- the same probe set, derived
+    independently."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.lsh_ann_multiprobe_topk(e, q, k=ANN_K)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with deterministic centroids (vec_id % 50 == 0) so the
     oracle replays the same coarse quantizer."""
@@ -176,6 +185,7 @@ QUERIES = {
     "dedup_canonical": q_dedup_canonical,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf": q_ann_ivf,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
@@ -315,6 +325,25 @@ ORACLES = {
             SELECT query_id, neighbor_id,
                    round({th.dk_cosine('q_vec', 'c_vec')}, 6) AS cos
             FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_K}
+    """,
+    "ann_lsh_multiprobe": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec,
+                          {similarity.dk_lsh_bucket('embedding')} AS qb
+                   FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec,
+                     {similarity.dk_lsh_bucket('embedding')} AS cb
+              FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round({th.dk_cosine('q_vec', 'c_vec')}, 6) AS cos
+            FROM c JOIN q ON bit_count(xor(cb::BIGINT, qb::BIGINT)) <= 1
+            WHERE query_id <> neighbor_id
         )
         SELECT query_id, neighbor_id, rank, cos FROM (
             SELECT *, row_number() OVER (

@@ -74,3 +74,24 @@ def test_connected_components_chain(spark):
         for r in connected_components(edges).collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_multiprobe_recall_beats_single_probe(spark):
+    from abr_etl_spark.operators import similarity as sim
+    from abr_etl_spark.sources.lake import load_table as _lt
+
+    e = _lt(spark, SF_ORACLE, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(e, q, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.lsh_ann_topk(e, q, k=5).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.lsh_ann_multiprobe_topk(e, q, k=5).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
