@@ -37,8 +37,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a nanos
     long (spark.sql.legacy.parquet.nanosAsLong); convert to a micros
     timestamp with exact integer division -- same truncation DuckDB
-    applies, so both engines see identical instants.
+    applies, so both engines see identical instants. The conf is set at
+    runtime so the engine also works under a CALLER-OWNED SparkSession
+    (e.g. the verification driver) that didn't set it at build time.
     """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp rendering (date_format etc.) must match the TZ-naive
+        # oracle regardless of the caller session's zone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # locked static conf: session.py already set it
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
