@@ -78,21 +78,25 @@ def _fmt_orders(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- queries
 
 def q_delta_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC updated rows: hash-compare join, newest payload out."""
     new, old = _snapshots(spark, sf_dir)
     return _fmt_orders(delta.delta_updated(new, old, "o_orderkey"))
 
 
 def q_delta_added(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC added rows: anti-join newest vs previous snapshot."""
     new, old = _snapshots(spark, sf_dir)
     return _fmt_orders(delta.delta_added(new, old, "o_orderkey"))
 
 
 def q_delta_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC removed rows: anti-join previous vs newest snapshot."""
     new, old = _snapshots(spark, sf_dir)
     return _fmt_orders(delta.delta_removed(new, old, "o_orderkey"))
 
 
 def q_delta_unchanged_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC audit: row counts per change class via hash classify."""
     new, old = _snapshots(spark, sf_dir)
     return delta.delta_unchanged_count(new, old, "o_orderkey")
 
@@ -130,6 +134,7 @@ _SERIES_CTE = """
 
 
 def q_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key across snapshots (recency window)."""
     series = _snapshot_series(spark, sf_dir)
     return delta.snapshot_latest(series, "o_orderkey").select(
         "o_orderkey", "totalprice", "importdate"
@@ -137,6 +142,7 @@ def q_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot series folded into SCD type-2 history."""
     series = _snapshot_series(spark, sf_dir)
     return delta.scd2(series, "o_orderkey").select(
         "o_orderkey",
@@ -162,6 +168,7 @@ _FILENAMES = [
 
 
 def q_ingest_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename-regex routing to dataset + yymmdd import date."""
     df = route_files(routes_as_df(spark, _FILENAMES))
     return df.select(
         "filename",

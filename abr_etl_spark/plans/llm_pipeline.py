@@ -53,36 +53,43 @@ _PLANT_CTE = """
 # ------------------------------------------------------------------ queries
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over normalized text with planted copies; keep min id."""
     return dedup.dedup_exact(_docs_with_planted_dups(spark, sf_dir))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs via shingle equi-join."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, threshold=JACCARD_TAU)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole hamming bands (exact, d<=3)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, max_hamming=3)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with cosine >= tau."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_dup_pairs(e, threshold=COS_TAU)
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast query set, JVM dot products."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERY_VECS)
     return similarity.cosine_topk(e, q, k=ANN_K)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe hyperplane-LSH ANN; oracle replays identical buckets."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERY_VECS)
     return similarity.lsh_ann_topk(e, q, k=ANN_K)
@@ -118,22 +125,27 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/punctuation/stopword statistics per document."""
     return text.text_stats(load_table(spark, sf_dir, "documents"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic tie-break."""
     return text.with_language(load_table(spark, sf_dir, "documents"))
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled composite quality score + keep flag."""
     return text.with_quality(load_table(spark, sf_dir, "documents"))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content fingerprint (oracle-reproducible polyhash)."""
     return text.with_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 50-token chunks with 10-token overlap, one explode."""
     d = load_table(spark, sf_dir, "documents")
     return text.chunk_documents(d, chunk_tokens=50, overlap=10)
 

@@ -15,6 +15,7 @@ from abr_etl_spark.streaming.stream_ops import windowed_counts
 
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window counts (same code as the stream path)."""
     return windowed_counts(load_table(spark, sf_dir, "events"))
 
 

@@ -71,6 +71,8 @@ def ingest_delimited(
     sep: str = "|",
     header: bool = True,
     schema=None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Read every file of one dataset from a drop folder as a single
     distributed scan, with importdate derived from the filename.
@@ -80,8 +82,21 @@ def ingest_delimited(
     ``importdate`` thereafter).
     """
     pattern = FILE_ROUTES[dataset]
-    reader = spark.read.option("sep", sep).option("header", header)
+    # mode: PERMISSIVE (null-fill bad fields; capture raw line in
+    # corrupt_col when given a schema), DROPMALFORMED, or FAILFAST --
+    # weekly drops DO contain broken lines and the pipeline must choose a
+    # policy, not die row-by-row.
+    reader = spark.read.option("sep", sep).option("header", header).option(
+        "mode", mode
+    )
     if schema is not None:
+        if corrupt_col is not None:
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            schema = StructType(
+                list(schema.fields) + [StructField(corrupt_col, StringType())]
+            )
+            reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", "true")

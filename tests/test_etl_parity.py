@@ -113,3 +113,28 @@ def test_ingest_delimited_routes_and_dates(spark, tmp_path):
     assert len(rows) == 3
     dates = {str(r["importdate"]) for r in rows}
     assert dates == {"2019-04-29", "2019-05-06"}
+
+
+def test_ingest_malformed_row_policies(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    drop = tmp_path / "dirty"
+    drop.mkdir()
+    (drop / "VIC190429_ABR_Funds.txt").write_text(
+        "pid|amount\np1|10\np2|not_a_number\np3|30\n"
+    )
+    schema = StructType(
+        [StructField("pid", StringType()), StructField("amount", IntegerType())]
+    )
+    # PERMISSIVE: bad field nulled, raw line captured
+    df = routed_ingest.ingest_delimited(
+        spark, str(drop), "Funds", schema=schema, corrupt_col="_corrupt"
+    )
+    rows = {r["pid"]: (r["amount"], r["_corrupt"]) for r in df.collect()}
+    assert rows["p1"] == (10, None)
+    assert rows["p2"][0] is None and "not_a_number" in rows["p2"][1]
+    # DROPMALFORMED: bad row gone
+    df2 = routed_ingest.ingest_delimited(
+        spark, str(drop), "Funds", schema=schema, mode="DROPMALFORMED"
+    )
+    assert {r["pid"] for r in df2.collect()} == {"p1", "p3"}
