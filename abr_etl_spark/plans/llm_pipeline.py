@@ -174,6 +174,72 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(F.col("doc_id") % 10 == 3).select("doc_id", "n_chars")
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: exact 20-token spans occurring in >= 2
+    distinct documents (the span-dedup signal from LM-data-curation
+    practice). Explode all spans (stride 1) -> group by span -> distinct
+    doc count. At 100 TB the group key is the span hash, not the text."""
+    d = load_table(spark, sf_dir, "documents")
+    t = th.sp_tokens("text")
+    spans = (
+        f"transform(sequence(0, greatest(size({t}) - 20, 0)), "
+        f"i -> array_join(slice({t}, i + 1, 20), ' '))"
+    )
+    exploded = d.select(
+        "doc_id", F.explode(F.expr(spans)).alias("span")
+    ).where(F.length("span") > 0)
+    return (
+        exploded.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occur"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per source: token explode -> tf per (source,
+    term), df per term, idf = ln(n_docs/df); deterministic tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # small scalar; at scale use a broadcast agg
+    toks = d.select(
+        "doc_id", "source", F.explode(F.expr(th.sp_tokens("text"))).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("source", "term", "tfidf", "rank")
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: every 10th doc per language
+    (row_number within stratum), reproducible across engines."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") % 10) == 1)
+        .select("doc_id", "lang")
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: documents as opaque bytes + typed metadata
     (the decode path itself is the mapInPandas stub in
@@ -207,6 +273,9 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "redact_pii": q_redact_pii,
     "sample_deterministic": q_sample_deterministic,
+    "dup_spans": q_dup_spans,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "sample_stratified": q_sample_stratified,
 }
 
 
@@ -439,6 +508,44 @@ ORACLES = {
     """,
     "sample_deterministic": """
         SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 3
+    """,
+    "dup_spans": f"""
+        WITH t AS (SELECT doc_id, {_DK_TOK} AS tok FROM documents),
+        spans AS (
+            SELECT doc_id,
+                   array_to_string(list_slice(tok, u.i + 1, u.i + 20), ' ') AS span
+            FROM t, UNNEST(range(0, greatest(len(tok) - 20, 0) + 1)) AS u(i)
+        )
+        SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occur
+        FROM spans WHERE length(span) > 0
+        GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    """,
+    "tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, source, unnest({_DK_TOK}) AS term FROM documents
+        ), tf AS (
+            SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM (
+                SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+        ), scored AS (
+            SELECT source, term,
+                   round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / df), 4)
+                       AS tfidf
+            FROM tf JOIN df USING (term)
+        )
+        SELECT source, term, tfidf, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """,
+    "sample_stratified": """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang ORDER BY doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn % 10 = 1
     """,
     "multimodal_meta": """
         SELECT doc_id,
