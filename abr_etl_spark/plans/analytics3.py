@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from abr_etl_spark.sources.lake import load_table
 
@@ -128,7 +129,73 @@ def zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with blocking -- the ABR use case (matching noisy
+    business names against the register). Probes are customer names with
+    one character deleted; candidates share an 8-char prefix block, the
+    exact levenshtein predicate runs only within blocks, and each probe
+    keeps its best match (min distance, min key). The block join keeps
+    the candidate space near-linear -- never names x names."""
+    c = load_table(spark, sf_dir, "customer")
+    probes = c.where(F.col("c_custkey") % 20 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.substring("c_name", 1, 9), F.substring("c_name", 11, 100)
+        ).alias("probe_name"),
+        F.substring("c_name", 1, 8).alias("block"),
+    )
+    cands = c.select(
+        F.col("c_custkey").alias("cand_key"),
+        F.col("c_name").alias("cand_name"),
+        F.substring("c_name", 1, 8).alias("block"),
+    )
+    scored = (
+        probes.join(cands, "block")
+        .withColumn("dist", F.levenshtein("probe_name", "cand_name"))
+        .where(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("probe_key").orderBy(
+        F.col("dist").asc(), F.col("cand_key").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("probe_key", "cand_key", "dist")
+    )
+
+
+def outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-rule outlier flagging per segment (the standard curation step
+    before training-data aggregation): bounds from exact quantiles, one
+    extra broadcast join, outlier counts out."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(broadcast(c), o.o_custkey == c.c_custkey)
+    bounds = j.groupBy("c_mktsegment").agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    flagged = j.join(broadcast(bounds), "c_mktsegment").withColumn(
+        "is_outlier",
+        (
+            (F.col("o_totalprice") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+            | (F.col("o_totalprice") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("is_outlier").alias("n_outliers"),
+            F.round(F.max("q3"), 4).alias("q3"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
+    "fuzzy_match_blocked": fuzzy_match_blocked,
+    "outlier_filter": outlier_filter,
     "set_ops": set_ops,
     "datetime_funcs": datetime_funcs,
     "null_semantics": null_semantics,
@@ -137,6 +204,48 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fuzzy_match_blocked": """
+        WITH probes AS (
+            SELECT c_custkey AS probe_key,
+                   substr(c_name, 1, 9) || substr(c_name, 11) AS probe_name,
+                   substr(c_name, 1, 8) AS block
+            FROM customer WHERE c_custkey % 20 = 0
+        ), cands AS (
+            SELECT c_custkey AS cand_key, c_name AS cand_name,
+                   substr(c_name, 1, 8) AS block
+            FROM customer
+        ), scored AS (
+            SELECT probe_key, cand_key,
+                   levenshtein(probe_name, cand_name) AS dist
+            FROM probes JOIN cands USING (block)
+            WHERE levenshtein(probe_name, cand_name) <= 2
+        )
+        SELECT probe_key, cand_key, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe_key ORDER BY dist ASC, cand_key ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    "outlier_filter": """
+        WITH j AS (
+            SELECT o_totalprice, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), bounds AS (
+            SELECT c_mktsegment,
+                   quantile_cont(o_totalprice, 0.25) AS q1,
+                   quantile_cont(o_totalprice, 0.75) AS q3
+            FROM j GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment,
+               count(*) AS n,
+               sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+                          OR o_totalprice > q3 + 1.5 * (q3 - q1)
+                        THEN 1 ELSE 0 END) AS n_outliers,
+               round(max(q3), 4) AS q3
+        FROM j JOIN bounds USING (c_mktsegment)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "set_ops": """
         WITH a AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0),
              b AS (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0),
