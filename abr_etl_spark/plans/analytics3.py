@@ -193,7 +193,24 @@ def outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted per subsequent activity day -- two aggregations sharing the
+    user_id shuffle, the canonical product-analytics query."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    first = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .groupBy("cohort_day", "day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .where(F.col("day") >= F.col("cohort_day"))
+    )
+
+
 QUERIES = {
+    "cohort_retention": cohort_retention,
     "fuzzy_match_blocked": fuzzy_match_blocked,
     "outlier_filter": outlier_filter,
     "set_ops": set_ops,
@@ -204,6 +221,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cohort_retention": """
+        WITH e AS (
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+        ), first AS (
+            SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+        )
+        SELECT cohort_day, day, count(DISTINCT user_id) AS active_users
+        FROM e JOIN first USING (user_id)
+        WHERE day >= cohort_day
+        GROUP BY cohort_day, day
+    """,
     "fuzzy_match_blocked": """
         WITH probes AS (
             SELECT c_custkey AS probe_key,

@@ -28,8 +28,6 @@ def spark():
 @pytest.fixture(scope="session")
 def ddb():
     con = duckdb.connect()
-    for sf in (SF_SMOKE, SF_ORACLE):
-        pass
     for t in TPCH_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_ORACLE}/{t}.parquet')"
