@@ -209,7 +209,62 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) hourly bars over event values -- the
+    time-series compaction operator. open/close via min_by/max_by on the
+    (ts, event_id) tuple (deterministic under ties), high/low plain
+    min/max; single groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    # packed BIGINT ordering key (micros * 1024 + id mod 1024): DuckDB's
+    # arg_min can't order by struct; micro-ts collisions with equal id
+    # residues don't occur in event streams at this precision
+    ordkey = F.unix_micros("ts") * 1024 + F.col("event_id") % 1024
+    return (
+        e.select(
+            hour.alias("bar"), "event_id", "value", ordkey.alias("ord")
+        )
+        .groupBy("bar")
+        .agg(
+            F.round(F.min_by("value", F.col("ord")), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", F.col("ord")), 4).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+    )
+
+
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes their first click
+    precedes their first purchase. One conditional aggregation per user,
+    then a global rollup -- no self-joins."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("step_view"),
+        F.sum(
+            (F.col("t_view") < F.col("t_click")).cast("long")
+        ).alias("step_click_after_view"),
+        F.sum(
+            (
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase"))
+            ).cast("long")
+        ).alias("step_full_funnel"),
+    )
+
+
 QUERIES = {
+    "ohlc_bars": ohlc_bars,
+    "funnel_counts": funnel_counts,
     "cohort_retention": cohort_retention,
     "fuzzy_match_blocked": fuzzy_match_blocked,
     "outlier_filter": outlier_filter,
@@ -221,6 +276,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ohlc_bars": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar,
+               round(arg_min(value, epoch_us(ts) * 1024 + event_id % 1024), 4) AS open,
+               round(max(value), 4) AS high,
+               round(min(value), 4) AS low,
+               round(arg_max(value, epoch_us(ts) * 1024 + event_id % 1024), 4) AS close,
+               count(*) AS n_ticks
+        FROM events
+        GROUP BY 1
+    """,
+    "funnel_counts": """
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
+               sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END)
+                   AS step_click_after_view,
+               sum(CASE WHEN t_view < t_click AND t_click < t_purchase
+                        THEN 1 ELSE 0 END) AS step_full_funnel
+        FROM firsts
+    """,
     "cohort_retention": """
         WITH e AS (
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
