@@ -109,3 +109,31 @@ def test_full_reference_flow_export(spark, lake_path, tmp_path):
     n_updated = len(open(out_u).read().strip().splitlines()) - 1
     n_added = len(open(out_a).read().strip().splitlines()) - 1
     assert (n_updated, n_added) == (10, 5)
+
+
+def test_write_clustered_enables_file_skipping(spark, tmp_path):
+    from abr_etl_spark.sources.lake import write_clustered
+
+    df = spark.range(100000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, "k", n_files=8)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == 8
+    # each file covers a narrow, non-overlapping-ish range (zone maps)
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        col = md.row_group(0).column(0).statistics
+        ranges.append((col.min, col.max))
+    ranges.sort()
+    widths = [hi - lo for lo, hi in ranges]
+    assert max(widths) < 100000 / 4  # far narrower than the full domain
+    # and a range predicate reads correct results
+    got = spark.read.parquet(path).where(F.col("k").between(1000, 1999)).count()
+    assert got == 1000
