@@ -50,7 +50,31 @@ def _registry() -> tuple[dict, dict]:
     for m in modules:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
-    return queries, oracles
+
+    # Priority ordering: the driver checks queries in registry order under a
+    # budget, so put the keys that most need a fresh CORRECTNESS row first --
+    # round-1-unchecked (LLM pipeline + streaming) and previously
+    # hash-mismatched oracles -- then everything else in module order.
+    llm_keys: set = set()
+    for m in modules:
+        if m.__name__.endswith("llm_pipeline"):
+            llm_keys = set(m.QUERIES)
+    priority = [
+        *(k for k in queries if k in llm_keys),
+        "stream_window_counts",
+        "sessionize",
+        "q12_shipping_buckets",
+        "set_ops",
+        "funnel_counts",
+        "outlier_filter",
+        "json_props_agg",
+        "dq_completeness",
+        "dq_uniqueness",
+        "range_join_buckets",
+    ]
+    ordered = {k: queries[k] for k in priority if k in queries}
+    ordered.update({k: v for k, v in queries.items() if k not in ordered})
+    return ordered, oracles
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

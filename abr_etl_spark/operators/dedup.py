@@ -80,50 +80,64 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.9,
+    df_cap: int = 1000,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via shingle equi-join.
+    """Exact Jaccard-similar pairs via shingle equi-join, with a
+    document-frequency cap on the join key.
 
-    explode -> join on the shingle HASH (8 bytes on the wire) -> count
-    common shingles per pair -> jaccard = common / (|A|+|B|-common).
-    Only pairs sharing >= 1 shingle are ever materialized; with a
-    threshold, a pair must share >= tau/(1+tau) of its shingles, so the
-    candidate set stays near-linear for natural corpora.
+    Candidate generation: explode -> drop shingles appearing in more than
+    ``df_cap`` documents (one hot shingle -- boilerplate, "the end" --
+    would otherwise materialize df^2 pairs and make the self-join
+    quadratic on a real corpus; the cap bounds per-shingle fan-out at
+    df_cap^2) -> equi-join on the shingle HASH (8 bytes on the wire).
+    Verification: join the full shingle sets back for the surviving
+    candidate pairs and compute EXACT jaccard, so reported similarity is
+    unaffected by the cap. A tau-similar pair is missed only if every
+    one of its shared shingles is hot -- i.e. the pair is wholesale
+    boilerplate, which exact dedup upstream already collapses; the
+    no-recall-loss property at tau=0.9 is asserted in tests.
     """
-    sh = shingle_df(df, text, id_col, n)
-    exploded = (
-        sh.select(
-            F.col(id_col),
-            F.col("n_sh"),
-            F.explode("shingles").alias("sh"),
-        )
-        .withColumn("sh_h", F.xxhash64("sh"))
-        .drop("sh")
-        # Materialize before the self-join: shingling is a higher-order
-        # expression (interpreted, not codegen'd) -- without a cache the
-        # join lineage recomputes it once per side.
-        .persist()
-    )
+    sh = shingle_df(df, text, id_col, n).persist()
     # xxhash64 join key: 8 bytes on the wire, collision odds ~n^2/2^65 --
     # the oracle checks exact-jaccard OUTPUT, not the join mechanics, so an
     # engine-native hash is fine here (unlike oracle-replicated minhash).
-    a = exploded.select(
-        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "sh_h"
+    exploded = sh.select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    ).select(F.col(id_col), F.xxhash64("s").alias("sh_h"))
+    # Shingles are distinct per doc, so count(*) per hash IS document
+    # frequency. One extra 8-byte-key aggregation; at scale it is what
+    # keeps the self-join near-linear.
+    dfreq = exploded.groupBy("sh_h").agg(F.count("*").alias("df"))
+    kept = (
+        exploded.join(dfreq.where(F.col("df") <= df_cap), "sh_h")
+        .select(id_col, "sh_h")
+        # Materialize before the self-join: the lineage (shingle explode +
+        # df-cap join) would otherwise recompute once per side.
+        .persist()
     )
-    b = exploded.select(
-        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"), "sh_h"
-    )
-    pairs = (
-        a.join(b, "sh_h")
+    cand = (
+        kept.select(F.col(id_col).alias("doc_a"), "sh_h")
+        .join(kept.select(F.col(id_col).alias("doc_b"), "sh_h"), "sh_h")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("common"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    side = sh.select(id_col, "shingles", "n_sh")
+    verified = (
+        cand.join(side.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .withColumnRenamed("shingles", "sh_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(side.withColumnRenamed(id_col, "doc_b"), "doc_b")
+        .withColumnRenamed("shingles", "sh_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return pairs.select(
+    return verified.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     )
 

@@ -267,14 +267,63 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    bits: int = HYPERPLANE_BITS,
+    n_bands: int = 2,
+    method: str = "lsh",
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (exact; LSH-bucketable at scale
-    by pre-joining on bucket id -- see lsh_ann_topk)."""
+    """Near-dup pairs with cosine >= threshold.
+
+    method="lsh" (default, the scale path): banded hyperplane LSH.
+    Each vector's ``bits``-bit signature is split into ``n_bands`` bands;
+    candidate pairs share at least one full band (equi-join on
+    (band, band_value) -- pigeonhole-complete for hamming <= n_bands - 1,
+    i.e. every signature pair differing in fewer bits than there are
+    bands is guaranteed found). Candidates are then exact-cosine
+    verified, so precision is exact; recall is governed by bits/n_bands
+    and is near-1 at real dedup thresholds (cos >= 0.9 => expected
+    hamming ~ bits * 0.15). Candidate volume ~ sum of per-bucket n^2 /
+    2^(bits/n_bands) -- near-linear for well-spread signatures, vs the
+    O(n^2) crossJoin of method="exact".
+
+    method="exact": all-pairs crossJoin -- a deliberate small-n fallback
+    (ground truth in tests); never the default.
+    """
     a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    if method == "exact":
+        return (
+            a.crossJoin(b)
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("cos", F.round(F.expr(th.sp_cosine("va", "vb")), 6))
+            .where(F.col("cos") >= threshold)
+            .select("doc_a", "doc_b", "cos")
+        )
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.expr(sp_lsh_bucket(vec_col, bits)).alias("bucket"),
+    ).select(
+        "id",
+        "v",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"b -> shiftright(bucket, b * {width}) & {mask})"
+            )
+        ).alias("band", "band_val"),
+    )
+    ca = banded.select(
+        F.col("id").alias("doc_a"), F.col("v").alias("va"), "band", "band_val"
+    )
+    cb = banded.select(
+        F.col("id").alias("doc_b"), F.col("v").alias("vb"), "band", "band_val"
+    )
     return (
-        a.crossJoin(b)
+        ca.join(cb, ["band", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
         .withColumn("cos", F.round(F.expr(th.sp_cosine("va", "vb")), 6))
         .where(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")

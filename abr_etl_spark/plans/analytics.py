@@ -315,7 +315,8 @@ ORACLES = {
     """,
     "top_n_per_group": """
         SELECT o_custkey, o_orderkey,
-               round(o_totalprice, 2) AS totalprice, rank
+               round(o_totalprice, 2) AS totalprice,
+               CAST(rank AS INTEGER) AS rank
         FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
                    row_number() OVER (
@@ -377,10 +378,10 @@ ORACLES = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         ), sessions AS (
             SELECT user_id, ts, event_id, value, ts_s,
-                   sum(new_session) OVER (
+                   CAST(sum(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_id
+                   ) AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id,

@@ -348,7 +348,7 @@ ORACLES = {
     """,
     "profit_by_nation_year": """
         SELECT n_name AS nation,
-               year(o_orderdate) AS o_year,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
                round(sum(l_extendedprice * (1 - l_discount)
                          - l_quantity * p_retailprice * 0.1), 2) AS profit
         FROM lineitem
@@ -361,10 +361,10 @@ ORACLES = {
     """,
     "q12_shipping_buckets": """
         SELECT l_returnflag,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'

@@ -295,11 +295,12 @@ ORACLES = {
             FROM events GROUP BY user_id
         )
         SELECT count(*) AS n_users,
-               sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
-               sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END)
-                   AS step_click_after_view,
-               sum(CASE WHEN t_view < t_click AND t_click < t_purchase
-                        THEN 1 ELSE 0 END) AS step_full_funnel
+               CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS step_view,
+               CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END)
+                    AS BIGINT) AS step_click_after_view,
+               CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase
+                        THEN 1 ELSE 0 END) AS BIGINT) AS step_full_funnel
         FROM firsts
     """,
     "cohort_retention": """
@@ -325,7 +326,7 @@ ORACLES = {
             FROM customer
         ), scored AS (
             SELECT probe_key, cand_key,
-                   levenshtein(probe_name, cand_name) AS dist
+                   CAST(levenshtein(probe_name, cand_name) AS INTEGER) AS dist
             FROM probes JOIN cands USING (block)
             WHERE levenshtein(probe_name, cand_name) <= 2
         )
@@ -347,9 +348,9 @@ ORACLES = {
         )
         SELECT c_mktsegment,
                count(*) AS n,
-               sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+               CAST(sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
                           OR o_totalprice > q3 + 1.5 * (q3 - q1)
-                        THEN 1 ELSE 0 END) AS n_outliers,
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                round(max(q3), 4) AS q3
         FROM j JOIN bounds USING (c_mktsegment)
         GROUP BY c_mktsegment
@@ -368,20 +369,20 @@ ORACLES = {
                  SELECT c_custkey, 'except' FROM (
                      SELECT c_custkey FROM a EXCEPT ALL SELECT c_custkey FROM b)
              )
-        SELECT op, count(*) AS n, sum(c_custkey) AS key_sum
+        SELECT op, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
         FROM tagged GROUP BY op ORDER BY op
     """,
     "datetime_funcs": """
         SELECT o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS d,
-               year(o_orderdate) AS y,
-               quarter(o_orderdate) AS q,
-               month(o_orderdate) AS m,
-               dayofweek(o_orderdate) + 1 AS dow,
-               dayofyear(o_orderdate) AS doy,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
                strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
                strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-               datediff('day', o_orderdate::DATE, DATE '2002-01-01') AS days_to_2002
+               CAST(datediff('day', o_orderdate::DATE, DATE '2002-01-01') AS INTEGER) AS days_to_2002
         FROM orders WHERE o_orderkey < 500
     """,
     "null_semantics": """

@@ -311,8 +311,10 @@ ORACLES = {
             FROM customer
         ), agg AS (
             SELECT count(*) AS total,
-                   sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS n1,
-                   sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS n2
+                   CAST(sum(CASE WHEN c_mktsegment IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN bal IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n2
             FROM src
         )
         SELECT 'customer_bal' AS table_name, col_name, n_nulls,
@@ -334,7 +336,7 @@ ORACLES = {
         )
         SELECT 'orders_dup' AS table_name, 'o_orderkey' AS key_col,
                coalesce(count(*), 0) AS dup_keys,
-               coalesce(sum(n), 0) AS dup_rows,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS dup_rows,
                CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS is_unique
         FROM d
     """,
@@ -416,7 +418,7 @@ ORACLES = {
         FROM (VALUES {_VALUES}) AS t(filename)
     """,
     "lake_partitions": """
-        SELECT importdate, rank FROM (
+        SELECT importdate, CAST(rank AS INTEGER) AS rank FROM (
             SELECT importdate, row_number() OVER (ORDER BY importdate DESC) AS rank
             FROM (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS importdate
                   FROM orders)

@@ -369,15 +369,22 @@ ORACLES = {
             FROM documents
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         FROM f a JOIN f b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
+    # Replicated oracle: same banded-LSH candidate rule as the Spark side
+    # (two 4-bit bands of the 8-bit hyperplane signature; a candidate pair
+    # shares at least one band), then exact cosine verify.
     "dedup_embedding": f"""
-        WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        WITH e AS (SELECT vec_id, embedding,
+                          {similarity.dk_lsh_bucket('embedding')} AS bucket
+                   FROM embeddings)
         SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                round({th.dk_cosine('a.embedding', 'b.embedding')}, 6) AS cos
         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         AND ((a.bucket & 15) = (b.bucket & 15)
+              OR (a.bucket >> 4) = (b.bucket >> 4))
         WHERE round({th.dk_cosine('a.embedding', 'b.embedding')}, 6) >= {COS_TAU}
     """,
     "ann_bruteforce": f"""
@@ -389,7 +396,7 @@ ORACLES = {
                    round({th.dk_cosine('q_vec', 'c_vec')}, 6) AS cos
             FROM c, q WHERE query_id <> neighbor_id
         )
-        SELECT query_id, neighbor_id, rank, cos FROM (
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM scored
@@ -407,7 +414,7 @@ ORACLES = {
                    round({th.dk_cosine('q_vec', 'c_vec')}, 6) AS cos
             FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
         )
-        SELECT query_id, neighbor_id, rank, cos FROM (
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM scored
@@ -426,7 +433,7 @@ ORACLES = {
             FROM c JOIN q ON bit_count(xor(cb::BIGINT, qb::BIGINT)) <= 1
             WHERE query_id <> neighbor_id
         )
-        SELECT query_id, neighbor_id, rank, cos FROM (
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM scored
@@ -452,7 +459,7 @@ ORACLES = {
             JOIN assigned q USING (centroid_id)
             WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
         )
-        SELECT query_id, neighbor_id, rank, cos FROM (
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM scored
@@ -460,9 +467,10 @@ ORACLES = {
     """,
     "text_stats": f"""
         SELECT doc_id,
-               length(text) AS n_chars_actual,
-               len({_DK_TOK}) AS n_tokens,
-               len(regexp_extract_all(text, '{text.BPE_REGEX}')) AS n_bpe_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_actual,
+               CAST(len({_DK_TOK}) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{text.BPE_REGEX}'))
+                    AS INTEGER) AS n_bpe_tokens,
                round({_DK_PUNCT}, 4) AS punct_ratio,
                round({_DK_STOP_EN}, 4) AS stopword_ratio_en
         FROM documents
@@ -491,8 +499,9 @@ ORACLES = {
                    array_to_string(list_slice(tok, u.i + 1, u.i + 50), ' ') AS chunk_text
             FROM t, UNNEST(range(0, greatest(len(tok) - 1, 0) + 1, 40)) AS u(i)
         )
-        SELECT doc_id, i // 40 AS chunk_idx, chunk_text,
-               len(regexp_split_to_array(trim(chunk_text), '\\s+')) AS n_tokens
+        SELECT doc_id, CAST(i // 40 AS INTEGER) AS chunk_idx, chunk_text,
+               CAST(len(regexp_split_to_array(trim(chunk_text), '\\s+'))
+                    AS INTEGER) AS n_tokens
         FROM c WHERE chunk_text <> ''
     """,
     "redact_pii": """
@@ -534,7 +543,7 @@ ORACLES = {
                        AS tfidf
             FROM tf JOIN df USING (term)
         )
-        SELECT source, term, tfidf, rank FROM (
+        SELECT source, term, tfidf, CAST(rank AS INTEGER) AS rank FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rank
             FROM scored
@@ -549,7 +558,7 @@ ORACLES = {
     """,
     "multimodal_meta": """
         SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                unicode(substr(text, 1, 1)) AS header_code,
                'text/plain' AS mime
         FROM documents

@@ -74,7 +74,8 @@ ORACLES = {
     "json_props_agg": """
         SELECT event_type,
                count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                    AS BIGINT) AS sum_k,
                min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
                max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         FROM events
@@ -92,9 +93,9 @@ ORACLES = {
     "string_funcs": """
         SELECT c_custkey,
                upper(substr(c_name, 1, 8)) AS prefix,
-               length(c_name) AS name_len,
+               CAST(length(c_name) AS INTEGER) AS name_len,
                lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS padded,
-               levenshtein(c_name, 'Customer#000000001') AS edit_dist,
+               CAST(levenshtein(c_name, 'Customer#000000001') AS INTEGER) AS edit_dist,
                replace(replace(c_name, '#', '_'), '0', ' ') AS translated
         FROM customer
         WHERE c_custkey < 100
