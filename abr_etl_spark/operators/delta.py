@@ -241,26 +241,38 @@ def incremental_agg(
     O(|delta|), not O(|snapshot|). Exact for decomposable aggregates
     (count/sum/avg-from-sums); the oracle IS the full recompute.
     """
-    classified = delta_classify(new_df, old_df, key, exclude=exclude)
+    # One classify pass, materialized: the (key, change) projection is a
+    # 16-byte-per-row set consumed by BOTH semi-joins below -- without the
+    # persist the full-outer classify join (two snapshot scans + hashes)
+    # executes once per consumer.
+    classified = (
+        delta_classify(new_df, old_df, key, exclude=exclude)
+        .select(key, "change")
+        .persist()
+    )
     base = old_df.groupBy(group_col).agg(
         F.count("*").alias("n"), F.sum(sum_col).alias("s")
     )
-
-    def _adj(df: DataFrame, kind: str, sign: int) -> DataFrame:
-        keys = classified.where(F.col("change") == kind).select(key)
-        rows = df.join(keys, key, "left_semi")
-        return rows.groupBy(group_col).agg(
-            (F.lit(sign) * F.count("*")).alias("dn"),
-            (F.lit(sign) * F.sum(sum_col)).alias("ds"),
-        )
-
+    # Single-pass adjustments: +rows from the NEW snapshot for added and
+    # updated keys, -rows from the OLD snapshot for removed and updated
+    # keys; one union, one groupBy (vs four join+agg branches).
+    plus = new_df.join(
+        classified.where(F.col("change").isin("added", "updated")).select(key),
+        key,
+        "left_semi",
+    ).select(group_col, F.lit(1).alias("sign"), F.col(sum_col).alias("v"))
+    minus = old_df.join(
+        classified.where(F.col("change").isin("removed", "updated")).select(key),
+        key,
+        "left_semi",
+    ).select(group_col, F.lit(-1).alias("sign"), F.col(sum_col).alias("v"))
     adjustments = (
-        _adj(new_df, "added", +1)
-        .unionByName(_adj(old_df, "removed", -1))
-        .unionByName(_adj(new_df, "updated", +1))
-        .unionByName(_adj(old_df, "updated", -1))
+        plus.unionByName(minus)
         .groupBy(group_col)
-        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+        .agg(
+            F.sum("sign").alias("dn"),
+            F.sum(F.col("sign") * F.col("v")).alias("ds"),
+        )
     )
     return (
         base.join(adjustments, group_col, "full_outer")

@@ -220,6 +220,69 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Init: the k lowest-id vectors (reproducible, no RNG). Each iteration
+    is fully declarative: assign every vector to its nearest centroid
+    (broadcast argmax, same plan as ivf_assign), then recompute centroids
+    as per-cell per-dimension means via posexplode + groupBy(cell, dim)
+    -- n x dim rows through one shuffle, no Python. Empty cells keep
+    their previous centroid. localCheckpoint between iterations cuts the
+    growing lineage so iteration i+1 doesn't replay iteration i.
+
+    Returns (centroid_id, ``vec_col``) with centroid_id 0..k-1, directly
+    consumable by ivf_ann_topk / ivf_assign.
+    """
+    w_init = Window.orderBy(F.col(id_col).asc())
+    centroids = (
+        df.select(id_col, vec_col)
+        .withColumn("__rn", F.row_number().over(w_init))
+        .where(F.col("__rn") <= k)
+        .select(
+            (F.col("__rn") - 1).alias("centroid_id"), F.col(vec_col)
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(
+            df,
+            centroids.withColumnRenamed("centroid_id", id_col),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("dim", "val")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("mu"))
+            .groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, mu))), "
+                    "x -> cast(x.mu as float))"
+                ).alias("__new_vec")
+            )
+        )
+        centroids = (
+            centroids.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("__new_vec", F.col(vec_col)).alias(vec_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return centroids
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

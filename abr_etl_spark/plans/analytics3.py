@@ -85,29 +85,38 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events-near-events range join (same user, |Δt| <= 60s, different
-    event): bucket by minute, equi-join on (user, bucket±1), exact filter.
-    The candidate space is CO-BUCKETED pairs, not the n^2 cross product.
+    """Events-near-events range join (purchases within 30 min of a view by
+    the same user): bucket by 30-minute slot, equi-join on (user,
+    bucket±1), exact |Δt| filter after. The candidate space is
+    CO-BUCKETED pairs, not the n^2 cross product.
     """
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("ts_s")
     )
     a = (
-        e.where(F.col("event_type") == "error")
-        .withColumnRenamed("event_id", "error_id")
-        .withColumn("bucket", F.explode(F.expr("sequence(ts_s DIV 60 - 1, ts_s DIV 60 + 1)")))
-        .select("user_id", "error_id", F.col("ts_s").alias("err_ts"), "bucket")
+        e.where(F.col("event_type") == "view")
+        .withColumnRenamed("event_id", "view_id")
+        .withColumn(
+            "bucket",
+            F.explode(F.expr("sequence(ts_s DIV 1800 - 1, ts_s DIV 1800 + 1)")),
+        )
+        .select("user_id", "view_id", F.col("ts_s").alias("view_ts"), "bucket")
     )
     b = e.where(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("purchase_id"),
         F.col("ts_s").alias("pur_ts"),
-        F.expr("ts_s DIV 60").alias("bucket"),
+        F.expr("ts_s DIV 1800").alias("bucket"),
     )
     return (
         a.join(b, ["user_id", "bucket"])
-        .where(F.abs(F.col("err_ts") - F.col("pur_ts")) <= 60)
-        .select("user_id", "error_id", "purchase_id", (F.col("pur_ts") - F.col("err_ts")).alias("dt_s"))
+        .where(F.abs(F.col("view_ts") - F.col("pur_ts")) <= 1800)
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (F.col("pur_ts") - F.col("view_ts")).alias("dt_s"),
+        )
         .distinct()
     )
 
@@ -405,13 +414,13 @@ ORACLES = {
                           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
                    FROM events)
         SELECT DISTINCT a.user_id,
-               a.event_id AS error_id,
+               a.event_id AS view_id,
                b.event_id AS purchase_id,
                b.ts_s - a.ts_s AS dt_s
         FROM e a JOIN e b
           ON a.user_id = b.user_id
-         AND a.event_type = 'error' AND b.event_type = 'purchase'
-         AND abs(a.ts_s - b.ts_s) <= 60
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND abs(a.ts_s - b.ts_s) <= 1800
     """,
     "zscore_window": """
         SELECT user_id, event_id,

@@ -27,6 +27,9 @@ JACCARD_TAU = 0.9
 COS_TAU = 0.45
 ANN_K = 5
 N_QUERY_VECS = 10
+KMEANS_K = 10
+KMEANS_ITERS = 2
+EMB_DIM = 64
 
 
 # ------------------------------------------------------------------ helpers
@@ -110,6 +113,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERY_VECS)
     cent = e.where(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_ann_topk(e, q, cent, k=ANN_K)
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with Lloyd k-means centroids (k=10, 2 iterations,
+    deterministic lowest-id init) -- the oracle replays the identical
+    Lloyd iterations in SQL, so the coarse quantizer itself is
+    oracle-checked, not just the plan shape."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERY_VECS)
+    cent = similarity.kmeans_centroids(
+        e, KMEANS_K, iters=KMEANS_ITERS
+    ).withColumnRenamed("centroid_id", "vec_id")
     return similarity.ivf_ann_topk(e, q, cent, k=ANN_K)
 
 
@@ -265,6 +281,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -330,6 +347,50 @@ _LANG_CASE = (
     + " ".join(f"WHEN h_{g} = {_BEST} THEN '{g}'" for g in _LANGS)
     + " END"
 )
+
+def _dk_kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB replay of operators/similarity.kmeans_centroids: lowest-id
+    init, per-iteration (argmax-assign -> per-dim mean -> FLOAT cast),
+    empty cells keep the previous centroid. Returns CTEs ending in
+    ``cent(centroid_id, c_vec)``."""
+    cos = th.dk_cosine("e.embedding", "c.embedding")
+    ctes = [
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+                   embedding
+            FROM embeddings ORDER BY vec_id ASC LIMIT {k})"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY round({cos}, 6) DESC, c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN {prev} c
+            ) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+            SELECT cid, t.i AS dim, avg(embedding[t.i + 1]) AS mu
+            FROM a{i}, range({EMB_DIM}) t(i)
+            GROUP BY cid, t.i)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+            SELECT p.cid, coalesce(n.vec, p.embedding) AS embedding
+            FROM {prev} p LEFT JOIN (
+                SELECT cid, list(mu::FLOAT ORDER BY dim) AS vec
+                FROM m{i} GROUP BY cid
+            ) n ON p.cid = n.cid)"""
+        )
+        prev = f"c{i}"
+    ctes.append(
+        f"cent AS (SELECT cid AS centroid_id, embedding AS c_vec FROM {prev})"
+    )
+    return ",\n        ".join(ctes)
+
 
 ORACLES = {
     "dedup_exact": _PLANT_CTE
@@ -444,6 +505,29 @@ ORACLES = {
             SELECT vec_id AS centroid_id, embedding AS c_vec
             FROM embeddings WHERE vec_id % 50 = 0
         ), assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({th.dk_cosine('e.embedding', 'c.c_vec')}, 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round({th.dk_cosine('q.embedding', 'c.embedding')}, 6) AS cos
+            FROM assigned c
+            JOIN assigned q USING (centroid_id)
+            WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {ANN_K}
+    """,
+    "ann_ivf_kmeans": f"""
+        WITH {_dk_kmeans_ctes()}, assigned AS (
             SELECT vec_id, embedding, centroid_id FROM (
                 SELECT e.vec_id, e.embedding, c.centroid_id,
                        row_number() OVER (

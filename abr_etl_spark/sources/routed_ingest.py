@@ -82,12 +82,20 @@ def ingest_delimited(
     ``importdate`` thereafter).
     """
     pattern = FILE_ROUTES[dataset]
+    # Restrict the SCAN (not just the result) to this dataset's files:
+    # the drop folder is heterogeneous (8 datasets, different column
+    # sets), and a folder-wide read would infer column names/types from
+    # whichever file lists first, silently mistyping every other dataset.
+    glob = f"VIC{'[0-9]' * 6}_ABR_{dataset}.txt"
     # mode: PERMISSIVE (null-fill bad fields; capture raw line in
     # corrupt_col when given a schema), DROPMALFORMED, or FAILFAST --
     # weekly drops DO contain broken lines and the pipeline must choose a
     # policy, not die row-by-row.
-    reader = spark.read.option("sep", sep).option("header", header).option(
-        "mode", mode
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", header)
+        .option("mode", mode)
+        .option("pathGlobFilter", glob)
     )
     if schema is not None:
         if corrupt_col is not None:

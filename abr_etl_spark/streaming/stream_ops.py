@@ -119,22 +119,57 @@ def stream_to_lake(
     checkpoint: str,
     *,
     partition_col: str = "event_date",
+    epoch_col: str = "__epoch",
 ):
-    """foreachBatch sink into the partitioned lake: each micro-batch is a
-    partitioned parquet append, with the checkpoint giving effectively-once
-    output (a replayed batch rewrites the same epoch). This is the bridge
-    from the streaming half of the engine into the batch lake the delta/
-    analytics operators read."""
+    """foreachBatch sink into the partitioned lake, exactly-once OUTPUT.
+
+    foreachBatch alone is at-least-once: after a failure the checkpoint
+    replays the last micro-batch, and a blind append would duplicate its
+    rows. Here every batch stamps its epoch_id and dynamic partition
+    overwrite keys the write on (partition_col, epoch) -- a replayed
+    epoch REPLACES exactly the partitions it wrote before, making the
+    write idempotent and the sink effectively-once. Readers see the
+    extra ``__epoch`` partition column (drop or prune it downstream;
+    it also gives per-epoch lineage for audits). This is the bridge
+    from the streaming half of the engine into the batch lake the
+    delta/analytics operators read."""
     if partition_col not in stream.columns:
         stream = stream.withColumn(partition_col, F.to_date("ts"))
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("append").partitionBy(partition_col).parquet(path)
+        write_epoch_idempotent(
+            batch_df,
+            epoch_id,
+            path,
+            partition_col=partition_col,
+            epoch_col=epoch_col,
+        )
 
     return (
         stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+def write_epoch_idempotent(
+    batch_df: DataFrame,
+    epoch_id: int,
+    path: str,
+    *,
+    partition_col: str = "event_date",
+    epoch_col: str = "__epoch",
+) -> None:
+    """Idempotent micro-batch write: dynamic partition overwrite keyed on
+    (partition_col, epoch) replaces exactly the partitions this epoch
+    wrote before, so a checkpoint replay of the same epoch is a no-op
+    rather than an append of duplicates."""
+    (
+        batch_df.withColumn(epoch_col, F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col, epoch_col)
+        .parquet(path)
     )
 
 
