@@ -45,6 +45,29 @@ def sp_tokens(col: str = "text") -> str:
     return f"split(trim({col}), '\\\\s+')"
 
 
+def sp_shingle_hashes_from_tokens(tok: str, n: int = 3) -> str:
+    """Distinct word n-gram shingles as 64-BIT HASHES from an
+    already-tokenized array column: gram = xxhash64(token slice), whole
+    doc hashed when shorter than n tokens.
+
+    The engine never needs the gram STRING -- join keys, minhash
+    permutations, and exact-jaccard verification all consume the hash --
+    and hashing the slice directly skips building one string per gram
+    (array_join + copy), which dominated shingling cost (~4s -> ~1s for
+    5k docs at sf0.1). Collision odds for 64-bit grams are ~m^2/2^65 --
+    negligible against the driver oracle's corpus sizes -- and jaccard
+    over distinct gram hashes equals jaccard over distinct grams
+    whenever no collision occurs."""
+    grams = (
+        f"transform(sequence(0, size({tok}) - {n}), "
+        f"i -> xxhash64(slice({tok}, i + 1, {n})))"
+    )
+    return (
+        f"CASE WHEN size({tok}) >= {n} THEN array_distinct({grams}) "
+        f"ELSE array(xxhash64({tok})) END"
+    )
+
+
 def sp_shingles(col: str = "text", n: int = 3) -> str:
     """Distinct word n-gram shingles; whole text as one shingle when the
     doc is shorter than n tokens."""
@@ -116,6 +139,24 @@ def sp_simhash(th: str, bits: int = SIMHASH_BITS) -> str:
         f"CASE WHEN ({bit_vote}) > 0 THEN shiftleft(1L, b) ELSE 0L END), "
         f"0L, (acc, x) -> acc + x)"
     )
+
+
+def sp_dot(a: str, b: str) -> str:
+    """Double-precision dot product, sequential summation."""
+    da = f"transform({a}, x -> cast(x as double))"
+    db = f"transform({b}, x -> cast(x as double))"
+    return (
+        f"aggregate(zip_with({da}, {db}, (x, y) -> x * y), 0.0D, (s, v) -> s + v)"
+    )
+
+
+def sp_norm(a: str) -> str:
+    """L2 norm, identical operation order to the norm inside sp_cosine --
+    precompute this per ROW so the per-PAIR hot path runs one aggregate
+    (the dot) instead of three; dot/(norm_a*norm_b) is then bit-identical
+    to sp_cosine."""
+    da = f"transform({a}, x -> cast(x as double))"
+    return f"sqrt(aggregate({da}, 0.0D, (s, v) -> s + v * v))"
 
 
 def sp_cosine(a: str, b: str) -> str:

@@ -18,7 +18,7 @@ joins recover exact similarity only for LSH candidates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from abr_etl_spark.functions import texthash as th
@@ -65,12 +65,23 @@ def dedup_exact(
 def shingle_df(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """(id, shingles array, n_shingles) with distinct word n-grams."""
+    """(id, shingles array<bigint>, n_shingles): distinct word n-grams
+    as 64-bit gram hashes (see sp_shingle_hashes_from_tokens -- the
+    engine-internal representation; jaccard/minhash math is unchanged).
+    Tokenizes into a materialized column first so split() runs once per
+    row, not once per reference inside the composed expression.
+    """
     df = ensure_parallelism(df)
-    return df.select(
-        F.col(id_col),
-        F.expr(th.sp_shingles(text, n)).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
+    return (
+        df.select(F.col(id_col), F.expr(th.sp_tokens(text)).alias("__tok"))
+        .select(
+            F.col(id_col),
+            F.expr(th.sp_shingle_hashes_from_tokens("__tok", n)).alias(
+                "shingles"
+            ),
+        )
+        .withColumn("n_sh", F.size("shingles"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -98,28 +109,50 @@ def ngram_jaccard_pairs(
     no-recall-loss property at tau=0.9 is asserted in tests.
     """
     sh = shingle_df(df, text, id_col, n).persist()
-    # xxhash64 join key: 8 bytes on the wire, collision odds ~n^2/2^65 --
-    # the oracle checks exact-jaccard OUTPUT, not the join mechanics, so an
-    # engine-native hash is fine here (unlike oracle-replicated minhash).
+    # Shingles ARE 64-bit hashes (8 bytes on the wire); the oracle checks
+    # exact-jaccard OUTPUT, not the join mechanics, so an engine-native
+    # hash representation is fine here (unlike oracle-replicated minhash).
     exploded = sh.select(
-        F.col(id_col), F.explode("shingles").alias("s")
-    ).select(F.col(id_col), F.xxhash64("s").alias("sh_h"))
-    # Shingles are distinct per doc, so count(*) per hash IS document
-    # frequency. One extra 8-byte-key aggregation; at scale it is what
-    # keeps the self-join near-linear.
-    dfreq = exploded.groupBy("sh_h").agg(F.count("*").alias("df"))
+        F.col(id_col), F.col("n_sh"), F.explode("shingles").alias("sh_h")
+    )
+    # Shingles are distinct per doc, so count over a window keyed on the
+    # hash IS document frequency -- one shuffle on the 8-byte key, no
+    # groupBy+join-back. At scale this is what keeps the self-join
+    # near-linear.
+    w_df = Window.partitionBy("sh_h")
     kept = (
-        exploded.join(dfreq.where(F.col("df") <= df_cap), "sh_h")
-        .select(id_col, "sh_h")
+        exploded.withColumn("df", F.count("*").over(w_df))
+        .where(F.col("df") <= df_cap)
         # Materialize before the self-join: the lineage (shingle explode +
-        # df-cap join) would otherwise recompute once per side.
+        # df window) would otherwise recompute once per side.
         .persist()
     )
+    # Prefix filtering (AllPairs / PPJoin): order each doc's shingles
+    # rarest-first (global (df, hash) order) and index only its first
+    # |d| - ceil(tau*|d|) + 1. A pair with jaccard >= tau shares
+    # >= ceil(tau*|d|) shingles, more than fit in the suffix, so at
+    # least one shared shingle lands in the prefix -- joining
+    # prefix(x) x full(y) is LOSSLESS for the threshold while shrinking
+    # the index side ~(1-tau)x and the candidate set ~(1-tau)^2 x.
+    # Hot shingles sort last, so prefixes are automatically rare keys.
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("sh_h").asc())
+    prefix = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .where(
+            F.col("__rn")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select(F.col(id_col).alias("__pa"), "sh_h")
+    )
     cand = (
-        kept.select(F.col(id_col).alias("doc_a"), "sh_h")
-        .join(kept.select(F.col(id_col).alias("doc_b"), "sh_h"), "sh_h")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        prefix.join(
+            kept.select(F.col(id_col).alias("__pb"), "sh_h"), "sh_h"
+        )
+        .where(F.col("__pa") != F.col("__pb"))
+        .select(
+            F.least("__pa", "__pb").alias("doc_a"),
+            F.greatest("__pa", "__pb").alias("doc_b"),
+        )
         .distinct()
     )
     side = sh.select(id_col, "shingles", "n_sh")

@@ -27,16 +27,30 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
     ``edges`` is undirected input given as one direction; isolated nodes
     don't appear (callers union them in if needed).
     """
+    # The union below traverses ``edges`` twice (once per direction);
+    # persist first so an expensive upstream (e.g. a similarity join)
+    # computes once, not twice.
+    edges = edges.persist()
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     sym = sym.distinct().persist()
+
+    # Near-dup pair graphs are usually orders of magnitude smaller than
+    # the corpus that produced them. Below the threshold, collapse to one
+    # partition so each propagation round is a single-task job instead of
+    # a full-width shuffle (pure scheduling overhead on tiny graphs);
+    # above it, the loop stays distributed -- same plan, AQE-managed.
+    n_edges = sym.count()  # also materializes the persist
+    if n_edges <= small_graph_edges:
+        sym = sym.coalesce(1)
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -45,6 +59,11 @@ def connected_components(
         .persist()
     )
 
+    # Convergence check: labels only ever DECREASE under min-propagation,
+    # so the label sum is strictly monotone and "sum unchanged" iff
+    # "no label changed" -- a single aggregate on the already-materialized
+    # round, replacing a third join per round.
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -59,18 +78,17 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()  # truncate lineage, materialize round
+            # Lazy checkpoint: the convergence aggregate right below is
+            # the action that materializes it, so each round is ONE job
+            # (eager=True would run a separate materialization job first).
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        label_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 

@@ -77,15 +77,23 @@ def cosine_topk(
     rank: (rounded score desc, neighbor id asc).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(th.sp_norm(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(th.sp_norm(vec_col)).alias("__cn"),
     )
     scored = (
         c.crossJoin(broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(F.expr(th.sp_cosine("q_vec", "c_vec")), 6))
+        .withColumn("cos", F.round(
+            F.expr(th.sp_dot("q_vec", "c_vec"))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -116,17 +124,23 @@ def lsh_ann_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        F.expr(th.sp_norm(vec_col)).alias("__cn"),
         bucket(vec_col).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        F.expr(th.sp_norm(vec_col)).alias("__qn"),
         bucket(vec_col).alias("bucket"),
     )
     scored = (
         c.join(broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(F.expr(th.sp_cosine("q_vec", "c_vec")), 6))
+        .withColumn("cos", F.round(
+            F.expr(th.sp_dot("q_vec", "c_vec"))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -156,6 +170,7 @@ def lsh_ann_multiprobe_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        F.expr(th.sp_norm(vec_col)).alias("__cn"),
         bucket(vec_col).alias("bucket"),
     )
     probes = F.expr(
@@ -166,6 +181,7 @@ def lsh_ann_multiprobe_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            F.expr(th.sp_norm(vec_col)).alias("__qn"),
             bucket(vec_col).alias("q_bucket"),
         )
         .withColumn("bucket", F.explode(probes))
@@ -173,7 +189,11 @@ def lsh_ann_multiprobe_topk(
     scored = (
         c.join(broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(F.expr(th.sp_cosine("q_vec", "c_vec")), 6))
+        .withColumn("cos", F.round(
+            F.expr(th.sp_dot("q_vec", "c_vec"))
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ))
         .select("query_id", "neighbor_id", "cos")
         .distinct()
     )
@@ -203,12 +223,21 @@ def ivf_assign(
     exercises the identical plan shape.
     """
     c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(th.sp_norm(vec_col)).alias("__cn"),
     )
     scored = df.select(
-        F.col(id_col), F.col(vec_col)
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(th.sp_norm(vec_col)).alias("__vn"),
     ).crossJoin(broadcast(c)).withColumn(
-        "cos_c", F.round(F.expr(th.sp_cosine(vec_col, "c_vec")), 6)
+        "cos_c",
+        F.round(
+            F.expr(th.sp_dot(vec_col, "c_vec"))
+            / (F.col("__vn") * F.col("__cn")),
+            6,
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cos_c").desc(), F.col("centroid_id").asc()
@@ -312,7 +341,14 @@ def ivf_ann_topk(
     scored = (
         c.join(broadcast(q), "centroid_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(F.expr(th.sp_cosine("q_vec", "c_vec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(th.sp_dot("q_vec", "c_vec"))
+                / (F.expr(th.sp_norm("q_vec")) * F.expr(th.sp_norm("c_vec"))),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -363,13 +399,19 @@ def embedding_dup_pairs(
         )
     width = bits // n_bands
     mask = (1 << width) - 1
-    banded = df.select(
+    # Candidate generation and verification shuffle DIFFERENT payloads:
+    # the banded self-join and pair-dedup move only (band, val, id) --
+    # 16-byte rows -- and the vectors are joined back for just the
+    # surviving unique pairs (same separation minhash_lsh_pairs uses;
+    # shuffling vectors through the dedup costs ~70x more bytes).
+    base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        F.expr(th.sp_norm(vec_col)).alias("__n"),
         F.expr(sp_lsh_bucket(vec_col, bits)).alias("bucket"),
-    ).select(
+    ).persist()
+    banded = base.select(
         "id",
-        "v",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {n_bands - 1}), "
@@ -377,17 +419,41 @@ def embedding_dup_pairs(
             )
         ).alias("band", "band_val"),
     )
-    ca = banded.select(
-        F.col("id").alias("doc_a"), F.col("v").alias("va"), "band", "band_val"
-    )
-    cb = banded.select(
-        F.col("id").alias("doc_b"), F.col("v").alias("vb"), "band", "band_val"
-    )
-    return (
-        ca.join(cb, ["band", "band_val"])
+    cand = (
+        banded.select(F.col("id").alias("doc_a"), "band", "band_val")
+        .join(
+            banded.select(F.col("id").alias("doc_b"), "band", "band_val"),
+            ["band", "band_val"],
+        )
         .where(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("cos", F.round(F.expr(th.sp_cosine("va", "vb")), 6))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    side = base.select("id", "v", "__n")
+    return (
+        cand.join(
+            side.select(
+                F.col("id").alias("doc_a"),
+                F.col("v").alias("va"),
+                F.col("__n").alias("__na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            side.select(
+                F.col("id").alias("doc_b"),
+                F.col("v").alias("vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(th.sp_dot("va", "vb")) / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
         .where(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
     )

@@ -24,7 +24,13 @@ HEADLINERS = [
     "asof_purchase_view",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_canonical",
+    "dedup_embedding",
+    "scd2",
+    "incremental_agg",
     "ann_bruteforce",
+    "ann_ivf_kmeans",
     "text_stats",
     "stream_window_counts",
 ]

@@ -48,10 +48,14 @@ def test_dedup_exact_unicode_and_whitespace(spark):
 
 def test_shingles_shorter_than_n(spark):
     df = spark.createDataFrame(
-        [(1, "one two"), (2, "single")], "doc_id long, text string"
+        [(1, "one two"), (2, "single"), (3, "one two")],
+        "doc_id long, text string",
     )
     sh = {r["doc_id"]: r["shingles"] for r in dedup.shingle_df(df, n=3).collect()}
-    assert sh[1] == ["one two"] and sh[2] == ["single"]
+    # short docs produce exactly one whole-doc shingle hash; identical
+    # text -> identical hash, different text -> different hash
+    assert len(sh[1]) == len(sh[2]) == 1
+    assert sh[1] == sh[3] and sh[1] != sh[2]
 
 
 def test_jaccard_identical_short_docs(spark):
