@@ -28,7 +28,9 @@ def _registry() -> tuple[dict, dict]:
     import abr_etl_spark.plans.analytics3 as analytics3
     import abr_etl_spark.plans.semistructured as semistructured
 
-    modules = [analytics, analytics2, analytics3, semistructured]
+    import abr_etl_spark.plans.analytics4 as analytics4
+
+    modules = [analytics, analytics2, analytics3, analytics4, semistructured]
     try:
         import abr_etl_spark.plans.etl_parity as etl_parity
 
@@ -62,6 +64,9 @@ def _registry() -> tuple[dict, dict]:
     priority = [
         *(k for k in queries if k in llm_keys),
         "stream_window_counts",
+        # round-2 additions (no prior CORRECTNESS row)
+        "stream_sliding_avg",
+        *analytics4.QUERIES,
         "sessionize",
         "q12_shipping_buckets",
         "set_ops",

@@ -1,0 +1,352 @@
+"""Coverage part 4 (round 2): the remaining TPC-H join/agg shapes the
+earlier blocks don't exercise, plus two training-pipeline staples.
+
+- q7/q8: two-sided nation joins with year rollups (multi-broadcast,
+  single fact shuffle).
+- q13: LEFT OUTER + two-level aggregation incl. zero-order customers.
+- q15: window max over an aggregated subquery (top-1 with ties).
+- q17: correlated avg-per-group rewritten as groupBy + broadcast join.
+- late_shipment_suppliers: q21 flavor adapted to this schema's columns.
+- train_test_split: deterministic key-mod 80/10/10 split with per-split
+  stats -- the reproducible split every training pipeline needs.
+- histogram_equi_width: 20-bucket equi-width histogram from global
+  min/max (two-pass: tiny agg broadcast back onto the scan).
+
+All oracles alias columns identically and cast integer aggregates
+(BIGINT) / bucket ids (INTEGER) to keep the driver's dtype-sensitive
+hash green.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from abr_etl_spark.sources.lake import load_table
+
+N_HIST_BUCKETS = 20
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between two nation pairs by year."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    # 4188 fine-grained groups make float summation-order divergence vs
+    # the oracle statistically certain at cent precision (14 groups
+    # differed by 0.01 at sf0.01). Sum exact integer TENTH-CENTS per item
+    # instead -- floor(x*1e4 + 0.5) is identical IEEE math in both
+    # engines and integer sums are order-independent.
+    vol_e4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol_e4).alias("__s"))
+        # half-up to cents in INTEGER space ((s+50) DIV 100): Spark's
+        # round() rounds the shortest decimal repr of a double while
+        # DuckDB rounds its true binary value, so x.485 diverges -- keep
+        # every step exact until one final division.
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.expr("(__s + 50) DIV 100") / 100.0).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of total volume per order year."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(nat), s.s_nationkey == F.col("s_nkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "ETHIOPIA", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of per-customer order counts, including
+    customers with zero orders (LEFT OUTER preserved through both aggs)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) with max revenue in a quarter -- aggregate
+    subquery + window max (ties kept, deterministic order)."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = rev.withColumn("__max", F.max("total_revenue").over(w)).where(
+        F.col("total_revenue") == F.col("__max")
+    )
+    return (
+        top.join(broadcast(s), top.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from lineitems with quantity below half their
+    part's average -- the correlated scalar subquery expressed as a
+    groupBy + broadcast join back onto the fact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_qty, l.l_partkey == F.col("ap_key"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def late_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 flavor on this schema: suppliers ranked by shipments leaving
+    more than 60 days after the order date (no commit/receipt dates in
+    the dataset, so lateness is ship-vs-order)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        late.join(broadcast(s), late.l_suppkey == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by key-mod (hash-mod
+    in production; mod here so the oracle derives the identical split),
+    with per-split row counts and char totals."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.col("doc_id") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: global (min, max) from one
+    tiny aggregate broadcast back onto the scan; max value clamped into
+    the last bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    b = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / N_HIST_BUCKETS)
+        ).cast("int"),
+        F.lit(N_HIST_BUCKETS - 1),
+    )
+    return (
+        o.crossJoin(broadcast(bounds))
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "late_shipment_suppliers": late_shipment_suppliers,
+    "train_test_split": train_test_split,
+    "histogram_equi_width": histogram_equi_width,
+}
+
+ORACLES = {
+    "q7_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               ((CAST(sum(CAST(floor(
+                     l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                 AS BIGINT)) AS BIGINT) + 50) // 100) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "q8_market_share": """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(CASE WHEN n_name = 'ETHIOPIA'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+                   AS mkt_share,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q13_order_distribution": """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "q17_small_qty_revenue": """
+        WITH avg_qty AS (
+            SELECT l_partkey AS ap_key, avg(l_quantity) AS aq
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+        JOIN avg_qty ON l_partkey = ap_key
+        WHERE l_quantity < 0.5 * aq
+    """,
+    "late_shipment_suppliers": """
+        SELECT s_name, numwait FROM (
+            SELECT l_suppkey, count(*) AS numwait
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate::DATE > o_orderdate::DATE + INTERVAL 60 DAY
+            GROUP BY l_suppkey
+        ) late JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
+    """,
+    "train_test_split": """
+        SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+                    WHEN doc_id % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1 ORDER BY 1
+    """,
+    "histogram_equi_width": f"""
+        WITH bounds AS (
+            SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM orders
+        )
+        SELECT CAST(least(floor((o_totalprice - lo)
+                                / ((hi - lo) / {N_HIST_BUCKETS})),
+                          {N_HIST_BUCKETS - 1}) AS INTEGER) AS bucket,
+               count(*) AS n
+        FROM orders, bounds
+        GROUP BY 1 ORDER BY 1
+    """,
+}

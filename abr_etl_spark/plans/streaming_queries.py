@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from abr_etl_spark.sources.lake import load_table
-from abr_etl_spark.streaming.stream_ops import windowed_counts
+from abr_etl_spark.streaming.stream_ops import sliding_avg, windowed_counts
 
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -19,7 +19,16 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts(load_table(spark, sf_dir, "events"))
 
 
-QUERIES = {"stream_window_counts": q_stream_window_counts}
+def q_stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h event-time windows (same code as the stream path);
+    the oracle derives each event's two panes arithmetically."""
+    return sliding_avg(load_table(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "stream_window_counts": q_stream_window_counts,
+    "stream_sliding_avg": q_stream_sliding_avg,
+}
 
 ORACLES = {
     "stream_window_counts": """
@@ -29,5 +38,25 @@ ORACLES = {
                round(sum(value), 4) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """,
+    # Each event falls in exactly two 2h-wide panes sliding by 1h: the
+    # pane starting at its hour and the one an hour earlier (Spark's
+    # window() aligns pane starts to the epoch).
+    "stream_sliding_avg": """
+        WITH e AS (
+            SELECT value, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+            FROM events
+        ), paned AS (
+            SELECT CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4,
+                   unnest([h, h - 1]) AS pane
+            FROM e
+        )
+        SELECT strftime(to_timestamp(pane * 3600), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               ((2 * CAST(sum(v_e4) AS BIGINT) + count(*))
+                   // (2 * count(*))) / 10000.0 AS avg_value,
+               count(*) AS n
+        FROM paned
+        GROUP BY pane
     """,
 }

@@ -57,14 +57,21 @@ def sliding_avg(
     """Sliding event-time windows (each row lands in window/slide panes).
     Same batch/stream duality as windowed_counts."""
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    # Exact integer averaging (values are non-negative): quantize each
+    # value to 1e-4 units half-up, then avg = (2s + n) DIV (2n) -- pure
+    # integer math, so batch, stream, and the DuckDB oracle agree
+    # bit-for-bit (round(avg(double), 4) diverges between engines on
+    # x.xxxx5 knife edges: Spark rounds the shortest decimal repr,
+    # DuckDB the true binary value).
+    v_e4 = F.floor(F.col("value") * 10000 + 0.5).cast("long")
     return (
         src.groupBy(F.window("ts", window, slide))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count("*").alias("n"))
+        .agg(F.sum(v_e4).alias("__s"), F.count("*").alias("n"))
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
                 "window_start"
             ),
-            "avg_value",
+            (F.expr("(2 * __s + n) DIV (2 * n)") / 10000.0).alias("avg_value"),
             "n",
         )
     )

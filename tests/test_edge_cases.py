@@ -78,3 +78,53 @@ def test_scd2_single_snapshot(spark):
     df = _snap(spark, [("k1", "a", "2024-01-01")])
     hist = delta.scd2(df, "pid").collect()
     assert len(hist) == 1 and hist[0]["is_current"]
+
+
+def test_ngram_df_cap_keeps_rare_shingle_pairs(spark):
+    """VERDICT r1 item 4: a hot shingle (boilerplate in every doc) must
+    not blow up the candidate set, and a true near-dup pair sharing rare
+    shingles must survive the cap with EXACT jaccard."""
+    boiler = "lorem ipsum dolor sit amet consectetur"
+    rows = [
+        (i, f"unique text {i} alpha beta gamma delta epsilon zeta " + boiler)
+        for i in range(20)
+    ]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog again and again today"),
+        (101, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.8, df_cap=5).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in out] == [(100, 101, 0.8333)]
+
+
+def test_ngram_prefix_filter_is_lossless_vs_bruteforce(spark):
+    """AllPairs prefix filtering must find every pair >= tau that brute
+    force finds (losslessness is a theorem; pin it against drift)."""
+    import itertools
+
+    words = ["w%d" % i for i in range(12)]
+    rows = []
+    for i in range(30):
+        # overlapping rotations -> many medium-similarity pairs
+        toks = [words[(i + j) % 12] for j in range(8)]
+        rows.append((i, " ".join(toks)))
+    rows.append((200, rows[0][1]))  # exact dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    # brute force in python
+    def sh(text):
+        t = text.split()
+        return {tuple(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    texts = dict(rows)
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            want[(a, b)] = round(j, 4)
+    assert got == want
