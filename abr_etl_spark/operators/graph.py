@@ -17,7 +17,7 @@ For planet-scale graphs swap in the large-star/small-star algorithm
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,18 +64,40 @@ def connected_components(
     # "no label changed" -- a single aggregate on the already-materialized
     # round, replacing a third join per round.
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.a, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # Pointer jumping: also adopt label(label(v)). Neighbor
+        # propagation alone moves the component min ONE hop per round
+        # (O(diameter) rounds -- a 40-node chain silently exhausted the
+        # old iteration cap); following the label's own label halves the
+        # remaining distance each round, giving O(log diameter).
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            propagated.alias("x")
+            .join(
+                propagated.select(
+                    F.col("node").alias("lnode"), F.col("label").alias("llabel")
+                ),
+                F.col("x.label") == F.col("lnode"),
+                "left",
+            )
             .select(
-                "node",
+                F.col("x.node").alias("node"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    F.col("x.label"),
+                    F.coalesce(F.col("llabel"), F.col("x.label")),
                 ).alias("label"),
             )
             # Lazy checkpoint: the convergence aggregate right below is
@@ -87,10 +109,97 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (or use connected_components_star for "
+            "high-diameter graphs)"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    The planet-scale alternative to min-label propagation: converges in
+    O(log^2 n) rounds on ANY graph shape (label propagation needs
+    O(diameter) rounds -- fine for near-dup clusters, ruinous for long
+    chains), and each round is window + filter + distinct with NO
+    per-node neighbor materialization (the window min replaces a
+    collect_set, so hub nodes never build giant arrays).
+
+    large-star(v): every neighbor u > v re-attaches to min(Γ(v) ∪ {v});
+    small-star(v): every neighbor u <= v (and v itself) attaches to it.
+    Fixpoint = the edge set is a union of stars rooted at component
+    minima; the root's own row (root, root) then labels every node.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    w = Window.partitionBy("a")
+
+    def _round(e: DataFrame, large: bool) -> DataFrame:
+        # The star operations see the edge set as UNDIRECTED: every edge
+        # is processed from both endpoints, so re-symmetrize the (u -> m)
+        # output of the previous round before grouping by center.
+        bi = (
+            e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        withmin = bi.withColumn("m", F.least(F.min("b").over(w), F.col("a")))
+        cond = F.col("b") > F.col("a") if large else F.col("b") <= F.col("a")
+        moved = withmin.where(cond).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+        self_edge = withmin.select(F.col("a"), F.col("m").alias("b"))
+        return (
+            moved.union(self_edge)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    cur = sym
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _round(_round(cur, large=True), large=False)
+        # One aggregate = (count, order-independent hash) convergence
+        # signature; the edge set is a fixpoint iff it stopped changing.
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (sum of hashes overflows BIGINT); the edge set is distinct so
+        # XOR cancellation of duplicates cannot occur.
+        row = cur.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = (
+        cur.union(cur.select(F.col("b").alias("a"), F.col("b").alias("b")))
+        .groupBy("a")
+        .agg(F.min("b").alias("component"))
+        .select(F.col("a").alias("node"), "component")
+    )
+    sym.unpersist()
+    return labels
 
 
 def canonicalize_pairs(pairs: DataFrame, *, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
