@@ -67,6 +67,9 @@ def _registry() -> tuple[dict, dict]:
         # round-2 additions (no prior CORRECTNESS row)
         "stream_sliding_avg",
         *analytics4.QUERIES,
+        "window_funcs",
+        "map_funcs",
+        "json_nested_extract",
         "sessionize",
         "q12_shipping_buckets",
         "set_ops",

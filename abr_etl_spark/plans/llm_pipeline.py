@@ -144,6 +144,21 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_pairs(pairs)
 
 
+def q_dedup_canonical_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster-level dedup through the large-star/small-star CC
+    (the O(log^2 n) planet-scale algorithm) -- same oracle as
+    dedup_canonical, so the driver checks the star contraction itself."""
+    from abr_etl_spark.operators.graph import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU)
+    return connected_components_star(
+        pairs, src="doc_a", dst="doc_b"
+    ).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/char/punctuation/stopword statistics per document."""
     return text.text_stats(load_table(spark, sf_dir, "documents"))
@@ -281,6 +296,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_canonical": q_dedup_canonical,
+    "dedup_canonical_star": q_dedup_canonical_star,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -660,3 +676,7 @@ ORACLES = {
         FROM documents
     """,
 }
+
+# The star-contraction variant must produce the identical canonical
+# mapping; reuse the same independent recursive-CTE ground truth.
+ORACLES["dedup_canonical_star"] = ORACLES["dedup_canonical"]

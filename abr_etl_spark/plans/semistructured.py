@@ -9,7 +9,7 @@ representation-independent across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from abr_etl_spark.sources.lake import load_table
@@ -48,6 +48,56 @@ def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function battery per customer order stream: lag/lead,
+    rank vs dense_rank vs ntile, first/last over a running frame --
+    single shuffle, one window partitioning reused by every function."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.round(F.max("o_totalprice").over(wf), 2).alias("running_max"),
+    )
+
+
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column battery: build a map per row, explode it back to
+    rows (map_from_arrays -> explode covers the map surface; output is
+    rows so the oracle needs no map type at all)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 30)
+    m = F.map_from_arrays(
+        F.array(F.lit("segment"), F.lit("name")),
+        F.array(F.col("c_mktsegment"), F.col("c_name")),
+    )
+    return (
+        c.select("c_custkey", F.explode(m).alias("key", "value"))
+        .orderBy("c_custkey", "key")
+    )
+
+
+def json_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit struct schema (vs json_props_agg's
+    schema-on-read path): typed extraction, null-safe on missing keys."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    parsed = F.from_json("props", "k INT, source STRING")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        F.coalesce(parsed.getField("source"), F.lit("none")).alias("source"),
+    )
+
+
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function battery over customer names: slicing, padding,
     case, edit distance to a fixed probe."""
@@ -68,9 +118,44 @@ QUERIES = {
     "json_props_agg": json_props_agg,
     "array_agg_per_group": array_agg_per_group,
     "string_funcs": string_funcs,
+    "window_funcs": window_funcs,
+    "map_funcs": map_funcs,
+    "json_nested_extract": json_nested_extract,
 }
 
 ORACLES = {
+    "window_funcs": """
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS INTEGER) AS rn,
+               CAST(rank() OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               lag(o_orderkey, 1) OVER w AS prev_key,
+               lead(o_orderkey, 1) OVER w AS next_key,
+               first(o_orderkey) OVER wf AS first_key,
+               round(max(o_totalprice) OVER wf, 2) AS running_max
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC),
+               wf AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "map_funcs": """
+        SELECT c_custkey, u.key, u.value FROM (
+            SELECT c_custkey,
+                   unnest([struct_pack(key := 'segment', value := c_mktsegment),
+                           struct_pack(key := 'name', value := c_name)]) AS u
+            FROM customer WHERE c_custkey < 30
+        ) ORDER BY c_custkey, u.key
+    """,
+    "json_nested_extract": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               coalesce(json_extract_string(props, '$.source'), 'none')
+                   AS source
+        FROM events WHERE event_id < 500
+    """,
     "json_props_agg": """
         SELECT event_type,
                count(*) AS n,
