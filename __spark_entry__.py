@@ -49,6 +49,12 @@ def _registry() -> tuple[dict, dict]:
         modules.append(streaming_queries)
     except ImportError:
         pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline2 as llm_pipeline2
+
+        modules.append(llm_pipeline2)
+    except ImportError:
+        pass
     for m in modules:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
@@ -58,9 +64,12 @@ def _registry() -> tuple[dict, dict]:
     # round-1-unchecked (LLM pipeline + streaming) and previously
     # hash-mismatched oracles -- then everything else in module order.
     llm_keys: set = set()
+    llm2_keys: list = []
     for m in modules:
         if m.__name__.endswith("llm_pipeline"):
             llm_keys = set(m.QUERIES)
+        if m.__name__.endswith("llm_pipeline2"):
+            llm2_keys = list(m.QUERIES)
     priority = [
         *(k for k in queries if k in llm_keys),
         "stream_window_counts",
@@ -70,6 +79,7 @@ def _registry() -> tuple[dict, dict]:
         "window_funcs",
         "map_funcs",
         "json_nested_extract",
+        *llm2_keys,
         "sessionize",
         "q12_shipping_buckets",
         "set_ops",

@@ -1,0 +1,324 @@
+"""LLM training-data pipeline, part 2 (round 2 additions).
+
+Five more first-class training-pipeline operators, all pure JVM-side
+column expressions / equi-joins (no Python in any hot path):
+
+- ``decontaminate_ngram``: benchmark decontamination -- flag training
+  docs sharing any word 4-gram with a held-out benchmark set. The
+  benchmark side is tiny vs the corpus (broadcast); the corpus side is a
+  map-only shingle explode, so at 100 TB the only shuffle is the final
+  per-doc aggregate.
+- ``repetition_score``: Gopher-style intra-document repetition signal
+  (fraction of duplicate 3-grams) -- map-only, zero shuffle.
+- ``embedding_quantize``: symmetric int8 quantization of the embedding
+  column with exact integer checksums (the standard precursor to
+  shipping vectors to an ANN index).
+- ``quality_filter_pipeline``: precedence-ordered keep/drop routing
+  (too_short > high_punct > low_quality > keep) over the integer quality
+  score -- the composite filter step every corpus pipeline runs.
+- ``pagerank_suppliers``: 3 fixed iterations of PageRank over the
+  supplier->part shipment graph in EXACT integer arithmetic (micro-rank
+  units, integer division), so the oracle replays it bit-for-bit --
+  float PageRank would diverge on summation order.
+
+Oracles compute shingles as strings while Spark uses xxhash64 gram
+hashes: distinct/shared-gram COUNTS are identical unless a 64-bit
+collision occurs (odds ~ m^2/2^65, negligible at oracle scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from abr_etl_spark.functions import texthash as th
+from abr_etl_spark.operators import text
+from abr_etl_spark.plans.llm_pipeline import _DK_QUALITY
+from abr_etl_spark.sources.lake import load_table
+
+DECONTAM_N = 4  # benchmark overlap n-gram width (27 hits at sf0.01; 5 is vacuous there)
+BENCH_MOD = 25  # doc_id % BENCH_MOD == 0 -> held-out benchmark doc
+PR_ITERS = 3
+PR_UNIT = 1_000_000  # initial rank in micro-units
+PR_BASE = 150_000  # (1 - d) * PR_UNIT with damping d = 0.85
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by benchmark 4-gram overlap.
+
+    Output: (doc_id, n_shared_grams, n_bench_docs) for every training
+    doc sharing at least one distinct 4-gram with any benchmark doc.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "tok", F.expr(th.sp_tokens("text"))
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(th.sp_shingle_hashes_from_tokens("tok", DECONTAM_N))
+        ).alias("g"),
+    )
+    bench = sh.where(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    train = sh.where(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: duplicate 3-gram fraction per doc
+    (integer permyriad so the oracle math is exact)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "tok", F.expr(th.sp_tokens("text"))
+    )
+    grams = (
+        "CASE WHEN size(tok) >= 3 THEN "
+        "transform(sequence(0, size(tok) - 3), i -> xxhash64(slice(tok, i + 1, 3))) "
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    return (
+        d.withColumn("grams", F.expr(grams))
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            (F.size("grams") - F.size(F.array_distinct(F.col("grams")))).alias(
+                "n_dup"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            F.expr(
+                "CAST(CASE WHEN n_grams > 0 THEN (10000 * n_dup) DIV n_grams "
+                "ELSE 0 END AS INT)"
+            ).alias("rep_permyriad"),
+        )
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization: q_i = floor(v_i * 127/amax + 0.5).
+
+    Checksums are integer sums (order-independent, exact across
+    engines); amax is reported in exact 1e-6 units for the same reason.
+    Map-only over the vectors -- no shuffle, scan-bound at any scale.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    q = (
+        "transform(emb, v -> CAST(floor(v * (127.0 / greatest(amax, 1e-12))"
+        " + 0.5) AS BIGINT))"
+    )
+    return (
+        e.withColumn(
+            "amax", F.expr("array_max(transform(emb, v -> abs(v)))")
+        )
+        .withColumn("qv", F.expr(q))
+        .select(
+            "vec_id",
+            F.expr("aggregate(qv, 0L, (s, v) -> s + v)").alias("sum_q"),
+            F.expr("aggregate(qv, 0L, (s, v) -> s + abs(v))").alias("sum_abs_q"),
+            F.expr("CAST(floor(amax * 1000000 + 0.5) AS BIGINT)").alias("amax_e6"),
+        )
+    )
+
+
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop routing with precedence-ordered reasons, counted per
+    source -- the composite corpus filter (all integer comparisons, so
+    both engines agree exactly)."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = text.n_tokens("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9\\s]", ""))
+    nc = F.greatest(F.length(F.col("text")), F.lit(1))
+    punct_pts = F.floor((3000 * n_punct) / nc)
+    reason = (
+        F.when(nt < 5, "too_short")
+        .when(punct_pts > 1500, "high_punct")
+        .when(text.quality_score("text") < 5000, "low_quality")
+        .otherwise("keep")
+    )
+    return (
+        d.select("source", reason.alias("reason"))
+        .groupBy("source", "reason")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the supplier->part
+    shipment graph, in exact micro-unit integer arithmetic.
+
+    contribution = rank DIV outdeg; rank' = 150000 + (17 * in) DIV 20.
+    Dangling nodes (parts) keep the base rank. Edges and the node list
+    are persisted once and reused across iterations; each iteration is
+    one equi-join + one aggregate on dst -- the canonical distributed
+    PageRank shape (at scale, pre-partition edges and ranks on the join
+    key so the per-iteration shuffle moves only the rank column).
+    """
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_partkey") < 200)
+    edges = (
+        l.select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (F.col("l_partkey") + 10000).cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(broadcast(deg), "src")
+            .select(F.col("dst").alias("node_in"), F.expr("r DIV outdeg").alias("c"))
+        )
+        incoming = contrib.groupBy("node_in").agg(F.sum("c").alias("inc"))
+        ranks = nodes.join(
+            incoming, nodes.node == incoming.node_in, "left"
+        ).select(
+            "node",
+            (F.lit(PR_BASE) + F.expr("(17 * coalesce(inc, 0L)) DIV 20"))
+            .cast("long")
+            .alias("r"),
+        )
+    return ranks
+
+
+QUERIES = {
+    "decontaminate_ngram": decontaminate_ngram,
+    "repetition_score": repetition_score,
+    "embedding_quantize": embedding_quantize,
+    "quality_filter_pipeline": quality_filter_pipeline,
+    "pagerank_suppliers": pagerank_suppliers,
+}
+
+
+# ------------------------------------------------------------------ oracles
+
+_DK_TOK = th.dk_tokens("text")
+_DK_SH5 = th.dk_shingles("text", DECONTAM_N)
+_DK_PUNCT = r"length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))"
+
+
+def _pr_iter_sql(prev: str) -> str:
+    return f"""
+        SELECT n.node,
+               CAST({PR_BASE} + (17 * coalesce(sum(r.r // d.outdeg), 0)) // 20
+                    AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN {prev} r ON e.src = r.node
+        LEFT JOIN deg d ON e.src = d.src
+        GROUP BY n.node
+    """
+
+
+ORACLES = {
+    "decontaminate_ngram": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_DK_SH5}) AS g FROM documents
+        ), b AS (
+            SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % {BENCH_MOD} = 0
+        ), t AS (
+            SELECT doc_id, g FROM sh WHERE doc_id % {BENCH_MOD} <> 0
+        )
+        SELECT t.doc_id,
+               CAST(count(DISTINCT t.g) AS BIGINT) AS n_shared_grams,
+               CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+        FROM t JOIN b ON t.g = b.g
+        GROUP BY t.doc_id
+    """,
+    "repetition_score": f"""
+        WITH t AS (
+            SELECT doc_id, {_DK_TOK} AS tok FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   CASE WHEN len(tok) >= 3 THEN
+                       list_transform(range(0, len(tok) - 3 + 1),
+                           i -> array_to_string(list_slice(tok, i + 1, i + 3), ' '))
+                   ELSE [] END AS grams
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS INTEGER) AS n_grams,
+               CAST(len(grams) - len(list_distinct(grams)) AS INTEGER) AS n_dup,
+               CAST(CASE WHEN len(grams) > 0 THEN
+                        (10000 * (len(grams) - len(list_distinct(grams))))
+                            // len(grams)
+                    ELSE 0 END AS INTEGER) AS rep_permyriad
+        FROM g
+    """,
+    "embedding_quantize": """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS emb
+            FROM embeddings
+        ), a AS (
+            SELECT vec_id, emb,
+                   list_max(list_transform(emb, v -> abs(v))) AS amax
+            FROM e
+        ), q AS (
+            SELECT vec_id, amax,
+                   list_transform(emb, v -> CAST(floor(
+                       v * (127.0 / greatest(amax, 1e-12)) + 0.5) AS BIGINT))
+                       AS qv
+            FROM a
+        )
+        SELECT vec_id,
+               CAST(list_reduce(list_prepend(0::BIGINT, qv),
+                    (s, v) -> s + v) AS BIGINT) AS sum_q,
+               CAST(list_reduce(list_prepend(0::BIGINT,
+                        list_transform(qv, v -> abs(v))),
+                    (s, v) -> s + v) AS BIGINT) AS sum_abs_q,
+               CAST(floor(amax * 1000000 + 0.5) AS BIGINT) AS amax_e6
+        FROM q
+    """,
+    "quality_filter_pipeline": f"""
+        SELECT source,
+               CASE WHEN len({_DK_TOK}) < 5 THEN 'too_short'
+                    WHEN floor((3000 * {_DK_PUNCT})
+                               / greatest(length(text), 1)) > 1500
+                        THEN 'high_punct'
+                    WHEN {_DK_QUALITY} < 5000 THEN 'low_quality'
+                    ELSE 'keep' END AS reason,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY source, reason
+    """,
+    "pagerank_suppliers": f"""
+        WITH edges AS (
+            SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                   CAST(l_partkey + 10000 AS BIGINT) AS dst
+            FROM lineitem WHERE l_partkey < 200
+        ), deg AS (
+            SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+        ), nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges
+        ), it0 AS (
+            SELECT node, CAST({PR_UNIT} AS BIGINT) AS r FROM nodes
+        ), it1 AS ({_pr_iter_sql("it0")}
+        ), it2 AS ({_pr_iter_sql("it1")}
+        ), it3 AS ({_pr_iter_sql("it2")}
+        )
+        SELECT node, r FROM it3
+    """,
+}
