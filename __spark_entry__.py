@@ -29,8 +29,9 @@ def _registry() -> tuple[dict, dict]:
     import abr_etl_spark.plans.semistructured as semistructured
 
     import abr_etl_spark.plans.analytics4 as analytics4
+    import abr_etl_spark.plans.analytics5 as analytics5
 
-    modules = [analytics, analytics2, analytics3, analytics4, semistructured]
+    modules = [analytics, analytics2, analytics3, analytics4, analytics5, semistructured]
     try:
         import abr_etl_spark.plans.etl_parity as etl_parity
 
@@ -75,7 +76,9 @@ def _registry() -> tuple[dict, dict]:
         "stream_window_counts",
         # round-2 additions (no prior CORRECTNESS row)
         "stream_sliding_avg",
+        "stream_session_windows",
         *analytics4.QUERIES,
+        *analytics5.QUERIES,
         "window_funcs",
         "map_funcs",
         "json_nested_extract",

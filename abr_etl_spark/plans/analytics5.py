@@ -1,0 +1,178 @@
+"""Coverage part 5 (round 2): time-series gap fill, correlated
+subqueries, and a driver-checked skew-salted join.
+
+- ``gap_fill_ffill``: the hypertable staple -- dense per-user daily
+  spine (date sequence x users), zero-filled counts, forward-filled
+  last observed daily average. Averages ride exact 1e-4 integer units
+  so both engines agree bit-for-bit.
+- ``correlated_subqueries``: scalar-correlated + EXISTS + NOT EXISTS in
+  one query through spark.sql -- Catalyst decorrelates these into
+  aggregate-join / semi-join / anti-join (no per-row subquery
+  execution, which is what makes the shape survive 100 TB).
+- ``salted_join_revenue``: the skew-proof salted equi-join
+  (operators/joins.salted_join) feeding an aggregate; the oracle is the
+  PLAIN join, proving salting never changes results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from abr_etl_spark.operators.joins import salted_join
+from abr_etl_spark.sources.lake import load_table
+
+GAP_FILL_USERS = 15  # spine user cap keeps driver output ~users x days
+
+
+def gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily spine per user: zero-fill missing days' counts,
+    forward-fill the last observed daily average value.
+
+    The spine is (distinct users) x (global date sequence) -- at scale
+    both sides of that cross join are tiny relative to the fact table
+    (users x days rows), and the single shuffle is the left join back
+    onto the daily aggregate. Leading days before a user's first event
+    keep a NULL average (nothing to fill from).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") < GAP_FILL_USERS
+    )
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long")).alias(
+                "__s"
+            ),
+        )
+        .withColumn("day_avg_e4", F.expr("(2 * __s + n) DIV (2 * n)"))
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            (F.last("day_avg_e4", ignorenulls=True).over(w) / 10000.0).alias(
+                "ffill_avg"
+            ),
+        )
+    )
+
+
+def correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their nation's average balance, with at least one
+    finished order and no urgent ones -- scalar-correlated subquery +
+    EXISTS + NOT EXISTS, decorrelated by Catalyst into joins."""
+    from abr_etl_spark.sources.lake import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through the skew-salted join: the salt
+    fans each (possibly hot) customer key across 16 reducers, and the
+    aggregate collapses it -- results provably identical to the plain
+    join (that IS the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, "o_custkey", salt=16)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+QUERIES = {
+    "gap_fill_ffill": gap_fill_ffill,
+    "correlated_subqueries": correlated_subqueries,
+    "salted_join_revenue": salted_join_revenue,
+}
+
+ORACLES = {
+    "gap_fill_ffill": f"""
+        WITH ev AS (
+            SELECT * FROM events WHERE user_id < {GAP_FILL_USERS}
+        ), daily AS (
+            SELECT user_id, ts::DATE AS day, count(*) AS n,
+                   (2 * sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                    + count(*)) // (2 * count(*)) AS day_avg_e4
+            FROM ev GROUP BY user_id, ts::DATE
+        ), bounds AS (
+            SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM ev
+        ), spine AS (
+            SELECT u.user_id, unnest(generate_series(lo, hi,
+                       INTERVAL 1 DAY))::DATE AS day
+            FROM (SELECT DISTINCT user_id FROM ev) u, bounds
+        )
+        SELECT s.user_id,
+               strftime(s.day, '%Y-%m-%d') AS day,
+               CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+               last_value(d.day_avg_e4 IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / 10000.0 AS ffill_avg
+        FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    "correlated_subqueries": """
+        SELECT c.c_custkey, c.c_name,
+               CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '1-URGENT')
+    """,
+    "salted_join_revenue": """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+}

@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from abr_etl_spark.sources.lake import load_table
-from abr_etl_spark.streaming.stream_ops import sliding_avg, windowed_counts
+from abr_etl_spark.streaming.stream_ops import (
+    session_agg,
+    sliding_avg,
+    windowed_counts,
+)
 
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,9 +29,16 @@ def q_stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_avg(load_table(spark, sf_dir, "events"))
 
 
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min-gap session windows (same code as the stream
+    path); the oracle rebuilds sessions with lag-based island logic."""
+    return session_agg(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_sliding_avg": q_stream_sliding_avg,
+    "stream_session_windows": q_stream_session_windows,
 }
 
 ORACLES = {
@@ -58,5 +69,32 @@ ORACLES = {
                count(*) AS n
         FROM paned
         GROUP BY pane
+    """,
+    # Sessions merge while consecutive same-user events are <= 30 min
+    # apart; Spark's session end is last_ts + gap. The lag-based island
+    # numbering below reproduces exactly that.
+    "stream_session_windows": """
+        WITH e AS (
+            SELECT user_id, ts,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM e
+        )
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+                   AS session_end,
+               count(*) AS n_events,
+               CAST(sum(v_e4) AS BIGINT) AS sum_v_e4
+        FROM s
+        GROUP BY user_id, sid
     """,
 }

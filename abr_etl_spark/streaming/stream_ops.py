@@ -77,6 +77,41 @@ def sliding_avg(
     )
 
 
+def session_agg(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows (gap-merged): Spark's native
+    session_window keeps sessions open while events arrive within
+    ``gap`` and closes them at last_ts + gap.
+
+    Batch/stream dual like every op here: on a stream the watermark
+    finalizes sessions (append mode emits a session once the watermark
+    passes its end); on a batch input the same expression computes the
+    steady state the DuckDB oracle checks with lag-based island logic.
+    Values ride exact 1e-4 integer units so engines agree bit-for-bit.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    v_e4 = F.floor(F.col("value") * 10000 + 0.5).cast("long")
+    return (
+        src.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum(v_e4).alias("sum_v_e4"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_v_e4",
+        )
+    )
+
+
 def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: the dim side is a batch DataFrame broadcast to
     every micro-batch -- the standard pattern for decorating events with

@@ -171,3 +171,59 @@ def test_stream_to_lake_replayed_epoch_is_idempotent(spark, tmp_path):
     # a NEW epoch appends rather than clobbering other epochs
     stream_ops.write_epoch_idempotent(batch, 8, lake_path)
     assert spark.read.parquet(lake_path).count() == 200
+
+
+def test_session_windows_vs_oracle(spark, ddb):
+    df = streaming_queries.q_stream_session_windows(spark, SF_ORACLE)
+    assert_matches_oracle(
+        df, ddb, streaming_queries.ORACLES["stream_session_windows"], "sessions"
+    )
+
+
+def test_session_window_stream_equals_batch(spark, tmp_path):
+    """Append-mode session windows finalize when the watermark passes
+    their end; a far-future sentinel event (filtered from the compare)
+    pushes the watermark past every real session."""
+    import glob as _glob
+    import shutil as _sh
+
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+    _sh.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
+    ev = load_table(spark, SF_SMOKE, "events")
+    raw = spark.read.parquet(str(d / "a.parquet"))  # wire schema: ts int64 nanos
+    max_ns = raw.agg(F.max("ts").alias("m")).first()["m"]
+    day_ns = 86400 * 10**9
+
+    def _drop_sentinel(name: str, eid: int, ts_ns: int) -> None:
+        # The file-stream source lists plain FILES: write the one-row
+        # sentinel through Spark in the raw wire schema (ts = int64
+        # nanos, like the generated parquet), then copy the part file
+        # in as a flat file.
+        tmp = str(tmp_path / f"__{name}")
+        spark.createDataFrame(
+            [(eid, ts_ns, -1, "flush", 0.0, "{}")], raw.schema
+        ).coalesce(1).write.parquet(tmp)
+        _sh.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], d / name)
+
+    _drop_sentinel("b.parquet", 10**9, max_ns + 10 * day_ns)
+    stream = stream_ops.read_event_stream(spark, str(d))
+    q = stream_ops.run_stream_to_memory(
+        stream_ops.session_agg(stream), "sess_out", output_mode="append"
+    )
+    try:
+        # The watermark set by the first sentinel batch only triggers
+        # emission on a SUBSEQUENT batch -- drop a second, later sentinel
+        # and drain again so every real session finalizes.
+        _drop_sentinel("c.parquet", 10**9 + 1, max_ns + 20 * day_ns)
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.sql(
+                "select * from sess_out where user_id >= 0"
+            ).collect()
+        }
+        want = {tuple(r) for r in stream_ops.session_agg(ev).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
