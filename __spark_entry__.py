@@ -72,6 +72,18 @@ def _registry() -> tuple[dict, dict]:
         if m.__name__.endswith("llm_pipeline2"):
             llm2_keys = list(m.QUERIES)
     priority = [
+        # r1 hash-fails (oracle dtype casts fixed in r2) -- these MUST
+        # flip to green rows, so they go first under any driver budget
+        "sessionize",
+        "q12_shipping_buckets",
+        "set_ops",
+        "funnel_counts",
+        "outlier_filter",
+        "json_props_agg",
+        "dq_completeness",
+        "dq_uniqueness",
+        "range_join_buckets",  # r1-vacuous (0 rows), now exercised
+        # r1-unchecked block (LLM pipeline + streaming)
         *(k for k in queries if k in llm_keys),
         "stream_window_counts",
         # round-2 additions (no prior CORRECTNESS row)
@@ -83,15 +95,6 @@ def _registry() -> tuple[dict, dict]:
         "map_funcs",
         "json_nested_extract",
         *llm2_keys,
-        "sessionize",
-        "q12_shipping_buckets",
-        "set_ops",
-        "funnel_counts",
-        "outlier_filter",
-        "json_props_agg",
-        "dq_completeness",
-        "dq_uniqueness",
-        "range_join_buckets",
     ]
     ordered = {k: queries[k] for k in priority if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})

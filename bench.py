@@ -33,6 +33,12 @@ HEADLINERS = [
     "ann_ivf_kmeans",
     "text_stats",
     "stream_window_counts",
+    # r2 additions
+    "decontaminate_ngram",
+    "pagerank_suppliers",
+    "gap_fill_ffill",
+    "stream_session_windows",
+    "embedding_quantize",
 ]
 
 
