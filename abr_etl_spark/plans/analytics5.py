@@ -122,10 +122,65 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube: an arbitrary set
+    list) with grouping() flags to disambiguate the NULL dimension."""
+    from abr_etl_spark.sources.lake import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               count(*) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt via stack() -- the declarative unpivot (one
+    map-side projection, no shuffle); oracle is the UNION ALL spelling."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 100)
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, "
+            "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+
+
+def trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame sum per user (value frame bounded by
+    event-TIME distance, not row count -- ties are peers in both
+    engines, so the result is deterministic)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    epoch_s = F.col("ts").cast("long")
+    v_e4 = F.floor(F.col("value") * 10000 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(v_e4).over(w).alias("trailing_1h_e4"),
+    )
+
+
 QUERIES = {
     "gap_fill_ffill": gap_fill_ffill,
     "correlated_subqueries": correlated_subqueries,
     "salted_join_revenue": salted_join_revenue,
+    "grouping_sets_agg": grouping_sets_agg,
+    "unpivot_melt": unpivot_melt,
+    "trailing_range_window": trailing_range_window,
 }
 
 ORACLES = {
@@ -174,5 +229,31 @@ ORACLES = {
                     AS BIGINT) AS revenue_cents
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "grouping_sets_agg": """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+               CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+               count(*) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    "unpivot_melt": """
+        SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value
+        FROM customer WHERE c_custkey <= 100
+        UNION ALL
+        SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+        FROM customer WHERE c_custkey <= 100
+    """,
+    "trailing_range_window": """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS trailing_1h_e4
+        FROM events WHERE user_id < 10
     """,
 }
