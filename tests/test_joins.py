@@ -72,3 +72,47 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.catalog.setCurrentDatabase("default")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """One pathological hot key: AQE's skew-join split must kick in at
+    runtime (OptimizeSkewedJoin rewrites the sort-merge join) and the
+    result must equal the unskewed ground truth."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        left = spark.range(200_000).select(
+            # 95% of rows share key 0; the rest spread over 1k keys
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        joined = left.join(right, "k")
+        q = joined.agg(
+            F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+        )
+        # collect() (not first(): that executes a separate limit plan)
+        # so q's OWN query execution finalizes under AQE
+        got = q.collect()[0]
+        # every k in [0, 1000) exists on the right -> all rows join
+        assert got["n"] == 200_000
+        # the FINAL adaptive plan (after execution) must show the skew split
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        )
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
