@@ -28,12 +28,12 @@ collision occurs (odds ~ m^2/2^65, negligible at oracle scale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from abr_etl_spark.functions import texthash as th
-from abr_etl_spark.operators import text
+from abr_etl_spark.operators import similarity, text
 from abr_etl_spark.plans.llm_pipeline import _DK_QUALITY
 from abr_etl_spark.sources.lake import load_table
 
@@ -203,12 +203,46 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks
 
 
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the embedding column: the
+    20 query vectors take the modal label of their 10 exact nearest
+    neighbors (ties broken by smallest label -- deterministic in both
+    engines because the cosine math is bit-identical).
+
+    Plan shape: broadcast query side into the corpus scan (cosine_topk),
+    then the vote aggregate runs on k x |queries| rows -- negligible. At
+    scale swap cosine_topk for the IVF/LSH variants; the vote layer is
+    unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < KNN_QUERIES)
+    topk = similarity.cosine_topk(e, q, k=KNN_K)
+    labels = e.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        labels.join(broadcast(topk), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+KNN_K = 10
+KNN_QUERIES = 20
+
 QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "repetition_score": repetition_score,
     "embedding_quantize": embedding_quantize,
     "quality_filter_pipeline": quality_filter_pipeline,
     "pagerank_suppliers": pagerank_suppliers,
+    "knn_classify": knn_classify,
 }
 
 
@@ -303,6 +337,34 @@ ORACLES = {
                count(*) AS n_docs
         FROM documents
         GROUP BY source, reason
+    """,
+    "knn_classify": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+                   FROM embeddings WHERE vec_id < {KNN_QUERIES}),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec
+              FROM embeddings),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   round({th.dk_cosine('q_vec', 'c_vec')}, 6) AS cos
+            FROM c, q WHERE query_id <> neighbor_id
+        ), topk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= {KNN_K}
+        ), votes AS (
+            SELECT query_id, label, count(*) AS n_votes
+            FROM topk JOIN embeddings ON neighbor_id = vec_id
+            GROUP BY query_id, label
+        )
+        SELECT query_id, label AS pred_label, n_votes FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY n_votes DESC, label ASC) AS rk
+            FROM votes
+        ) WHERE rk = 1
     """,
     "pagerank_suppliers": f"""
         WITH edges AS (
