@@ -89,12 +89,12 @@ def _registry() -> tuple[dict, dict]:
         # round-2 additions (no prior CORRECTNESS row)
         "stream_sliding_avg",
         "stream_session_windows",
+        *llm2_keys,
         *analytics4.QUERIES,
         *analytics5.QUERIES,
         "window_funcs",
         "map_funcs",
         "json_nested_extract",
-        *llm2_keys,
     ]
     ordered = {k: queries[k] for k in priority if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
