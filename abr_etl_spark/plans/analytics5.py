@@ -174,6 +174,37 @@ def trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def regr_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value over time, from EXACT integer
+    moment sums: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2).
+
+    x = hours since epoch (integer), y = value in 1e-4 units (integer):
+    all four moments are order-independent integer sums, so both engines
+    compute the identical rational and one final double division -- no
+    regr_slope() float-accumulation divergence. One shuffle (the groupBy);
+    map-side partial aggregation does the moment math at scan speed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.expr("CAST(ts AS LONG) DIV 3600")
+    y = F.floor(F.col("value") * 10000 + 0.5).cast("long")
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom != 0,
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom / 10000.0,
+            8,
+        ),
+    )
+    return agg.select("user_id", "n", slope.alias("slope_per_hour"))
+
+
 QUERIES = {
     "gap_fill_ffill": gap_fill_ffill,
     "correlated_subqueries": correlated_subqueries,
@@ -181,6 +212,7 @@ QUERIES = {
     "grouping_sets_agg": grouping_sets_agg,
     "unpivot_melt": unpivot_melt,
     "trailing_range_window": trailing_range_window,
+    "regr_slope_per_user": regr_slope_per_user,
 }
 
 ORACLES = {
@@ -246,6 +278,29 @@ ORACLES = {
         UNION ALL
         SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
         FROM customer WHERE c_custkey <= 100
+    """,
+    "regr_slope_per_user": """
+        WITH m AS (
+            SELECT user_id,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS x,
+                       CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y
+                FROM events
+            )
+            GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CASE WHEN n * sxx - sx * sx <> 0 THEN
+                   round(((n * sxy - sx * sy)
+                          / (n * sxx - sx * sx)) / 10000.0, 8)
+               END AS slope_per_hour
+        FROM m
     """,
     "trailing_range_window": """
         SELECT event_id, user_id,
