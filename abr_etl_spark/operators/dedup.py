@@ -184,9 +184,12 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # The pair set is tiny (|true near-dups|); persist it so downstream
+    # consumers in the same session (cluster canonicalization runs this
+    # twice more for CC + star-CC) skip the candidate join + verify.
     return verified.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
-    )
+    ).persist()
 
 
 def minhash_signatures(
