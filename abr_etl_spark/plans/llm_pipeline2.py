@@ -236,6 +236,49 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 10
 KNN_QUERIES = 20
 
+
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-corpus pipeline as ONE declarative plan:
+    quality filter -> exact dedup (keep min doc_id per normalized text)
+    -> overlapping token chunking -> per-source chunk/token stats.
+
+    Catalyst fuses the filter + normalize + dedup-window into one
+    shuffle and the chunk explode stays map-side; this is the
+    composition story -- each stage is the same operator the standalone
+    queries check, so the driver verifying THIS query checks that the
+    operators compose without semantic drift.
+    """
+    from abr_etl_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = text.n_tokens("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9\\s]", ""))
+    nc = F.greatest(F.length(F.col("text")), F.lit(1))
+    keep = (
+        (nt >= 5)
+        & (F.floor((3000 * n_punct) / nc) <= 1500)
+        & (text.quality_score("text") >= 5000)
+    )
+    filtered = d.where(keep)
+    w = Window.partitionBy("__norm").orderBy("doc_id")
+    kept = (
+        filtered.withColumn("__norm", dedup.normalize_text("text"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    chunks = text.chunk_documents(kept, chunk_tokens=50, overlap=10)
+    return (
+        chunks.join(broadcast(kept.select("doc_id", "source")), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "repetition_score": repetition_score,
@@ -243,6 +286,7 @@ QUERIES = {
     "quality_filter_pipeline": quality_filter_pipeline,
     "pagerank_suppliers": pagerank_suppliers,
     "knn_classify": knn_classify,
+    "corpus_pipeline": corpus_pipeline,
 }
 
 
@@ -337,6 +381,37 @@ ORACLES = {
                count(*) AS n_docs
         FROM documents
         GROUP BY source, reason
+    """,
+    "corpus_pipeline": f"""
+        WITH filtered AS (
+            SELECT doc_id, source, text,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+            FROM documents
+            WHERE len({_DK_TOK}) >= 5
+              AND floor((3000 * {_DK_PUNCT}) / greatest(length(text), 1)) <= 1500
+              AND {_DK_QUALITY} >= 5000
+        ), kept AS (
+            SELECT doc_id, source, text,
+                   row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+            FROM filtered
+        ), tok AS (
+            SELECT doc_id, source, {_DK_TOK} AS t
+            FROM kept WHERE rn = 1
+        ), chunks AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       range(0, greatest(len(t) - 1, 0) + 1, 40),
+                       s -> array_to_string(list_slice(t, s + 1, s + 50), ' ')
+                   )) AS chunk_text
+            FROM tok
+        )
+        SELECT source,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_chunks,
+               CAST(sum(len(regexp_split_to_array(trim(chunk_text), '\\s+')))
+                    AS BIGINT) AS total_tokens
+        FROM chunks WHERE chunk_text <> ''
+        GROUP BY source
     """,
     "knn_classify": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec

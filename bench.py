@@ -39,6 +39,7 @@ HEADLINERS = [
     "gap_fill_ffill",
     "stream_session_windows",
     "embedding_quantize",
+    "corpus_pipeline",
 ]
 
 
