@@ -89,6 +89,7 @@ def _registry() -> tuple[dict, dict]:
         # round-2 additions (no prior CORRECTNESS row)
         "stream_sliding_avg",
         "stream_session_windows",
+        "stream_attribution_join",
         *llm2_keys,
         *analytics4.QUERIES,
         *analytics5.QUERIES,

@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from abr_etl_spark.sources.lake import load_table
+from pyspark.sql import functions as F
+
 from abr_etl_spark.streaming.stream_ops import (
+    attribution_join,
     session_agg,
     sliding_avg,
     windowed_counts,
@@ -35,10 +38,22 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(load_table(spark, sf_dir, "events"))
 
 
+def q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution within 1h (same code as the
+    stream-stream join path; tests replay it as two watermarked
+    streams)."""
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
 QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_sliding_avg": q_stream_sliding_avg,
     "stream_session_windows": q_stream_session_windows,
+    "stream_attribution_join": q_stream_attribution_join,
 }
 
 ORACLES = {
@@ -96,5 +111,17 @@ ORACLES = {
                CAST(sum(v_e4) AS BIGINT) AS sum_v_e4
         FROM s
         GROUP BY user_id, sid
+    """,
+    "stream_attribution_join": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT)
+                   - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts < c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     """,
 }

@@ -112,6 +112,53 @@ def session_agg(
     )
 
 
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: every purchase
+    attributed to each same-user click in the preceding ``horizon``.
+
+    On streams both sides carry watermarks and the time-bound condition
+    lets Spark expire join state (the unbounded-state trap of naive
+    stream-stream joins); an INNER join emits matches as they arrive, so
+    no watermark flush is needed for output. On batch inputs the same
+    expression is a plain interval join -- what the oracle checks.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+        ).alias("gap_s"),
+    )
+
+
 def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: the dim side is a batch DataFrame broadcast to
     every micro-batch -- the standard pattern for decorating events with

@@ -227,3 +227,35 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_attribution_join_vs_oracle(spark, ddb):
+    df = streaming_queries.q_stream_attribution_join(spark, SF_ORACLE)
+    assert_matches_oracle(
+        df, ddb, streaming_queries.ORACLES["stream_attribution_join"], "attr"
+    )
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Two watermarked streams, time-bounded inner join: matches emit as
+    they arrive; replay must equal the batch interval join."""
+    src_dir = _stage_events(tmp_path)
+    ev = load_table(spark, SF_SMOKE, "events")
+    stream = stream_ops.read_event_stream(spark, src_dir)
+    joined = stream_ops.attribution_join(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+    )
+    q = stream_ops.run_stream_to_memory(joined, "attr_out", output_mode="append")
+    try:
+        got = {tuple(r) for r in spark.sql("select * from attr_out").collect()}
+        want = {
+            tuple(r)
+            for r in stream_ops.attribution_join(
+                ev.where(F.col("event_type") == "click"),
+                ev.where(F.col("event_type") == "purchase"),
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
