@@ -96,6 +96,7 @@ def _registry() -> tuple[dict, dict]:
         "window_funcs",
         "map_funcs",
         "json_nested_extract",
+        "array_funcs",
     ]
     ordered = {k: queries[k] for k in priority if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})

@@ -98,6 +98,37 @@ def json_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery built from each customer's order-priority
+    history: set algebra (union/intersect/except vs a fixed probe),
+    sort, dedup, and a zip_with index-weighted sum -- all JVM
+    higher-order functions, serialized to strings/ints so the oracle is
+    representation-independent."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 40)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.array_sort(F.array_agg(F.col("o_orderpriority"))).alias("prios"),
+        F.array_sort(
+            F.collect_set(F.col("o_orderkey") % 10)
+        ).alias("key_mods"),
+    )
+    probe = F.array(F.lit("1-URGENT"), F.lit("5-LOW"))
+    return per_cust.select(
+        "o_custkey",
+        F.array_join(F.array_distinct("prios"), ",").alias("distinct_prios"),
+        F.array_join(F.array_intersect(F.array_distinct("prios"), probe), ",").alias(
+            "inter_probe"
+        ),
+        F.array_join(F.array_except(F.array_distinct("prios"), probe), ",").alias(
+            "minus_probe"
+        ),
+        F.size("prios").alias("n_orders"),
+        F.expr(
+            "aggregate(zip_with(key_mods, sequence(1, size(key_mods)), "
+            "(m, i) -> m * i), 0L, (s, x) -> s + x)"
+        ).alias("weighted_mod_sum"),
+    )
+
+
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function battery over customer names: slicing, padding,
     case, edit distance to a fixed probe."""
@@ -121,9 +152,39 @@ QUERIES = {
     "window_funcs": window_funcs,
     "map_funcs": map_funcs,
     "json_nested_extract": json_nested_extract,
+    "array_funcs": array_funcs,
 }
 
 ORACLES = {
+    # Spark's array_intersect/array_except preserve first-arg (sorted)
+    # order; DuckDB's list_intersect does not guarantee order, so the
+    # oracle re-sorts -- same sets, same serialization.
+    "array_funcs": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   list_sort(list(o_orderpriority)) AS prios,
+                   list_sort(list_distinct(list(o_orderkey % 10)))
+                       AS key_mods
+            FROM orders WHERE o_custkey < 40
+            GROUP BY o_custkey
+        )
+        SELECT o_custkey,
+               array_to_string(list_sort(list_distinct(prios)), ',')
+                   AS distinct_prios,
+               coalesce(array_to_string(list_sort(list_intersect(
+                   list_distinct(prios), ['1-URGENT', '5-LOW'])), ','), '')
+                   AS inter_probe,
+               coalesce(array_to_string(list_sort(list_filter(
+                   list_distinct(prios),
+                   p -> p NOT IN ('1-URGENT', '5-LOW'))), ','), '')
+                   AS minus_probe,
+               CAST(len(prios) AS INTEGER) AS n_orders,
+               CAST(list_reduce(list_prepend(0::BIGINT,
+                        list_transform(range(1, len(key_mods) + 1),
+                            i -> key_mods[i] * i)),
+                    (s, x) -> s + x) AS BIGINT) AS weighted_mod_sum
+        FROM per_cust
+    """,
     "window_funcs": """
         SELECT o_custkey, o_orderkey,
                CAST(row_number() OVER w AS INTEGER) AS rn,
