@@ -60,10 +60,18 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part")
     n = load_table(spark, sf_dir, "nation")
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("l_quantity") * F.col("p_retailprice") * 0.1
-    )
+    # Quantize per ITEM to exact 1e-4 units (identical IEEE math in both
+    # engines, half-up handles negative item profit consistently) and sum
+    # integers: round(sum(double), 2) hash-failed at sf0.001 on a
+    # shortest-repr rounding tie -- integer sums cannot.
+    profit_e4 = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("l_quantity") * F.col("p_retailprice") * 0.1
+        )
+        * 10000
+        + 0.5
+    ).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -73,7 +81,7 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg((F.sum(profit_e4) / 10000.0).alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -349,8 +357,10 @@ ORACLES = {
     "profit_by_nation_year": """
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         - l_quantity * p_retailprice * 0.1), 2) AS profit
+               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                              - l_quantity * p_retailprice * 0.1)
+                             * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                   / 10000.0 AS profit
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey
