@@ -118,6 +118,7 @@ def attribution_join(
     *,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or batch-batch) interval join: every purchase
     attributed to each same-user click in the preceding ``horizon``.
@@ -125,8 +126,12 @@ def attribution_join(
     On streams both sides carry watermarks and the time-bound condition
     lets Spark expire join state (the unbounded-state trap of naive
     stream-stream joins); an INNER join emits matches as they arrive, so
-    no watermark flush is needed for output. On batch inputs the same
-    expression is a plain interval join -- what the oracle checks.
+    no watermark flush is needed for output. how="leftOuter" also emits
+    never-converted clicks (NULL purchase) -- but only once the
+    watermark passes their horizon, when Spark can PROVE no match is
+    coming (the replay test flushes with far-future sentinels). On
+    batch inputs the same expression is a plain interval join -- what
+    the oracle checks.
     """
     c = clicks.select(
         F.col("user_id").alias("c_user"),
@@ -149,6 +154,7 @@ def attribution_join(
             F.col("purchase_ts")
             < F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
         ),
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",
