@@ -205,6 +205,31 @@ def regr_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("user_id", "n", slope.alias("slope_per_hour"))
 
 
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 buckets of equal row count) of order
+    totals: ntile over a deterministic total order (price, key
+    tie-break), then per-bucket count + exact min/max bounds.
+
+    The global ntile sort is fine at oracle scale but is a single-sort
+    anti-pattern at 100 TB -- there, compute approximate cut points
+    first (approx_percentile over a sample), broadcast them, and bucket
+    with a map-only CASE; the per-bucket aggregate below is unchanged.
+    histogram_equi_width is the one-scan-plus-broadcast sibling.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.select(F.ntile(10).over(w).alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     "gap_fill_ffill": gap_fill_ffill,
     "correlated_subqueries": correlated_subqueries,
@@ -213,6 +238,7 @@ QUERIES = {
     "unpivot_melt": unpivot_melt,
     "trailing_range_window": trailing_range_window,
     "regr_slope_per_user": regr_slope_per_user,
+    "histogram_equi_depth": histogram_equi_depth,
 }
 
 ORACLES = {
@@ -278,6 +304,18 @@ ORACLES = {
         UNION ALL
         SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
         FROM customer WHERE c_custkey <= 100
+    """,
+    "histogram_equi_depth": """
+        SELECT bucket, count(*) AS n,
+               min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM (
+            SELECT CAST(ntile(10) OVER (
+                       ORDER BY o_totalprice ASC, o_orderkey ASC)
+                   AS INTEGER) AS bucket,
+                   o_totalprice
+            FROM orders
+        )
+        GROUP BY bucket ORDER BY bucket
     """,
     "regr_slope_per_user": """
         WITH m AS (
