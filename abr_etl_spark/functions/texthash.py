@@ -189,9 +189,13 @@ def dk_shingles(col: str = "text", n: int = 3) -> str:
 
 
 def dk_polyhash(expr: str) -> str:
+    # unicode('') is -1 in DuckDB but ascii('') is 0 in Spark, and an
+    # empty input string splits into [''] in both engines -- clamp so
+    # hash('') agrees (found by tests/test_texthash_parity.py).
     return (
         f"list_reduce(list_prepend(0::BIGINT, "
-        f"list_transform(split({expr}, ''), c -> unicode(c)::BIGINT)), "
+        f"list_transform(split({expr}, ''), "
+        f"c -> greatest(unicode(c), 0)::BIGINT)), "
         f"(acc, x) -> (acc * 31 + x) % {P})"
     )
 

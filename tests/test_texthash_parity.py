@@ -1,0 +1,60 @@
+"""Property test: the cross-engine hashing primitives in
+functions/texthash.py produce IDENTICAL values when evaluated by Spark
+and by DuckDB -- the foundation every replicated oracle (minhash, LSH
+bands, simhash, fingerprints) rests on.
+
+Alphabet is printable ASCII (the corpus contract): Spark ascii() vs
+DuckDB unicode() agree there by construction.
+"""
+
+import string
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from abr_etl_spark.functions import texthash as th
+
+ALPHABET = string.ascii_letters + string.digits + " .,;-"
+texts = st.lists(
+    st.text(alphabet=ALPHABET, min_size=0, max_size=60),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_polyhash_and_signatures_match_duckdb(spark, batch):
+    sdf = spark.createDataFrame([(t,) for t in batch], "text string")
+    got = (
+        sdf.select(
+            F.expr(th.sp_polyhash("text")).alias("ph"),
+            F.expr(th.sp_minhash(th.sp_shingle_hashes(th.sp_shingles("text"))))
+            .cast("string")
+            .alias("mh"),
+            F.expr(th.sp_simhash(th.sp_token_hashes(th.sp_tokens("text"))))
+            .alias("sh"),
+        )
+        .toPandas()
+        .astype(str)
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"text": batch}))
+    want = con.sql(
+        f"""
+        SELECT {th.dk_polyhash('text')} AS ph,
+               CAST({th.dk_minhash(th.dk_shingles('text'))} AS VARCHAR) AS mh,
+               {th.dk_simhash(th.dk_token_hashes(th.dk_tokens('text')))} AS sh
+        FROM t
+        """
+    ).df().astype(str)
+    con.close()
+    # row order is preserved (single partition, no shuffle)
+    for col in ("ph", "mh", "sh"):
+        assert list(got[col]) == list(want[col]), col
