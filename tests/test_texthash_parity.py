@@ -58,3 +58,58 @@ def test_polyhash_and_signatures_match_duckdb(spark, batch):
     # row order is preserved (single partition, no shuffle)
     for col in ("ph", "mh", "sh"):
         assert list(got[col]) == list(want[col]), col
+
+
+vecs = st.integers(min_value=2, max_value=12).flatmap(
+    lambda d: st.tuples(
+        st.lists(
+            st.floats(
+                min_value=-100,
+                max_value=100,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=d,
+            max_size=d,
+        ),
+        st.lists(
+            st.floats(
+                min_value=-100,
+                max_value=100,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=d,
+            max_size=d,
+        ),
+    )
+)
+
+
+@given(vecs)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cosine_matches_duckdb_bitwise(spark, pair):
+    from hypothesis import assume
+
+    a, b = pair
+    assume(sum(x * x for x in a) > 0 and sum(x * x for x in b) > 0)
+    sdf = spark.createDataFrame(
+        [(a, b)], "va array<float>, vb array<float>"
+    )
+    got = sdf.select(
+        F.expr(th.sp_cosine("va", "vb")).alias("cos")
+    ).first()["cos"]
+    con = duckdb.connect()
+    con.register("v", pd.DataFrame({"va": [a], "vb": [b]}))
+    want = con.sql(
+        f"SELECT {th.dk_cosine('va::FLOAT[]', 'vb::FLOAT[]')} AS cos FROM v"
+    ).fetchone()[0]
+    con.close()
+    # identical operation order => bit-identical doubles, no tolerance
+    assert got == want
