@@ -3,8 +3,9 @@ functions/texthash.py produce IDENTICAL values when evaluated by Spark
 and by DuckDB -- the foundation every replicated oracle (minhash, LSH
 bands, simhash, fingerprints) rests on.
 
-Alphabet is printable ASCII (the corpus contract): Spark ascii() vs
-DuckDB unicode() agree there by construction.
+Parity is NOT ASCII-limited: Spark ascii() and DuckDB unicode() both
+return the full Unicode codepoint of the first character, so the
+alphabet deliberately mixes ASCII with multibyte letters and an emoji.
 """
 
 import string
@@ -16,7 +17,7 @@ from pyspark.sql import functions as F
 
 from abr_etl_spark.functions import texthash as th
 
-ALPHABET = string.ascii_letters + string.digits + " .,;-"
+ALPHABET = string.ascii_letters + string.digits + " .,;-" + "éöæ日本語🙂"
 texts = st.lists(
     st.text(alphabet=ALPHABET, min_size=0, max_size=60),
     min_size=1,
