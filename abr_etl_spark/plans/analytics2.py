@@ -281,12 +281,16 @@ def spark_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     from abr_etl_spark.sources.lake import register_views
 
     register_views(spark, sf_dir)
+    # Exact integer cents / 1e-4 units (no float rounding step): same
+    # ANSI text shape a warehouse user would write, Spark `DIV` spelling.
     return spark.sql(
         """
         SELECT c_mktsegment,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue,
-               round(avg(o_totalprice), 4) AS avg_order
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0D
+                   AS revenue,
+               ((2 * sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+                 + count(*)) DIV (2 * count(*))) / 10000.0D AS avg_order
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY c_mktsegment
@@ -328,8 +332,11 @@ ORACLES = {
     "spark_sql_interface": """
         SELECT c_mktsegment,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue,
-               round(avg(o_totalprice), 4) AS avg_order
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) / 100.0 AS revenue,
+               ((2 * CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                 + count(*)) // (2 * count(*))) / 10000.0 AS avg_order
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY c_mktsegment

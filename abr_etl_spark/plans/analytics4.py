@@ -78,7 +78,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Exact integer tenth-cents per item (same rationale as q7): both
+    # the share ratio and the volume sum come from order-independent
+    # integer sums -- share is integer-rounded to ppm BEFORE the final
+    # exact division, so no engine ever rounds a float. The ppm step
+    # multiplies by 1e6, so BIGINT holds up to ~9e12 e4-units per
+    # (year) group; past that, sum into DECIMAL(38,0) instead.
+    vol_e4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
     nat = n.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
@@ -90,12 +98,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "ETHIOPIA", vol).otherwise(0.0))
-                / F.sum(vol),
-                6,
+            F.sum(
+                F.when(F.col("supp_nation") == "ETHIOPIA", vol_e4).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("__num"),
+            F.sum(vol_e4).alias("__den"),
+        )
+        .select(
+            "o_year",
+            (
+                F.expr("(1000000 * __num + __den DIV 2) DIV __den") / 1000000.0
             ).alias("mkt_share"),
-            F.round(F.sum(vol), 2).alias("total_volume"),
+            (F.expr("(__den + 50) DIV 100") / 100.0).alias("total_volume"),
         )
         .orderBy("o_year")
     )
@@ -128,12 +143,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     s = load_table(spark, sf_dir, "supplier")
+    # Integer tenth-cents sum, half-up to cents in integer space: the
+    # max-revenue comparison below then ranks EXACT integers, immune to
+    # float summation order (same pattern as q7).
+    rev_e4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
     rev = (
         l.groupBy("l_suppkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
+        .agg(F.sum(rev_e4).alias("__s"))
+        .select(
+            "l_suppkey",
+            (F.expr("(__s + 50) DIV 100") / 100.0).alias("total_revenue"),
         )
     )
     w = Window.orderBy(F.col("total_revenue").desc())
@@ -164,8 +185,17 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(broadcast(p), l.l_partkey == p.p_partkey)
         .join(avg_qty, l.l_partkey == F.col("ap_key"))
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        # Exact integer cents; /700.0 at the end is one division of an
+        # exact integer -- identical double in both engines, no rounding
+        # step to diverge. (avg_qty is safe as a float: quantities are
+        # integer-valued doubles, whose sums are exact in any order.)
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                )
+                / 700.0
+            ).alias("avg_yearly"),
             F.count("*").alias("n_items"),
         )
     )
@@ -267,19 +297,25 @@ ORACLES = {
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
     "q8_market_share": """
-        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               round(sum(CASE WHEN n_name = 'ETHIOPIA'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 6)
-                   AS mkt_share,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
-                   AS total_volume
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        GROUP BY 1 ORDER BY 1
+        WITH g AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(sum(CASE WHEN n_name = 'ETHIOPIA'
+                            THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                            * 10000 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS num,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS den
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1
+        )
+        SELECT o_year,
+               ((1000000 * num + den // 2) // den) / 1000000.0 AS mkt_share,
+               ((den + 50) // 100) / 100.0 AS total_volume
+        FROM g ORDER BY o_year
     """,
     "q13_order_distribution": """
         SELECT c_count, count(*) AS custdist FROM (
@@ -294,8 +330,9 @@ ORACLES = {
     "q15_top_supplier": """
         WITH rev AS (
             SELECT l_suppkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS total_revenue
+                   ((CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 10000 + 0.5) AS BIGINT))
+                      AS BIGINT) + 50) // 100) / 100.0 AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -311,7 +348,8 @@ ORACLES = {
             SELECT l_partkey AS ap_key, avg(l_quantity) AS aq
             FROM lineitem GROUP BY l_partkey
         )
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) / 700.0 AS avg_yearly,
                count(*) AS n_items
         FROM lineitem
         JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'

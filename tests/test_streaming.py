@@ -318,3 +318,13 @@ def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
         assert any(r[2] is None for r in got)
     finally:
         q.stop()
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("key", sorted(streaming_queries.QUERIES))
+def test_streaming_queries_vs_oracle(spark, ddb, key):
+    """Every D-block query (not just the hand-picked ones) vs its oracle."""
+    df = streaming_queries.QUERIES[key](spark, SF_ORACLE)
+    assert_matches_oracle(df, ddb, streaming_queries.ORACLES[key], key)
