@@ -116,6 +116,32 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape on this schema (no partsupp table): (supplier, part)
+    pairs whose shipped value exceeds 1/20000 of the GLOBAL total -- the
+    HAVING-against-a-scalar-subquery shape, expressed as a tiny global
+    aggregate broadcast back into the filter. Exact integer tenth-cents
+    everywhere, so the threshold comparison is integer-exact.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    val_e4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    per_pair = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(val_e4).alias("__v")
+    )
+    total = per_pair.agg(F.sum("__v").alias("__t"))
+    return (
+        per_pair.crossJoin(broadcast(total))
+        .where(F.col("__v") * 20000 > F.col("__t"))
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            (F.expr("(__v + 50) DIV 100") / 100.0).alias("value"),
+        )
+    )
+
+
 def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 shape: distribution of per-customer order counts, including
     customers with zero orders (LEFT OUTER preserved through both aggs)."""
@@ -272,6 +298,7 @@ def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
+    "q11_important_stock": q11_important_stock,
     "q13_order_distribution": q13_order_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_qty_revenue": q17_small_qty_revenue,
@@ -316,6 +343,21 @@ ORACLES = {
                ((1000000 * num + den // 2) // den) / 1000000.0 AS mkt_share,
                ((den + 50) // 100) / 100.0 AS total_volume
         FROM g ORDER BY o_year
+    """,
+    "q11_important_stock": """
+        WITH per_pair AS (
+            SELECT l_suppkey, l_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM lineitem GROUP BY l_suppkey, l_partkey
+        ), total AS (
+            SELECT CAST(sum(v) AS BIGINT) AS t FROM per_pair
+        )
+        SELECT l_suppkey, l_partkey,
+               ((v + 50) // 100) / 100.0 AS value
+        FROM per_pair, total
+        WHERE v * 20000 > t
     """,
     "q13_order_distribution": """
         SELECT c_count, count(*) AS custdist FROM (
