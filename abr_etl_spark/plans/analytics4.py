@@ -142,6 +142,35 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 flavor on this schema: suppliers shipping more than a FIFTH of
+    some part's total shipped quantity (parts are multi-sourced enough
+    that a 50% bar is vacuous at oracle scale) -- the per-group-threshold
+    semi-join (one shuffle computes both the pair and the part totals
+    via a window; quantities are integer-exact, so the threshold
+    comparison is engine-independent). Compare q11, which thresholds
+    against the single GLOBAL total instead.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    qty = F.col("l_quantity").cast("long")
+    per_pair = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty).alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        per_pair.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .where(5 * F.col("supp_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        dominant.join(broadcast(s), dominant.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 shape: distribution of per-customer order counts, including
     customers with zero orders (LEFT OUTER preserved through both aggs)."""
@@ -299,6 +328,7 @@ QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q11_important_stock": q11_important_stock,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
     "q13_order_distribution": q13_order_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_qty_revenue": q17_small_qty_revenue,
@@ -358,6 +388,21 @@ ORACLES = {
                ((v + 50) // 100) / 100.0 AS value
         FROM per_pair, total
         WHERE v * 20000 > t
+    """,
+    "q20_dominant_suppliers": """
+        WITH per_pair AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), shares AS (
+            SELECT l_suppkey, supp_qty,
+                   sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+            FROM per_pair
+        )
+        SELECT DISTINCT s_suppkey, s_name
+        FROM shares JOIN supplier ON l_suppkey = s_suppkey
+        WHERE 5 * supp_qty > part_qty
+        ORDER BY s_suppkey
     """,
     "q13_order_distribution": """
         SELECT c_count, count(*) AS custdist FROM (
