@@ -279,7 +279,23 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sanctioned Python path, driver-verified: binary payloads run
+    through the REAL Arrow-batched mapInPandas decode (operators/
+    multimodal.extract_features) and the oracle replays the stub's
+    header-parse checksum in pure SQL -- proving the Arrow batch
+    plumbing (schema, row alignment, bytes) end-to-end, not just in
+    pytest. Corpus is ASCII, so DuckDB's char slicing equals the stub's
+    byte slicing.
+    """
+    from abr_etl_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_payload(d))
+
+
 QUERIES = {
+    "multimodal_features": multimodal_features,
     "decontaminate_ngram": decontaminate_ngram,
     "repetition_score": repetition_score,
     "embedding_quantize": embedding_quantize,
@@ -311,6 +327,23 @@ def _pr_iter_sql(prev: str) -> str:
 
 
 ORACLES = {
+    # Replays decode_stub in SQL: width/height from byte length, checksum
+    # = base-31 fold over the first 64 bytes (ASCII corpus: char ==
+    # byte). greatest(unicode, 0) clamps DuckDB's unicode('') == -1 so an
+    # empty payload folds to 0 like the stub's empty loop.
+    "multimodal_features": """
+        SELECT doc_id,
+               'text/plain' AS mime,
+               CAST(strlen(text) AS INTEGER) AS n_bytes,
+               CAST(strlen(text) % 64 + 1 AS INTEGER) AS width,
+               CAST(strlen(text) % 48 + 1 AS INTEGER) AS height,
+               CAST(list_reduce(list_prepend(0::BIGINT,
+                        list_transform(split(substr(text, 1, 64), ''),
+                            c -> greatest(unicode(c), 0)::BIGINT)),
+                    (acc, b) -> (acc * 31 + b) % 2147483647)
+                    AS BIGINT) AS checksum
+        FROM documents
+    """,
     "decontaminate_ngram": f"""
         WITH sh AS (
             SELECT doc_id, unnest({_DK_SH5}) AS g FROM documents
