@@ -20,6 +20,11 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# Keys added in round 3, kept near the front of the driver's budget so each
+# gets a CORRECTNESS row in its first round. Extended as queries land.
+_R3_NEW_KEYS: list[str] = []
+
+
 def _registry() -> tuple[dict, dict]:
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
@@ -61,42 +66,36 @@ def _registry() -> tuple[dict, dict]:
         oracles.update(m.ORACLES)
 
     # Priority ordering: the driver checks queries in registry order under a
-    # budget, so put the keys that most need a fresh CORRECTNESS row first --
-    # round-1-unchecked (LLM pipeline + streaming) and previously
-    # hash-mismatched oracles -- then everything else in module order.
-    llm_keys: set = set()
-    llm2_keys: list = []
-    for m in modules:
-        if m.__name__.endswith("llm_pipeline"):
-            llm_keys = set(m.QUERIES)
-        if m.__name__.endswith("llm_pipeline2"):
-            llm2_keys = list(m.QUERIES)
+    # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
+    # first. r3: the 16 keys with no driver row yet (judge-verified green but
+    # never reached under the r1/r2 budgets) lead, followed by queries whose
+    # plans changed this round, then round-3 additions, then everything else
+    # in module order (all of which already has a green r1 or r2 row).
     priority = [
-        # r1 hash-fails (oracle dtype casts fixed in r2) -- these MUST
-        # flip to green rows, so they go first under any driver budget
-        "sessionize",
-        "q12_shipping_buckets",
-        "set_ops",
-        "funnel_counts",
-        "outlier_filter",
-        "json_props_agg",
-        "dq_completeness",
-        "dq_uniqueness",
-        "range_join_buckets",  # r1-vacuous (0 rows), now exercised
-        # r1-unchecked block (LLM pipeline + streaming)
-        *(k for k in queries if k in llm_keys),
-        "stream_window_counts",
-        # round-2 additions (no prior CORRECTNESS row)
-        "stream_sliding_avg",
-        "stream_session_windows",
-        "stream_attribution_join",
-        *llm2_keys,
-        *analytics4.QUERIES,
-        *analytics5.QUERIES,
-        "window_funcs",
-        "map_funcs",
-        "json_nested_extract",
+        # --- 16 driver-unchecked keys (VERDICT r2 item 1) ---
         "array_funcs",
+        "correlated_subqueries",
+        "gap_fill_ffill",
+        "grouping_sets_agg",
+        "histogram_equi_depth",
+        "histogram_equi_width",
+        "json_nested_extract",
+        "late_shipment_suppliers",
+        "map_funcs",
+        "q17_small_qty_revenue",
+        "regr_slope_per_user",
+        "salted_join_revenue",
+        "trailing_range_window",
+        "train_test_split",
+        "unpivot_melt",
+        "window_funcs",
+        # --- plans changed in r3 (need re-verification) ---
+        "ann_ivf_kmeans",  # distributed init + integer-unit centroid means
+        "q15_top_supplier",  # broadcast-scalar max instead of global window
+        "decontaminate_ngram",  # broadcast gate on the benchmark side
+        "dedup_canonical_star",  # convergence contract
+        # --- round-3 additions (no prior CORRECTNESS row) ---
+        *_R3_NEW_KEYS,
     ]
     ordered = {k: queries[k] for k in priority if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})

@@ -187,9 +187,17 @@ def ngram_jaccard_pairs(
     # The pair set is tiny (|true near-dups|); persist it so downstream
     # consumers in the same session (cluster canonicalization runs this
     # twice more for CC + star-CC) skip the candidate join + verify.
-    return verified.select(
+    # Materialize it NOW (count) so the sh/kept intermediate caches can
+    # be dropped immediately -- under a long single-session driver those
+    # would otherwise accumulate until eviction pressure. The count is
+    # served from cache on repeat calls (identical canonicalized plan).
+    pairs = verified.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     ).persist()
+    pairs.count()
+    sh.unpersist()
+    kept.unpersist()
+    return pairs
 
 
 def minhash_signatures(

@@ -49,6 +49,11 @@ def connected_components(
     # a full-width shuffle (pure scheduling overhead on tiny graphs);
     # above it, the loop stays distributed -- same plan, AQE-managed.
     n_edges = sym.count()  # also materializes the persist
+    # NOTE: ``edges`` stays persisted deliberately -- it is the CALLER's
+    # pair DataFrame (persist is not reference-counted, and an unpersist
+    # here would evict a cache the caller may share across queries, e.g.
+    # dedup_canonical / dedup_canonical_star reusing one verified pair
+    # set). Callers own the returned/input pair cache lifecycle.
     if n_edges <= small_graph_edges:
         sym = sym.coalesce(1)
 
@@ -177,6 +182,7 @@ def connected_components_star(
 
     cur = sym
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         cur = _round(_round(cur, large=True), large=False)
         # One aggregate = (count, order-independent hash) convergence
@@ -190,8 +196,17 @@ def connected_components_star(
         ).first()
         sig = (row["n"], row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # Same contract as connected_components: never return
+        # possibly-wrong labels silently when the cap is exhausted.
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "star rounds; raise max_iter"
+        )
     labels = (
         cur.union(cur.select(F.col("b").alias("a"), F.col("b").alias("b")))
         .groupBy("a")

@@ -259,24 +259,41 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Deterministic Lloyd k-means for the IVF coarse quantizer.
 
-    Init: the k lowest-id vectors (reproducible, no RNG). Each iteration
-    is fully declarative: assign every vector to its nearest centroid
-    (broadcast argmax, same plan as ivf_assign), then recompute centroids
-    as per-cell per-dimension means via posexplode + groupBy(cell, dim)
-    -- n x dim rows through one shuffle, no Python. Empty cells keep
-    their previous centroid. localCheckpoint between iterations cuts the
-    growing lineage so iteration i+1 doesn't replay iteration i.
+    Init: the k lowest-id vectors (reproducible, no RNG), found with
+    ``orderBy(id).limit(k)`` -- Catalyst compiles that to
+    TakeOrderedAndProject (distributed partial top-k per partition, then
+    a k-row merge on the driver), NOT a single-partition global sort.
+    centroid_id = the id's rank among the k winners, derived from one
+    broadcast 1-row sorted-id array -- no unpartitioned window anywhere
+    in the plan (the r2 ``WindowExec: No Partition Defined`` fix).
+
+    Each iteration is fully declarative: assign every vector to its
+    nearest centroid (broadcast argmax, same plan as ivf_assign), then
+    recompute centroids as per-cell per-dimension means via posexplode +
+    groupBy(cell, dim) -- n x dim rows through one shuffle, no Python.
+    The mean is computed in exact integer micro-units
+    (sum of floor(val*1e6 + 0.5) as BIGINT, one double division at the
+    end) so Spark's partial-aggregation summation order and DuckDB's
+    sequential order provably agree bit-for-bit -- a float-sum
+    order-dependence here would flip boundary-cell assignments and
+    cascade into oracle hash fails at other partitionings. Empty cells
+    keep their previous centroid. localCheckpoint between iterations
+    cuts the growing lineage so iteration i+1 doesn't replay iteration i.
 
     Returns (centroid_id, ``vec_col``) with centroid_id 0..k-1, directly
     consumable by ivf_ann_topk / ivf_assign.
     """
-    w_init = Window.orderBy(F.col(id_col).asc())
+    sel = df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k)
+    ids = sel.groupBy().agg(
+        F.array_sort(F.collect_list(id_col)).alias("__ids")
+    )
     centroids = (
-        df.select(id_col, vec_col)
-        .withColumn("__rn", F.row_number().over(w_init))
-        .where(F.col("__rn") <= k)
+        sel.crossJoin(broadcast(ids))
         .select(
-            (F.col("__rn") - 1).alias("centroid_id"), F.col(vec_col)
+            (F.array_position(F.col("__ids"), F.col(id_col)) - 1)
+            .cast("int")
+            .alias("centroid_id"),
+            F.col(vec_col),
         )
         .localCheckpoint(eager=True)
     )
@@ -292,7 +309,18 @@ def kmeans_centroids(
                 "centroid_id", F.posexplode(vec_col).alias("dim", "val")
             )
             .groupBy("centroid_id", "dim")
-            .agg(F.avg("val").alias("mu"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("val").cast("double") * 1000000 + F.lit(0.5)
+                    ).cast("long")
+                ).alias("__su"),
+                F.count("val").alias("__cnt"),
+            )
+            .withColumn(
+                "mu",
+                F.col("__su").cast("double") / F.col("__cnt") / F.lit(1000000.0),
+            )
             .groupBy("centroid_id")
             .agg(
                 F.expr(

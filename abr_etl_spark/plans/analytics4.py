@@ -191,8 +191,13 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 shape: supplier(s) with max revenue in a quarter -- aggregate
-    subquery + window max (ties kept, deterministic order)."""
+    """Q15 shape: supplier(s) with max revenue in a quarter -- the
+    aggregate subquery's max computed as a 1-row scalar aggregate and
+    broadcast back (crossJoin of one row), NOT a global window: the
+    per-supplier aggregate is millions of rows at 100x and an
+    unpartitioned ``max().over()`` would force them all into a single
+    partition. Ties kept, deterministic order (same broadcast-scalar
+    pattern as q11_important_stock)."""
     l = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
@@ -212,8 +217,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("(__s + 50) DIV 100") / 100.0).alias("total_revenue"),
         )
     )
-    w = Window.orderBy(F.col("total_revenue").desc())
-    top = rev.withColumn("__max", F.max("total_revenue").over(w)).where(
+    mx = rev.agg(F.max("total_revenue").alias("__max"))
+    top = rev.crossJoin(broadcast(mx)).where(
         F.col("total_revenue") == F.col("__max")
     )
     return (

@@ -205,21 +205,55 @@ def regr_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("user_id", "n", slope.alias("slope_per_hour"))
 
 
-def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-DEPTH histogram (10 buckets of equal row count) of order
-    totals: ntile over a deterministic total order (price, key
-    tie-break), then per-bucket count + exact min/max bounds.
+HIST_DEPTH_BUCKETS = 10
+# Deterministic ~1/7 key-mod sample for cut-point estimation: at 100 TB you
+# raise the modulus so the sample stays bounded; the plan shape is identical.
+HIST_DEPTH_SAMPLE_MOD = 7
 
-    The global ntile sort is fine at oracle scale but is a single-sort
-    anti-pattern at 100 TB -- there, compute approximate cut points
-    first (approx_percentile over a sample), broadcast them, and bucket
-    with a map-only CASE; the per-bucket aggregate below is unchanged.
+
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 near-equal-count buckets) of order totals
+    via SAMPLED CUT POINTS -- the 100 TB plan, not the global-sort one:
+
+    1. deterministic key-mod sample (o_orderkey % 7 == 0 -- reproducible,
+       no RNG; the modulus bounds the sample at any scale),
+    2. exact sample quantile boundaries from ONE 1-row aggregate
+       (sort_array(collect_list(cents)) then element_at at ceil(b*m/10)
+       -- partial collect per partition, merge of a bounded array; no
+       window, no global sort anywhere in the plan),
+    3. broadcast the 9 cut points and bucket the FULL table with a
+       map-only comparison chain; per-bucket count + exact min/max.
+
+    Bucket rule: bucket(v) = 1 + #cuts below v (ties stay together, so
+    depths are near-equal rather than exactly N/10 -- the standard
+    equi-depth contract at scale). Boundaries are exact integer cents,
+    so the rule is engine-independent; the oracle replays the identical
+    sample + cut-point + CASE math in SQL. A pytest asserts the depths
+    stay within a few percent of N/10 of the exact-ntile answer.
     histogram_equi_width is the one-scan-plus-broadcast sibling.
     """
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    sample = o.where(
+        F.col("o_orderkey") % HIST_DEPTH_SAMPLE_MOD == 0
+    ).select(cents.alias("__c"))
+    cuts = sample.agg(F.sort_array(F.collect_list("__c")).alias("__cs")).select(
+        *[
+            F.element_at(
+                F.col("__cs"),
+                F.expr(
+                    f"cast(ceil({b} * size(__cs) / {HIST_DEPTH_BUCKETS}) as int)"
+                ),
+            ).alias(f"__cut{b}")
+            for b in range(1, HIST_DEPTH_BUCKETS)
+        ]
+    )
+    bucket = F.lit(1)
+    for b in range(1, HIST_DEPTH_BUCKETS):
+        bucket = bucket + F.when(cents > F.col(f"__cut{b}"), 1).otherwise(0)
     return (
-        o.select(F.ntile(10).over(w).alias("bucket"), "o_totalprice")
+        o.crossJoin(F.broadcast(cuts))
+        .select(bucket.cast("int").alias("bucket"), "o_totalprice")
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
@@ -305,15 +339,33 @@ ORACLES = {
         SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
         FROM customer WHERE c_custkey <= 100
     """,
-    "histogram_equi_depth": """
+    # Replays the Spark plan's sampled-cut-point math exactly: same
+    # key-mod sample, same ceil(b*m/10) boundary indices over the sorted
+    # sample cents, same ">" bucket rule.
+    "histogram_equi_depth": f"""
+        WITH samp AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+            FROM orders WHERE o_orderkey % {HIST_DEPTH_SAMPLE_MOD} = 0
+        ), cs AS (
+            SELECT list_sort(list(c)) AS cs FROM samp
+        ), cuts AS (
+            SELECT {", ".join(
+                f"cs[CAST(ceil({b} * len(cs) / {HIST_DEPTH_BUCKETS})"
+                f" AS INTEGER)] AS cut{b}"
+                for b in range(1, HIST_DEPTH_BUCKETS)
+            )}
+            FROM cs
+        )
         SELECT bucket, count(*) AS n,
                min(o_totalprice) AS lo, max(o_totalprice) AS hi
         FROM (
-            SELECT CAST(ntile(10) OVER (
-                       ORDER BY o_totalprice ASC, o_orderkey ASC)
-                   AS INTEGER) AS bucket,
+            SELECT CAST(1 + {" + ".join(
+                "(CASE WHEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+                f" > cut{b} THEN 1 ELSE 0 END)"
+                for b in range(1, HIST_DEPTH_BUCKETS)
+            )} AS INTEGER) AS bucket,
                    o_totalprice
-            FROM orders
+            FROM orders, cuts
         )
         GROUP BY bucket ORDER BY bucket
     """,

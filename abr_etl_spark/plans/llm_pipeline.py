@@ -121,10 +121,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with Lloyd k-means centroids (k=10, 2 iterations,
+    """IVF ANN with Lloyd k-means centroids (k=KMEANS_K, KMEANS_ITERS
+    Lloyd iterations -- 1, per the recall note at the constant --
     deterministic lowest-id init) -- the oracle replays the identical
-    Lloyd iterations in SQL, so the coarse quantizer itself is
-    oracle-checked, not just the plan shape."""
+    iterations in SQL, so the coarse quantizer itself is oracle-checked,
+    not just the plan shape."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERY_VECS)
     cent = similarity.kmeans_centroids(
@@ -374,7 +375,10 @@ _LANG_CASE = (
 def _dk_kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     """DuckDB replay of operators/similarity.kmeans_centroids: lowest-id
     init, per-iteration (argmax-assign -> per-dim mean -> FLOAT cast),
-    empty cells keep the previous centroid. Returns CTEs ending in
+    empty cells keep the previous centroid. The per-dim mean uses the
+    SAME exact integer micro-unit math as the Spark side (sum of
+    floor(double(val)*1e6 + 0.5) as BIGINT, then one double division) so
+    summation order can't diverge. Returns CTEs ending in
     ``cent(centroid_id, c_vec)``."""
     cos = th.dk_cosine("e.embedding", "c.embedding")
     ctes = [
@@ -396,7 +400,10 @@ def _dk_kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
         )
         ctes.append(
             f"""m{i} AS (
-            SELECT cid, t.i AS dim, avg(embedding[t.i + 1]) AS mu
+            SELECT cid, t.i AS dim,
+                   CAST(sum(CAST(floor(
+                       CAST(embedding[t.i + 1] AS DOUBLE) * 1000000 + 0.5
+                   ) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS mu
             FROM a{i}, range({EMB_DIM}) t(i)
             GROUP BY cid, t.i)"""
         )

@@ -49,6 +49,16 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, n_shared_grams, n_bench_docs) for every training
     doc sharing at least one distinct 4-gram with any benchmark doc.
+
+    Both sides are distinct (id, gram) pairs before the join (the
+    counts are countDistinct, so dedup is lossless) and the join
+    strategy is left to AQE: the benchmark side here is doc_id % 25 --
+    ~4% of all corpus 4-gram rows, NOT a bounded set -- so a forced
+    broadcast would OOM at the 100 TB corpus this targets. AQE
+    broadcasts it while it fits and falls back to a shuffle hash join
+    beyond the threshold; a real deployment with a genuinely bounded
+    benchmark (distinct grams of a fixed eval suite) may re-add the
+    hint.
     """
     d = load_table(spark, sf_dir, "documents").withColumn(
         "tok", F.expr(th.sp_tokens("text"))
@@ -58,13 +68,13 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(th.sp_shingle_hashes_from_tokens("tok", DECONTAM_N))
         ).alias("g"),
-    )
+    ).distinct()
     bench = sh.where(F.col("doc_id") % BENCH_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "g"
     )
     train = sh.where(F.col("doc_id") % BENCH_MOD != 0)
     return (
-        train.join(broadcast(bench), "g")
+        train.join(bench, "g")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("g").alias("n_shared_grams"),
