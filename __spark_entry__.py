@@ -22,7 +22,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Keys added in round 3, kept near the front of the driver's budget so each
 # gets a CORRECTNESS row in its first round. Extended as queries land.
-_R3_NEW_KEYS: list[str] = []
+_R3_NEW_KEYS: list[str] = [
+    "triangle_count",
+    "reachability_bfs",
+    "markov_transitions",
+    "decay_weighted_sum",
+    "skyline_pareto",
+    "mode_per_group",
+    "interval_coverage",
+    "bucketed_join_revenue",
+    "kmv_distinct",
+    "bigram_lm",
+    "containment_pairs",
+    "stream_attribution_outer",
+]
 
 
 def _registry() -> tuple[dict, dict]:
@@ -35,8 +48,17 @@ def _registry() -> tuple[dict, dict]:
 
     import abr_etl_spark.plans.analytics4 as analytics4
     import abr_etl_spark.plans.analytics5 as analytics5
+    import abr_etl_spark.plans.analytics6 as analytics6
 
-    modules = [analytics, analytics2, analytics3, analytics4, analytics5, semistructured]
+    modules = [
+        analytics,
+        analytics2,
+        analytics3,
+        analytics4,
+        analytics5,
+        analytics6,
+        semistructured,
+    ]
     try:
         import abr_etl_spark.plans.etl_parity as etl_parity
 
@@ -59,6 +81,12 @@ def _registry() -> tuple[dict, dict]:
         import abr_etl_spark.plans.llm_pipeline2 as llm_pipeline2
 
         modules.append(llm_pipeline2)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline3 as llm_pipeline3
+
+        modules.append(llm_pipeline3)
     except ImportError:
         pass
     for m in modules:

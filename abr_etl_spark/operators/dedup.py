@@ -200,6 +200,75 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def containment_pairs(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: |A∩B| / min(|A|,|B|) >= ``threshold``.
+
+    Catches the asymmetric dup Jaccard misses -- a short document
+    wholesale-quoted inside a much longer one (containment ~1, jaccard
+    ~|A|/|B| ~ 0). Candidate generation is the same df-capped shingle
+    equi-join as ngram_jaccard_pairs (hot boilerplate shingles dropped
+    so per-shingle fan-out stays bounded at df_cap^2); the jaccard
+    prefix/length filters are deliberately NOT applied -- both assume a
+    bounded size RATIO, which containment explicitly allows. Exact
+    containment is verified on the full shingle sets of the surviving
+    candidates only, reported in exact 1e-4 integer units (no float
+    rounding to diverge across engines). A qualifying pair is missed
+    only if every shared shingle is df-hot -- i.e. the overlap is pure
+    boilerplate (same recall argument, and test, as jaccard's cap).
+    """
+    sh = shingle_df(df, text, id_col, n).persist()
+    exploded = sh.select(
+        F.col(id_col), F.explode("shingles").alias("sh_h")
+    )
+    w_df = Window.partitionBy("sh_h")
+    kept = exploded.withColumn("df", F.count("*").over(w_df)).where(
+        F.col("df") <= df_cap
+    )
+    cand = (
+        kept.alias("x")
+        .join(kept.alias("y"), "sh_h")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    side = sh.select(id_col, "shingles", "n_sh")
+    verified = (
+        cand.join(side.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .withColumnRenamed("shingles", "sh_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(side.withColumnRenamed(id_col, "doc_b"), "doc_b")
+        .withColumnRenamed("shingles", "sh_b")
+        .withColumnRenamed("n_sh", "n_b")
+        .withColumn(
+            "common",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long"),
+        )
+        .withColumn("m", F.least("n_a", "n_b").cast("long"))
+        .withColumn(
+            "cont_e4",
+            F.expr("(20000 * common + m) DIV (2 * m)"),
+        )
+        .where(F.col("cont_e4") >= int(round(threshold * 10000)))
+    )
+    # Same lifecycle as ngram_jaccard_pairs: materialize the (tiny)
+    # verified pair set, then drop the wide shingle cache immediately.
+    out = verified.select("doc_a", "doc_b", "common", "m", "cont_e4").persist()
+    out.count()
+    sh.unpersist()
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

@@ -1,0 +1,550 @@
+"""Coverage part 6 (round 3): graph analytics, sequence/interval
+analytics, and the bucketed no-shuffle join as a driver-checked query.
+
+- ``triangle_count``: per-vertex triangle counts on the supplier
+  co-shipment graph -- the canonical 3-way distributed edge join
+  (at planet scale you orient edges low-degree -> high-degree first so
+  no reducer sees a hub's full neighborhood; here edges are already
+  deduped (a < b) which is the same orientation trick in miniature).
+- ``reachability_bfs``: bounded-hop BFS frontier expansion (3 hops)
+  from seed suppliers -- the iterative-join shape (frontier ⋈ edges,
+  anti-join visited) whose oracle is a recursive CTE.
+- ``markov_transitions``: event-type -> next-event-type transition
+  matrix per user stream (lead window, one shuffle) with exact
+  integer-unit conditional probabilities.
+- ``decay_weighted_sum``: trailing exponentially-decayed sum over each
+  user's last 8 events via stacked lag() -- power-of-two weights in
+  exact integer units, so stream-order arithmetic is reproducible
+  everywhere (the EWMA-at-scale trick: bounded window + integer math).
+- ``skyline_pareto``: 2-D pareto frontier (max size, min price) per
+  brand from two RANGE-frame windows over one partitioning -- no
+  quadratic dominance join; oracle proves equivalence via NOT EXISTS.
+- ``mode_per_group``: exact mode with deterministic tie-break via one
+  partitioned top-1 window (WindowGroupLimit pushes the limit into the
+  shuffle at scale).
+- ``interval_coverage``: merge overlapping per-user intervals
+  (gaps-and-islands via running-max window) and total the covered
+  seconds -- the dedup-by-time primitive for session/view-time data.
+- ``bucketed_join_revenue``: fact-fact join read from bucketed tables
+  (operators/joins.write_bucketed) so the join needs NO exchange --
+  falls back to the plain join if the driver environment cannot
+  saveAsTable (results identical either way; the oracle checks values,
+  tests/test_joins.py asserts the no-Exchange plan).
+
+Reference parity: the reference (abr-etl, Go) delegates all analytics to
+Athena SQL; these queries are the Spark-native equivalents of shapes its
+users run downstream (SURVEY.md §2.B/§2.C rationale).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from abr_etl_spark.operators.joins import bucketed_join, write_bucketed
+from abr_etl_spark.sources.lake import load_table
+
+# Supplier co-shipment graph: suppliers are connected iff they ship the
+# same part. The part cap keeps the driver-scale graph small; at 100 TB
+# the same construction is bounded by a df-cap on parts (a part shipped
+# by thousands of suppliers is the hot-shingle analogue and would
+# quadratically blow up the pair join).
+GRAPH_PART_CAP = 60
+BFS_HOPS = 3
+BFS_SEEDS = 5
+DECAY_USERS = 20
+DECAY_WINDOW = 8
+COVERAGE_USERS = 50
+COVERAGE_INTERVAL_S = 1800
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected edge set (a < b), deduped, lineage-truncated once --
+    loop-invariant input for the triangle and BFS consumers."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_partkey") < GRAPH_PART_CAP
+    )
+    sp = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        sp.alias("x")
+        .join(sp.alias("y"), "l_partkey")
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts: edges are stored once in (a < b)
+    orientation, so each triangle {x<y<z} is enumerated exactly once as
+    e(x,y) ⋈ e(y,z) ⋈ e(x,z) -- three shuffle-join stages over 16-byte
+    edge rows, then an explode + count per vertex."""
+    e = _supplier_edges(spark, sf_dir)
+    tri = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            F.col("e1.b") == F.col("e2.a"),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+            "leftsemi",
+        )
+    )
+    return (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("s_suppkey")
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("s_suppkey")
+    )
+
+
+def reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachable-set size within BFS_HOPS hops for each seed supplier.
+
+    Frontier expansion: visited/frontier carry (seed, node) pairs; each
+    hop is one equi-join frontier ⋈ edges plus an anti-join against
+    visited (so hubs aren't re-expanded -- the term that keeps iterative
+    BFS near-linear). The symmetric edge view doubles edge rows instead
+    of running two directed joins per hop."""
+    e = _supplier_edges(spark, sf_dir)
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    seeds = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .where(F.col("node") < BFS_SEEDS)
+        .select(F.col("node").alias("seed"), "node")
+    )
+    visited = seeds.localCheckpoint()
+    frontier = visited
+    for _ in range(BFS_HOPS):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.a)
+            .select("seed", F.col("b").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return (
+        visited.where(F.col("seed") != F.col("node"))
+        .groupBy("seed")
+        .agg(F.count("*").alias("n_reachable"))
+        .orderBy("seed")
+    )
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix over per-user event streams: one
+    lead() window (partitioned by user -- no global sort), then a
+    count aggregate; P(next|cur) in exact 1e-4 integer units."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    steps = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    counts = steps.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    w_cur = Window.partitionBy("cur")
+    return (
+        counts.withColumn("n_cur", F.sum("n").over(w_cur))
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            "n_cur",
+            F.expr("(20000 * n + n_cur) DIV (2 * n_cur)").alias("p_e4"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+def decay_weighted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-decayed sum per event: the current event's
+    value (in 1e-4 units) weighted 2^(W-1), the previous 2^(W-2), ...,
+    the (W-1)-hops-back event weighted 1 -- all integer, so partial-sum
+    order cannot perturb the result. W stacked lag() calls share ONE
+    window partitioning (single shuffle); at scale this is the bounded
+    EWMA: state is W rows per key, never unbounded history."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") < DECAY_USERS
+    )
+    v_e4 = F.floor(F.col("value") * 10000 + 0.5).cast("long")
+    base = ev.select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"),
+        v_e4.alias("v_e4"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_s").asc(), F.col("event_id").asc()
+    )
+    decayed = sum(
+        (
+            F.coalesce(F.lag("v_e4", j).over(w), F.lit(0))
+            * F.lit(2 ** (DECAY_WINDOW - 1 - j))
+        )
+        for j in range(DECAY_WINDOW)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        decayed.cast("long").alias("decayed_units"),
+    ).orderBy("user_id", "ts_s", "event_id")
+
+
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier per brand (maximize p_size, minimize price).
+
+    part q dominates p iff (q cheaper AND q.size >= p.size) OR
+    (q no pricier AND q.size > p.size). Both arms are max-size window
+    lookups over the SAME (brand, price-cents) partitioning with RANGE
+    frames (strictly-cheaper / no-pricier), so the whole dominance test
+    is two windows + one filter -- no O(n^2) self-join, and the windows
+    share one shuffle. Ties (equal price+size survivors) all stay on
+    the frontier, matching the NOT EXISTS oracle."""
+    p = load_table(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+    base = p.select(
+        "p_brand", "p_partkey", "p_size", cents.alias("price_c")
+    )
+    w_lt = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("price_c").asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_le = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("price_c").asc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("m_lt", F.max("p_size").over(w_lt))
+        .withColumn("m_le", F.max("p_size").over(w_le))
+        .where(
+            ~(
+                (F.coalesce(F.col("m_lt"), F.lit(-1)) >= F.col("p_size"))
+                | (F.col("m_le") > F.col("p_size"))
+            )
+        )
+        .select("p_brand", "p_partkey", "p_size", "price_c")
+        .orderBy("p_brand", "price_c", "p_partkey")
+    )
+
+
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact modal order priority per customer segment, deterministic
+    tie-break (highest count, then lexicographically smallest value).
+    The count aggregate shrinks the data to |segments| x |priorities|
+    rows BEFORE the top-1 window, and WindowGroupLimit keeps only one
+    row per segment through the final shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    counts = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("c_mktsegment", "o_orderpriority", "n")
+        .orderBy("c_mktsegment")
+    )
+
+
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered seconds per user after merging overlapping
+    [ts, ts + 30 min) intervals -- gaps-and-islands with a running-max
+    of interval end (ROWS frame over one per-user partitioning; strict
+    > so abutting intervals merge). Output: per-user covered seconds
+    and merged-interval count."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") < COVERAGE_USERS
+    )
+    base = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + COVERAGE_INTERVAL_S).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("s").asc(), F.col("event_id").asc()
+    )
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    islands = (
+        base.withColumn("rm", F.max("e").over(w_prev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("rm").isNull() | (F.col("s") > F.col("rm")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.sum(F.col("hi") - F.col("lo")).alias("covered_s"),
+            F.count("*").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority off a fact-fact join that, when both
+    sides are bucketed on the join key, runs with ZERO exchange (the
+    bucket-once-join-forever answer to repeated 100 TB fact joins;
+    tests/test_joins.py asserts the no-Exchange plan). saveAsTable needs
+    a writable warehouse; if the driver environment lacks one, fall
+    back to the identical plain join -- values are the same either way,
+    which is exactly what the oracle checks."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+        )
+        .cast("long")
+        .alias("rev_c"),
+    )
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    try:
+        for tbl in (f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"):
+            # The in-memory catalog forgets tables across sessions but
+            # their warehouse directories persist; clear BOTH or
+            # saveAsTable refuses with LOCATION_ALREADY_EXISTS.
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+        write_bucketed(o, f"bkt_orders_{tag}", "o_orderkey", buckets=8)
+        write_bucketed(
+            l.withColumnRenamed("l_orderkey", "o_orderkey"),
+            f"bkt_lineitem_{tag}",
+            "o_orderkey",
+            buckets=8,
+        )
+        joined = bucketed_join(
+            spark, f"bkt_orders_{tag}", f"bkt_lineitem_{tag}", "o_orderkey"
+        )
+    except Exception:  # pragma: no cover - driver env without a warehouse
+        joined = o.join(
+            l.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.sum("rev_c").alias("revenue_c"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES = {
+    "triangle_count": triangle_count,
+    "reachability_bfs": reachability_bfs,
+    "markov_transitions": markov_transitions,
+    "decay_weighted_sum": decay_weighted_sum,
+    "skyline_pareto": skyline_pareto,
+    "mode_per_group": mode_per_group,
+    "interval_coverage": interval_coverage,
+    "bucketed_join_revenue": bucketed_join_revenue,
+}
+
+_EDGES_CTE = f"""
+        sp AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_partkey < {GRAPH_PART_CAP}
+        ), edges AS (
+            SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+            FROM sp x JOIN sp y ON x.l_partkey = y.l_partkey
+            WHERE x.l_suppkey < y.l_suppkey
+        )
+"""
+
+ORACLES = {
+    "triangle_count": f"""
+        WITH {_EDGES_CTE},
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM edges e1
+            JOIN edges e2 ON e1.b = e2.a
+            WHERE EXISTS (
+                SELECT 1 FROM edges e3
+                WHERE e3.a = e1.a AND e3.b = e2.b
+            )
+        )
+        SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT unnest([x, y, z]) AS s_suppkey FROM tri
+        )
+        GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    "reachability_bfs": f"""
+        WITH RECURSIVE {_EDGES_CTE},
+        sym AS (
+            SELECT a, b FROM edges
+            UNION ALL SELECT b AS a, a AS b FROM edges
+        ),
+        r(seed, node, d) AS (
+            SELECT DISTINCT a AS seed, a AS node, 0 FROM sym
+            WHERE a < {BFS_SEEDS}
+            UNION
+            SELECT r.seed, s.b, r.d + 1
+            FROM r JOIN sym s ON r.node = s.a
+            WHERE r.d < {BFS_HOPS}
+        )
+        SELECT seed, CAST(count(DISTINCT node) AS BIGINT) AS n_reachable
+        FROM r WHERE node <> seed
+        GROUP BY seed ORDER BY seed
+    """,
+    "markov_transitions": """
+        WITH steps AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        ), counts AS (
+            SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+            FROM steps WHERE nxt IS NOT NULL GROUP BY cur, nxt
+        )
+        SELECT cur, nxt, n,
+               CAST(sum(n) OVER (PARTITION BY cur) AS BIGINT) AS n_cur,
+               CAST((20000 * n + sum(n) OVER (PARTITION BY cur))
+                    // (2 * sum(n) OVER (PARTITION BY cur)) AS BIGINT)
+                   AS p_e4
+        FROM counts ORDER BY cur, nxt
+    """,
+    "decay_weighted_sum": f"""
+        WITH base AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
+            FROM events WHERE user_id < {DECAY_USERS}
+        )
+        SELECT user_id, event_id, ts_s,
+               CAST({" + ".join(
+                   f"coalesce(lag(v_e4, {j}) OVER w, 0) * {2 ** (DECAY_WINDOW - 1 - j)}"
+                   for j in range(DECAY_WINDOW)
+               )} AS BIGINT) AS decayed_units
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        ORDER BY user_id, ts_s, event_id
+    """,
+    "skyline_pareto": """
+        WITH base AS (
+            SELECT p_brand, p_partkey, p_size,
+                   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                       AS price_c
+            FROM part
+        )
+        SELECT p_brand, p_partkey, p_size, price_c
+        FROM base p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM base q
+            WHERE q.p_brand = p.p_brand
+              AND ((q.price_c < p.price_c AND q.p_size >= p.p_size)
+                   OR (q.price_c <= p.price_c AND q.p_size > p.p_size))
+        )
+        ORDER BY p_brand, price_c, p_partkey
+    """,
+    "mode_per_group": """
+        WITH counts AS (
+            SELECT c_mktsegment, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderpriority
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_mktsegment
+                ORDER BY n DESC, o_orderpriority ASC
+            ) AS rn
+            FROM counts
+        )
+        SELECT c_mktsegment, o_orderpriority, n
+        FROM ranked WHERE rn = 1 ORDER BY c_mktsegment
+    """,
+    "interval_coverage": f"""
+        WITH base AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                       + {COVERAGE_INTERVAL_S} AS e
+            FROM events WHERE user_id < {COVERAGE_USERS}
+        ), marked AS (
+            SELECT user_id, s, e,
+                   CASE WHEN max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING
+                        ) IS NULL
+                        OR s > max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING
+                        )
+                        THEN 1 ELSE 0 END AS new_island,
+                   event_id
+            FROM base
+        ), islands AS (
+            SELECT user_id, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM marked
+        ), per_island AS (
+            SELECT user_id, island, min(s) AS lo, max(e) AS hi
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(sum(hi - lo) AS BIGINT) AS covered_s,
+               CAST(count(*) AS BIGINT) AS n_intervals
+        FROM per_island GROUP BY user_id ORDER BY user_id
+    """,
+    "bucketed_join_revenue": """
+        SELECT o_orderpriority,
+               CAST(sum(CAST(floor(
+                   l_extendedprice * (1 - l_discount) * 100 + 0.5
+               ) AS BIGINT)) AS BIGINT) AS revenue_c,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+}

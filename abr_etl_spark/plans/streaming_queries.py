@@ -49,11 +49,27 @@ def q_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER click<->purchase attribution: matched conversions plus
+    never-converted clicks (NULL purchase) plus organic purchases with
+    no preceding click (NULL click). On streams both unmatched sides
+    emit only after the min-of-both watermarks proves no match can
+    arrive (tests/test_streaming.py replays it); on batch it is the
+    plain full-outer interval join the oracle checks."""
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        how="fullOuter",
+    )
+
+
 QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_sliding_avg": q_stream_sliding_avg,
     "stream_session_windows": q_stream_session_windows,
     "stream_attribution_join": q_stream_attribution_join,
+    "stream_attribution_outer": q_stream_attribution_outer,
 }
 
 ORACLES = {
@@ -123,5 +139,21 @@ ORACLES = {
          AND p.ts >= c.ts
          AND p.ts < c.ts + INTERVAL 1 HOUR
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    # The event-type filters live in the join INPUTS (subqueries), not a
+    # post-join WHERE -- on an outer join a WHERE would wrongly drop the
+    # NULL-side rows.
+    "stream_attribution_outer": """
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT)
+                   - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        FULL OUTER JOIN
+             (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts < c.ts + INTERVAL 1 HOUR
     """,
 }

@@ -129,9 +129,13 @@ def attribution_join(
     no watermark flush is needed for output. how="leftOuter" also emits
     never-converted clicks (NULL purchase) -- but only once the
     watermark passes their horizon, when Spark can PROVE no match is
-    coming (the replay test flushes with far-future sentinels). On
-    batch inputs the same expression is a plain interval join -- what
-    the oracle checks.
+    coming (the replay test flushes with far-future sentinels).
+    how="fullOuter" additionally emits orphan purchases (no click in the
+    preceding horizon -- NULL click), under the same
+    watermark-proves-absence rule on BOTH sides; user_id is coalesced
+    across sides so orphan rows keep their key. On batch inputs the
+    same expression is a plain (outer) interval join -- what the oracle
+    checks.
     """
     c = clicks.select(
         F.col("user_id").alias("c_user"),
@@ -156,7 +160,9 @@ def attribution_join(
         ),
         how,
     ).select(
-        F.col("c_user").alias("user_id"),
+        # coalesce is a no-op for inner/leftOuter (c_user never null
+        # there) and keeps the key on orphan-purchase rows in fullOuter.
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         "click_id",
         "purchase_id",
         (

@@ -13,6 +13,24 @@ import os
 import sys
 import time
 
+# The round-1 headliner set, kept stable so round-over-round regression
+# is one subtraction: BENCH_rN.r1_subset_total vs BENCH_r1.value.
+R1_SUBSET = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "delta_updated",
+    "delta_classify_lake",
+    "sessionize",
+    "asof_purchase_view",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce",
+    "text_stats",
+    "stream_window_counts",
+]
+
 HEADLINERS = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -40,6 +58,10 @@ HEADLINERS = [
     "stream_session_windows",
     "embedding_quantize",
     "corpus_pipeline",
+    # r3 additions
+    "triangle_count",
+    "containment_pairs",
+    "kmv_distinct",
 ]
 
 
@@ -77,6 +99,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "r1_subset_total": round(
+                    sum(timings.get(k, 0.0) for k in R1_SUBSET), 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -320,6 +320,66 @@ def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
         q.stop()
 
 
+def test_stream_stream_full_outer_join_equals_batch(spark, tmp_path):
+    """fullOuter stream-stream join: BOTH unmatched sides (clicks with
+    no purchase, purchases with no preceding click) emit once the
+    min-of-both watermarks proves no match can arrive; replay must
+    equal the batch full-outer interval join."""
+    import glob as _glob
+    import shutil as _sh
+
+    d = tmp_path / "fouter_stream"
+    d.mkdir()
+    _sh.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
+    ev = load_table(spark, SF_SMOKE, "events")
+    raw = spark.read.parquet(str(d / "a.parquet"))
+    max_ns = raw.agg(F.max("ts").alias("m")).first()["m"]
+    day_ns = 86400 * 10**9
+
+    def _drop_sentinels(name: str, ts_ns: int) -> None:
+        tmp = str(tmp_path / f"__{name}")
+        spark.createDataFrame(
+            [
+                (10**9, ts_ns, -1, "click", 0.0, "{}"),
+                (10**9 + 1, ts_ns, -1, "purchase", 0.0, "{}"),
+            ],
+            raw.schema,
+        ).coalesce(1).write.parquet(tmp)
+        _sh.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], d / name)
+
+    _drop_sentinels("b.parquet", max_ns + 10 * day_ns)
+    stream = stream_ops.read_event_stream(spark, str(d))
+    joined = stream_ops.attribution_join(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        how="fullOuter",
+    )
+    q = stream_ops.run_stream_to_memory(joined, "fo_out", output_mode="append")
+    try:
+        _drop_sentinels("c.parquet", max_ns + 20 * day_ns)
+        q.processAllAvailable()
+        got = {
+            tuple(r)
+            for r in spark.sql(
+                "select * from fo_out where user_id >= 0"
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in stream_ops.attribution_join(
+                ev.where(F.col("event_type") == "click"),
+                ev.where(F.col("event_type") == "purchase"),
+                how="fullOuter",
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+        # both outer arms actually fired
+        assert any(r[2] is None for r in got)  # click, no purchase
+        assert any(r[1] is None for r in got)  # purchase, no click
+    finally:
+        q.stop()
+
+
 import pytest as _pytest
 
 
