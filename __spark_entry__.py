@@ -20,21 +20,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Keys added in round 3, kept near the front of the driver's budget so each
-# gets a CORRECTNESS row in its first round. Extended as queries land.
-_R3_NEW_KEYS: list[str] = [
-    "triangle_count",
-    "reachability_bfs",
-    "markov_transitions",
+# Round-5 priority head, ordered by how badly each key needs a fresh
+# CORRECTNESS row under the driver's ~50-row budget:
+# 1. the ten keys broken by the Spark-4 TIMESTAMP_NTZ inference change,
+#    fixed this round via the load-time contract (functions/event_time.py)
+#    -- each needs a green row to close the r4 verdict's top item;
+# 2. keys whose plan changed this round (kmv bounded-shuffle rewrite) or
+#    that are brand new (dedup_incremental_probe, r4 verdict item 5);
+# 3. the reference-parity delta-engine core, whose driver rows are stale
+#    since r1 (r4 verdict item 7).
+_R5_PRIORITY: list[str] = [
+    # --- 1. NTZ-fixed event-time surface ---
+    "sessionize",
+    "asof_purchase_view",
+    "range_join_buckets",
+    "ohlc_bars",
+    "trailing_range_window",
+    "regr_slope_per_user",
     "decay_weighted_sum",
-    "skyline_pareto",
-    "mode_per_group",
     "interval_coverage",
-    "bucketed_join_revenue",
-    "kmv_distinct",
-    "bigram_lm",
-    "containment_pairs",
+    "stream_attribution_join",
     "stream_attribution_outer",
+    # --- 2. changed / new this round ---
+    "kmv_distinct",
+    "dedup_incremental_probe",
+    # --- 3. r1-stale reference-parity delta core ---
+    "delta_updated",
+    "delta_added",
+    "delta_removed",
+    "delta_unchanged_count",
+    "snapshot_latest",
+    "scd2",
+    "delta_classify_lake",
+    "incremental_agg",
+    "dq_referential",
 ]
 
 
@@ -95,37 +114,8 @@ def _registry() -> tuple[dict, dict]:
 
     # Priority ordering: the driver checks queries in registry order under a
     # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
-    # first. r3: the 16 keys with no driver row yet (judge-verified green but
-    # never reached under the r1/r2 budgets) lead, followed by queries whose
-    # plans changed this round, then round-3 additions, then everything else
-    # in module order (all of which already has a green r1 or r2 row).
-    priority = [
-        # --- 16 driver-unchecked keys (VERDICT r2 item 1) ---
-        "array_funcs",
-        "correlated_subqueries",
-        "gap_fill_ffill",
-        "grouping_sets_agg",
-        "histogram_equi_depth",
-        "histogram_equi_width",
-        "json_nested_extract",
-        "late_shipment_suppliers",
-        "map_funcs",
-        "q17_small_qty_revenue",
-        "regr_slope_per_user",
-        "salted_join_revenue",
-        "trailing_range_window",
-        "train_test_split",
-        "unpivot_melt",
-        "window_funcs",
-        # --- plans changed in r3 (need re-verification) ---
-        "ann_ivf_kmeans",  # distributed init + integer-unit centroid means
-        "q15_top_supplier",  # broadcast-scalar max instead of global window
-        "decontaminate_ngram",  # broadcast gate on the benchmark side
-        "dedup_canonical_star",  # convergence contract
-        # --- round-3 additions (no prior CORRECTNESS row) ---
-        *_R3_NEW_KEYS,
-    ]
-    ordered = {k: queries[k] for k in priority if k in queries}
+    # first (see _R5_PRIORITY), then everything else in module order.
+    ordered = {k: queries[k] for k in _R5_PRIORITY if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
     return ordered, oracles
 

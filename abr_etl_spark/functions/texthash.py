@@ -125,6 +125,23 @@ def sp_token_hashes(tokens_expr: str) -> str:
     return f"transform({tokens_expr}, t -> {sp_polyhash('t')})"
 
 
+def sp_gram_hashes_from_token_hashes(th_col: str, n: int = 3) -> str:
+    """Distinct word n-gram hashes from a MATERIALIZED token-hash array
+    column: each gram hash polynomial-folds its n token hashes, so the
+    char-level hashing runs once per TOKEN (in the column feeding
+    ``th_col``), not once per (gram x token), and no gram string is ever
+    built (array_join + copy dominated the string path). Whole doc = one
+    gram when shorter than n tokens. Exact twin: dk_gram_hashes_from_
+    token_hashes. Distinctness is over gram-hash values -- identical
+    math both engines, so any collision merges identically."""
+    gram = sp_polyhash_list(f"slice({th_col}, i + 1, {n})")
+    return (
+        f"CASE WHEN size({th_col}) >= {n} THEN array_distinct("
+        f"transform(sequence(0, size({th_col}) - {n}), i -> {gram})) "
+        f"ELSE array({sp_polyhash_list(th_col)}) END"
+    )
+
+
 def sp_simhash(th: str, bits: int = SIMHASH_BITS) -> str:
     """SimHash from a precomputed token-hash array column (materialize the
     hashes once -- the per-bit vote re-references the array, not the
@@ -226,6 +243,16 @@ def dk_band_sigs(mh_expr: str, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> 
 
 def dk_token_hashes(tokens_expr: str) -> str:
     return f"list_transform({tokens_expr}, t -> {dk_polyhash('t')})"
+
+
+def dk_gram_hashes_from_token_hashes(th_expr: str, n: int = 3) -> str:
+    """DuckDB twin of sp_gram_hashes_from_token_hashes."""
+    gram = dk_polyhash_list(f"list_slice({th_expr}, i + 1, i + {n})")
+    return (
+        f"CASE WHEN len({th_expr}) >= {n} THEN list_distinct("
+        f"list_transform(range(0, len({th_expr}) - {n} + 1), i -> {gram})) "
+        f"ELSE [{dk_polyhash_list(th_expr)}] END"
+    )
 
 
 def dk_simhash(th: str, bits: int = SIMHASH_BITS) -> str:

@@ -342,9 +342,15 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return verified.select(
+    # Materialize the (tiny) pair set so the signature cache can be
+    # dropped now rather than leak until session eviction pressure --
+    # same lifecycle as ngram_jaccard_pairs above.
+    pairs = verified.select(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
-    )
+    ).persist()
+    pairs.count()
+    sigs.unpersist()
+    return pairs
 
 
 def simhash_fingerprints(
@@ -403,8 +409,14 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    # Materialize, then drop the fingerprint cache (same lifecycle as
+    # ngram_jaccard_pairs / minhash_lsh_pairs).
+    pairs = (
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .persist()
     )
+    pairs.count()
+    fp.unpersist()
+    return pairs

@@ -57,12 +57,17 @@ def probe_index(
     new-vs-new, verified with exact Jaccard. Pair ids are ordered
     (doc_a < doc_b) regardless of which side is new.
 
-    The new increment's signatures are computed once and persisted; the
-    index side is assumed already materialized (a lake read)."""
+    Both sides of the probe are materialized exactly once: the increment's
+    signatures AND the combined (index ∪ increment) relation are persisted
+    before the three consumers (band join + the two exact-verify side
+    joins) -- without this, a lazily-built index side would re-derive the
+    interpreted minhash lineage up to 4x (measured 280 s vs 4 s at
+    sf0.01). In production the index side is a lake read, so the persist
+    caches parquet rows, not recomputation."""
     new_index = build_minhash_index(
         new_docs, text=text, id_col=id_col, n=n
     ).persist()
-    combined = index.unionByName(new_index)
+    combined = index.unionByName(new_index).persist()
     nb = _banded(new_index, id_col)
     cb = _banded(combined, id_col)
     cand = (
@@ -90,4 +95,9 @@ def probe_index(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    out = verified.select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    ).localCheckpoint()
+    new_index.unpersist()
+    combined.unpersist()
+    return out

@@ -458,7 +458,7 @@ def embedding_dup_pairs(
         .distinct()
     )
     side = base.select("id", "v", "__n")
-    return (
+    pairs = (
         cand.join(
             side.select(
                 F.col("id").alias("doc_a"),
@@ -484,4 +484,10 @@ def embedding_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
+        # Materialize the (tiny) pair set, then drop the vector/bucket
+        # cache (same lifecycle as the dedup.py pair operators).
+        .persist()
     )
+    pairs.count()
+    base.unpersist()
+    return pairs

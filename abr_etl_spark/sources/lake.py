@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from abr_etl_spark.functions.event_time import normalize_event_time
+
 TPCH_TABLES = (
     "region",
     "nation",
@@ -34,12 +36,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (columnar parquet scan; pruning/pushdown
     verified in tests/test_plans.py).
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a nanos
-    long (spark.sql.legacy.parquet.nanosAsLong); convert to a micros
-    timestamp with exact integer division -- same truncation DuckDB
-    applies, so both engines see identical instants. The conf is set at
-    runtime so the engine also works under a CALLER-OWNED SparkSession
-    (e.g. the verification driver) that didn't set it at build time.
+    events.ts is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false); depending
+    on the runtime Spark reads it as bigint nanos (legacy nanosAsLong),
+    TIMESTAMP_NTZ (Spark 4.x), or TIMESTAMP. normalize_event_time
+    (functions/event_time.py) is the single type contract turning any of
+    those into an LTZ timestamp whose epoch treats the naive wall-clock as
+    UTC -- identical to DuckDB's epoch(ts) on the same file. Confs are set
+    at runtime so the engine also works under a CALLER-OWNED SparkSession
+    (e.g. the verification driver) that didn't set them at build time.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -49,8 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass  # locked static conf: session.py already set it
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        # runtime-proof type contract: bigint nanos / TIMESTAMP_NTZ /
+        # TIMESTAMP all leave here as an LTZ timestamp with UTC epoch
+        # semantics (see functions/event_time.py).
+        df = normalize_event_time(df, "ts")
     return df
 
 

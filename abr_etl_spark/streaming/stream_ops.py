@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from abr_etl_spark.functions.event_time import normalize_event_time
+
 
 def windowed_counts(
     events: DataFrame,
@@ -209,9 +211,7 @@ def read_event_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(dir_path)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return normalize_event_time(df, "ts")
 
 
 def stream_to_lake(

@@ -4,7 +4,13 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Timing = full query execution to a count/collect of the result (forces
-the whole plan, avoids driver-side result transfer dominating)."""
+the whole plan, avoids driver-side result transfer dominating).
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+the MEDIAN -- single-shot numbers at sf0.1 carry 20-30% JVM/JIT/page-
+cache noise (the r3->r4 verdicts' uniform ~1.26x "drift" on untouched
+queries), and the median is the cheapest estimator that ignores one
+cold outlier per query."""
 
 from __future__ import annotations
 
@@ -62,6 +68,8 @@ HEADLINERS = [
     "triangle_count",
     "containment_pairs",
     "kmv_distinct",
+    # r5 additions
+    "dedup_incremental_probe",
 ]
 
 
@@ -80,16 +88,23 @@ def main() -> None:
     # warm the JVM/codegen once with the cheapest query
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINERS:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        print(
+            f"  {name}: {timings[name]}s "
+            f"(runs: {[round(s, 3) for s in sorted(samples)]})",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -102,6 +117,7 @@ def main() -> None:
                 "r1_subset_total": round(
                     sum(timings.get(k, 0.0) for k in R1_SUBSET), 3
                 ),
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

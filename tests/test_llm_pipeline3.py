@@ -18,15 +18,37 @@ def test_llm_pipeline3_vs_oracle(spark, ddb, key):
 
 def test_kmv_estimate_within_sketch_error(spark):
     """KMV standard error is ~1/sqrt(k-1) (~6.3% at k=256); allow 4
-    sigma. Also: the sketch is only meaningful when the corpus has more
-    than k distinct tokens -- assert the premise too."""
+    sigma. The exact distinct count (a full-vocab shuffle the production
+    sketch deliberately avoids) is computed HERE, at test scale, as the
+    ground truth. Also asserts the premise (domain > k) so the sketch is
+    meaningful."""
     row = lp3.kmv_distinct(spark, SF_ORACLE).first()
-    assert row["exact_distinct"] > lp3.KMV_K
+    exact = (
+        lp3._kmv_hash_stream(load_table(spark, SF_ORACLE, "documents"))
+        .distinct()
+        .count()
+    )
+    assert exact > lp3.KMV_K
     assert row["k"] == lp3.KMV_K
-    rel_err = abs(row["est_distinct"] - row["exact_distinct"]) / row[
-        "exact_distinct"
-    ]
+    rel_err = abs(row["est_distinct"] - exact) / exact
     assert rel_err < 4.0 / (lp3.KMV_K - 1) ** 0.5
+
+
+def test_kmv_threshold_prefilter_is_value_neutral(spark):
+    """The 8x-safety threshold path must return EXACTLY the unfiltered
+    sketch (k smallest distinct hashes) -- the filter is a plan
+    optimization, never an answer change."""
+    ev = lp3._kmv_hash_stream(load_table(spark, SF_ORACLE, "documents"))
+    unfiltered = (
+        ev.distinct()
+        .orderBy(F.col("h").asc())
+        .limit(lp3.KMV_K)
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("k"))
+        .first()
+    )
+    got = lp3.kmv_distinct(spark, SF_ORACLE).first()
+    assert got["kth_hash"] == unfiltered["kth_hash"]
+    assert got["k"] == unfiltered["k"]
 
 
 def test_bigram_probabilities_are_valid(spark):

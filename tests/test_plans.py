@@ -79,3 +79,37 @@ def test_no_collect_in_operators(spark):
     """Operators return lazy DataFrames (driver never materializes)."""
     df = analytics.q3_shipping_priority(spark, SF_ORACLE)
     assert hasattr(df, "queryExecution") or df.schema is not None
+
+
+def test_event_time_schema_contract(spark):
+    """Load-time type contract for events.ts (functions/event_time.py).
+
+    Pins BOTH the loaded type (LTZ timestamp -- NOT timestamp_ntz, NOT
+    bigint) and one known epoch value, so a Spark-runtime change in parquet
+    timestamp inference (bigint nanos vs TIMESTAMP_NTZ vs TIMESTAMP) breaks
+    HERE, in one test, instead of as ten DATATYPE_MISMATCH crashes across
+    the event-time operator surface (sessionize / as-of / range join / OHLC
+    / trailing windows / decay / interval / attribution).
+    """
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp", (
+        "events.ts must normalize to an LTZ timestamp; got "
+        + dict(ev.dtypes)["ts"]
+    )
+    # epoch semantics: naive wall-clock treated as UTC (DuckDB epoch(ts)
+    # parity). event_id=0 is 2024-01-01 00:09:58.778549 naive -> this epoch
+    # micros iff the NTZ->LTZ mapping went through UTC.
+    got = (
+        ev.where(F.col("event_id") == 0)
+        .select(F.unix_micros("ts").alias("us"))
+        .collect()[0]["us"]
+    )
+    assert got == 1704067798778549, got
+    # cast-to-long (epoch seconds) must be legal -- the exact expression the
+    # event-time operators use.
+    sec = (
+        ev.where(F.col("event_id") == 0)
+        .select(F.col("ts").cast("long").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert sec == 1704067798, sec

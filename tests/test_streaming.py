@@ -26,6 +26,19 @@ def _stage_events(tmp_path):
     return str(d)
 
 
+def _ts_plus_days(max_ts, days: int):
+    """Advance a raw wire-schema ts value by N days, whatever the runtime
+    read the parquet as: int64 nanos (legacy nanosAsLong) stays integer
+    math; TIMESTAMP_NTZ / TIMESTAMP come back as datetimes and take a
+    timedelta. Keeps the watermark-sentinel tests runtime-proof the same
+    way functions/event_time.py keeps the operators runtime-proof."""
+    import datetime as _dt
+
+    if isinstance(max_ts, int):
+        return max_ts + days * 86400 * 10**9
+    return max_ts + _dt.timedelta(days=days)
+
+
 def test_streaming_replay_equals_batch(spark, tmp_path):
     src_dir = _stage_events(tmp_path)
     stream = stream_ops.read_event_stream(spark, src_dir)
@@ -192,8 +205,7 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
     _sh.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
     ev = load_table(spark, SF_SMOKE, "events")
     raw = spark.read.parquet(str(d / "a.parquet"))  # wire schema: ts int64 nanos
-    max_ns = raw.agg(F.max("ts").alias("m")).first()["m"]
-    day_ns = 86400 * 10**9
+    max_ts = raw.agg(F.max("ts").alias("m")).first()["m"]
 
     def _drop_sentinel(name: str, eid: int, ts_ns: int) -> None:
         # The file-stream source lists plain FILES: write the one-row
@@ -206,7 +218,7 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
         ).coalesce(1).write.parquet(tmp)
         _sh.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], d / name)
 
-    _drop_sentinel("b.parquet", 10**9, max_ns + 10 * day_ns)
+    _drop_sentinel("b.parquet", 10**9, _ts_plus_days(max_ts, 10))
     stream = stream_ops.read_event_stream(spark, str(d))
     q = stream_ops.run_stream_to_memory(
         stream_ops.session_agg(stream), "sess_out", output_mode="append"
@@ -215,7 +227,7 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
         # The watermark set by the first sentinel batch only triggers
         # emission on a SUBSEQUENT batch -- drop a second, later sentinel
         # and drain again so every real session finalizes.
-        _drop_sentinel("c.parquet", 10**9 + 1, max_ns + 20 * day_ns)
+        _drop_sentinel("c.parquet", 10**9 + 1, _ts_plus_days(max_ts, 20))
         q.processAllAvailable()
         got = {
             tuple(r)
@@ -274,8 +286,7 @@ def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
     _sh.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
     ev = load_table(spark, SF_SMOKE, "events")
     raw = spark.read.parquet(str(d / "a.parquet"))
-    max_ns = raw.agg(F.max("ts").alias("m")).first()["m"]
-    day_ns = 86400 * 10**9
+    max_ts = raw.agg(F.max("ts").alias("m")).first()["m"]
 
     def _drop_sentinels(name: str, ts_ns: int) -> None:
         tmp = str(tmp_path / f"__{name}")
@@ -288,7 +299,7 @@ def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
         ).coalesce(1).write.parquet(tmp)
         _sh.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], d / name)
 
-    _drop_sentinels("b.parquet", max_ns + 10 * day_ns)
+    _drop_sentinels("b.parquet", _ts_plus_days(max_ts, 10))
     stream = stream_ops.read_event_stream(spark, str(d))
     joined = stream_ops.attribution_join(
         stream.where(F.col("event_type") == "click"),
@@ -297,7 +308,7 @@ def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
     )
     q = stream_ops.run_stream_to_memory(joined, "lo_out", output_mode="append")
     try:
-        _drop_sentinels("c.parquet", max_ns + 20 * day_ns)
+        _drop_sentinels("c.parquet", _ts_plus_days(max_ts, 20))
         q.processAllAvailable()
         got = {
             tuple(r)
@@ -333,8 +344,7 @@ def test_stream_stream_full_outer_join_equals_batch(spark, tmp_path):
     _sh.copy(f"{SF_SMOKE}/events.parquet", d / "a.parquet")
     ev = load_table(spark, SF_SMOKE, "events")
     raw = spark.read.parquet(str(d / "a.parquet"))
-    max_ns = raw.agg(F.max("ts").alias("m")).first()["m"]
-    day_ns = 86400 * 10**9
+    max_ts = raw.agg(F.max("ts").alias("m")).first()["m"]
 
     def _drop_sentinels(name: str, ts_ns: int) -> None:
         tmp = str(tmp_path / f"__{name}")
@@ -347,7 +357,7 @@ def test_stream_stream_full_outer_join_equals_batch(spark, tmp_path):
         ).coalesce(1).write.parquet(tmp)
         _sh.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], d / name)
 
-    _drop_sentinels("b.parquet", max_ns + 10 * day_ns)
+    _drop_sentinels("b.parquet", _ts_plus_days(max_ts, 10))
     stream = stream_ops.read_event_stream(spark, str(d))
     joined = stream_ops.attribution_join(
         stream.where(F.col("event_type") == "click"),
@@ -356,7 +366,7 @@ def test_stream_stream_full_outer_join_equals_batch(spark, tmp_path):
     )
     q = stream_ops.run_stream_to_memory(joined, "fo_out", output_mode="append")
     try:
-        _drop_sentinels("c.parquet", max_ns + 20 * day_ns)
+        _drop_sentinels("c.parquet", _ts_plus_days(max_ts, 20))
         q.processAllAvailable()
         got = {
             tuple(r)
