@@ -44,6 +44,8 @@ _R5_PRIORITY: list[str] = [
     # --- 2. changed / new this round ---
     "kmv_distinct",
     "dedup_incremental_probe",
+    "sequence_pack",
+    "corpus_mix",
     # --- 3. r1-stale reference-parity delta core ---
     "delta_updated",
     "delta_added",
@@ -106,6 +108,12 @@ def _registry() -> tuple[dict, dict]:
         import abr_etl_spark.plans.llm_pipeline3 as llm_pipeline3
 
         modules.append(llm_pipeline3)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline4 as llm_pipeline4
+
+        modules.append(llm_pipeline4)
     except ImportError:
         pass
     for m in modules:

@@ -1,0 +1,174 @@
+"""LLM-training-data pipeline, part 4 (round 5).
+
+- ``sequence_pack``: concat-and-chunk sequence packing -- the step that
+  turns a filtered corpus into fixed-size training examples. Documents
+  are laid head-to-tail in deterministic doc_id order and the resulting
+  token stream is cut into CAP-token context windows; each doc reports
+  its token offset and the first/last bin it lands in. The global
+  running offset is a two-level distributed prefix sum (see the
+  docstring) -- the naive formulation is a single-partition global
+  window, the classic scale-killer this engine already evicted from
+  its other cumulative operators in r3.
+- ``corpus_mix``: deterministic source-weighted downsampling -- the
+  "mix web-scrape down, keep curated sources whole" re-weighting every
+  corpus assembly does. Keep/drop is a pure function of (doc_id,
+  source) via a Knuth multiplicative hash, so the sample is exactly
+  reproducible on any cluster size / partitioning, and the DuckDB
+  oracle replays it bit-for-bit.
+
+Reference parity: the reference (abr-etl, Go) has no corpus tooling;
+these extend the engine's training-data block (SURVEY.md §2.C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from abr_etl_spark.sources.lake import load_table
+
+#: tokens per packed training example (context window).
+PACK_CAP = 256
+#: docs per prefix-sum bucket. Level-2 (per-bucket totals) is then
+#: corpus_docs / PACK_BUCKET rows -- at 10^10 docs and a production
+#: bucket of 10^6 that's 10^4 rows; the tiny default keeps the
+#: two-level shape visible (and tested) at the 500-doc sf0.01 corpus.
+PACK_BUCKET = 128
+#: Knuth 32-bit multiplicative constant (public domain, TAOCP vol 3).
+_MIX_MULT = 2654435761
+_MIX_MOD = 2147483647
+#: keep-rate in 1e-4 units: every 4th source is "curated" (kept whole),
+#: the rest are "web-ish" (kept at 25%).
+MIX_KEEP_ALL_E4 = 10000
+MIX_KEEP_WEB_E4 = 2500
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc packing manifest: (doc_id, n_tok, tok_offset, bin_first,
+    bin_last) under head-to-tail packing into PACK_CAP-token windows.
+
+    Scale shape -- distributed exclusive prefix sum, never a global
+    window:
+
+    1. bucket = doc_id DIV PACK_BUCKET; within-bucket running sums use a
+       window partitioned BY BUCKET (bounded partitions, shuffles once
+       on bucket).
+    2. per-bucket totals (one row per bucket) get an exclusive running
+       sum over bucket order -- a window over corpus/PACK_BUCKET tiny
+       rows, broadcast-joined back.
+    3. tok_offset = bucket_prefix + within_bucket_exclusive_sum; bins
+       are integer division by CAP.
+
+    A doc spanning a window boundary reports bin_first < bin_last --
+    exactly what a loader needs to know to split it.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") / F.lit(PACK_BUCKET)).cast("long").alias("__b"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = toks.withColumn(
+        "__run", F.sum("n_tok").over(w_in) - F.col("n_tok")
+    )
+    bucket_tot = toks.groupBy("__b").agg(F.sum("n_tok").alias("__tot"))
+    w_b = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = bucket_tot.select(
+        "__b", F.coalesce(F.sum("__tot").over(w_b), F.lit(0)).alias("__pre")
+    )
+    return (
+        within.join(F.broadcast(prefix), "__b")
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("__pre") + F.col("__run")).alias("tok_offset"),
+            ((F.col("__pre") + F.col("__run")) / PACK_CAP)
+            .cast("long")
+            .alias("bin_first"),
+            (
+                (F.col("__pre") + F.col("__run") + F.col("n_tok") - 1)
+                / PACK_CAP
+            )
+            .cast("long")
+            .alias("bin_last"),
+        )
+    )
+
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-weighted corpus sample: every 4th source
+    (numeric suffix % 4 == 0) is kept whole, the rest at 25%, decided by
+    a Knuth multiplicative hash of doc_id -- partition-count-independent,
+    cluster-size-independent, and exactly replayable in the oracle.
+
+    Output = kept rows (doc_id, source) plus the keep-rate that admitted
+    them; downstream this composes with quality_filter / dedup exactly
+    like sample_deterministic does.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    src_idx = F.regexp_extract("source", r"(\d+)$", 1).cast("long")
+    rate = (
+        F.when(src_idx % 4 == 0, F.lit(MIX_KEEP_ALL_E4))
+        .otherwise(F.lit(MIX_KEEP_WEB_E4))
+        .cast("long")  # driver compare is dtype-sensitive; oracle is BIGINT
+    )
+    h = (F.col("doc_id") * F.lit(_MIX_MULT)) % F.lit(_MIX_MOD)
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            rate.alias("rate_e4"),
+            (h % 10000).alias("__h"),
+        )
+        .where(F.col("__h") < F.col("rate_e4"))
+        .select("doc_id", "source", "rate_e4")
+    )
+
+
+QUERIES = {
+    "sequence_pack": sequence_pack,
+    "corpus_mix": corpus_mix,
+}
+
+ORACLES = {
+    # The oracle states packing DECLARATIVELY (one global window) -- the
+    # Spark side's two-level prefix sum must equal it exactly.
+    "sequence_pack": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                       AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tok,
+                   (sum(n_tok) OVER (ORDER BY doc_id) - n_tok)::BIGINT
+                       AS tok_offset
+            FROM t
+        )
+        SELECT doc_id, n_tok, tok_offset,
+               tok_offset // {PACK_CAP} AS bin_first,
+               (tok_offset + n_tok - 1) // {PACK_CAP} AS bin_last
+        FROM c
+    """,
+    "corpus_mix": f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CASE WHEN regexp_extract(source, '(\\d+)$', 1)::BIGINT
+                             % 4 = 0
+                        THEN {MIX_KEEP_ALL_E4}::BIGINT
+                        ELSE {MIX_KEEP_WEB_E4}::BIGINT END AS rate_e4,
+                   (doc_id * {_MIX_MULT}) % {_MIX_MOD} % 10000 AS h
+            FROM documents
+        )
+        SELECT doc_id, source, rate_e4
+        FROM t WHERE h < rate_e4
+    """,
+}

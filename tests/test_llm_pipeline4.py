@@ -1,0 +1,104 @@
+"""Part-4 LLM pipeline queries vs the DuckDB oracle, plus packing
+invariants and mix-determinism properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from abr_etl_spark.plans import llm_pipeline4 as lp4
+from tests.conftest import SF_ORACLE, assert_matches_oracle
+
+
+@pytest.mark.parametrize("key", sorted(lp4.QUERIES))
+def test_llm_pipeline4_vs_oracle(spark, ddb, key):
+    df = lp4.QUERIES[key](spark, SF_ORACLE)
+    assert_matches_oracle(df, ddb, lp4.ORACLES[key], key)
+
+
+def test_sequence_pack_invariants(spark):
+    """Packing must be gapless and order-preserving: offsets strictly
+    increase in doc_id order, each doc starts exactly where the previous
+    ended, and bin spans are consistent with CAP."""
+    rows = (
+        lp4.sequence_pack(spark, SF_ORACLE)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert rows
+    expected_offset = 0
+    for r in rows:
+        assert r["tok_offset"] == expected_offset
+        assert r["n_tok"] >= 1
+        assert r["bin_first"] == r["tok_offset"] // lp4.PACK_CAP
+        assert (
+            r["bin_last"]
+            == (r["tok_offset"] + r["n_tok"] - 1) // lp4.PACK_CAP
+        )
+        assert r["bin_first"] <= r["bin_last"]
+        expected_offset += r["n_tok"]
+    # multi-bucket coverage: the two-level prefix sum actually crossed
+    # bucket boundaries at this sf (otherwise the test proves nothing
+    # about level 2).
+    assert len(rows) > lp4.PACK_BUCKET
+    # some doc spans a window boundary (the interesting loader case)
+    assert any(r["bin_first"] < r["bin_last"] for r in rows)
+
+
+def test_sequence_pack_no_global_window(spark):
+    """The level-1 window must partition by bucket -- a global
+    (partition-less) window over the full corpus would be the
+    single-partition scale-killer. Only the level-2 window (one row per
+    bucket) may be global."""
+    df = lp4.sequence_pack(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # SinglePartition exchanges: exactly the one feeding the tiny
+    # per-bucket-totals window, never the doc-level one.
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_corpus_mix_rates(spark):
+    """Curated sources (idx % 4 == 0) keep everything; web sources keep
+    ~25% (exact per-doc decision, so the rate is deterministic, not
+    statistical)."""
+    d_all = (
+        lp4.load_table(spark, SF_ORACLE, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    kept = (
+        lp4.corpus_mix(spark, SF_ORACLE)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    total = {r["source"]: r["count"] for r in d_all}
+    k = {r["source"]: r["count"] for r in kept}
+    for src, n in total.items():
+        idx = int(src.replace("src", ""))
+        if idx % 4 == 0:
+            assert k.get(src, 0) == n, src
+        else:
+            assert 0 < k.get(src, 0) < n, src
+
+
+def test_corpus_mix_partitioning_invariant(spark):
+    """The kept set must be identical under a different partitioning --
+    the property that makes the sample reproducible on any cluster."""
+    base = {
+        r["doc_id"] for r in lp4.corpus_mix(spark, SF_ORACLE).collect()
+    }
+    d = lp4.load_table(spark, SF_ORACLE, "documents").repartition(17)
+    d.createOrReplaceTempView("__mix_repart")
+    # same op over the repartitioned input
+    from pyspark.sql import functions as FF
+
+    src_idx = FF.regexp_extract("source", r"(\d+)$", 1).cast("long")
+    rate = FF.when(src_idx % 4 == 0, FF.lit(lp4.MIX_KEEP_ALL_E4)).otherwise(
+        FF.lit(lp4.MIX_KEEP_WEB_E4)
+    )
+    h = (FF.col("doc_id") * FF.lit(lp4._MIX_MULT)) % FF.lit(lp4._MIX_MOD)
+    again = {
+        r["doc_id"]
+        for r in d.where((h % 10000) < rate).select("doc_id").collect()
+    }
+    assert base == again
