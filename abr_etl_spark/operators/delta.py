@@ -274,7 +274,7 @@ def incremental_agg(
             F.sum(F.col("sign") * F.col("v")).alias("ds"),
         )
     )
-    return (
+    out = (
         base.join(adjustments, group_col, "full_outer")
         .select(
             group_col,
@@ -284,7 +284,13 @@ def incremental_agg(
             ).alias("sum_value"),
         )
         .where(F.col("n_rows") > 0)
+        # Materialize the (group-cardinality-sized) aggregate, then drop
+        # the classify cache -- same lifecycle as the dedup pair operators.
+        .persist()
     )
+    out.count()
+    classified.unpersist()
+    return out
 
 
 def snapshot_latest(
