@@ -113,3 +113,22 @@ def test_event_time_schema_contract(spark):
         .collect()[0]["s"]
     )
     assert sec == 1704067798, sec
+
+
+def test_event_time_epoch_parity_whole_table(spark, ddb):
+    """Whole-table epoch agreement with DuckDB (the oracle's view of the
+    same parquet): sum of epoch-seconds over every event must match,
+    not just the single pinned row -- catches any partial or
+    rounding-differing NTZ->LTZ mapping."""
+    got = (
+        load_table(spark, SF_ORACLE, "events")
+        .agg(F.sum(F.col("ts").cast("long")).alias("s"))
+        .first()["s"]
+    )
+    # floor, not CAST: DuckDB's epoch() is a DOUBLE and BIGINT-casting
+    # ROUNDS fractional seconds where Spark's cast(ts as long) truncates.
+    want = ddb.execute(
+        "SELECT CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)"
+        " FROM events"
+    ).fetchone()[0]
+    assert got == want, (got, want)
