@@ -58,16 +58,20 @@ def probe_index(
     (doc_a < doc_b) regardless of which side is new.
 
     Both sides of the probe are materialized exactly once: the increment's
-    signatures AND the combined (index ∪ increment) relation are persisted
-    before the three consumers (band join + the two exact-verify side
-    joins) -- without this, a lazily-built index side would re-derive the
-    interpreted minhash lineage up to 4x (measured 280 s vs 4 s at
-    sf0.01). In production the index side is a lake read, so the persist
-    caches parquet rows, not recomputation."""
+    signatures are persisted, and the combined (index ∪ increment)
+    relation is persisted too UNLESS the index side is already cached --
+    without materialization, a lazily-built index side would re-derive
+    the interpreted minhash lineage up to 4x across the three consumers
+    (band join + the two exact-verify side joins; measured 280 s vs 4 s
+    at sf0.01), while re-caching an already-cached index would hold the
+    wide signature rows in storage twice."""
     new_index = build_minhash_index(
         new_docs, text=text, id_col=id_col, n=n
     ).persist()
-    combined = index.unionByName(new_index).persist()
+    combined = index.unionByName(new_index)
+    own_combined = not index.is_cached
+    if own_combined:
+        combined = combined.persist()
     nb = _banded(new_index, id_col)
     cb = _banded(combined, id_col)
     cand = (
@@ -99,5 +103,6 @@ def probe_index(
         "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
     ).localCheckpoint()
     new_index.unpersist()
-    combined.unpersist()
+    if own_combined:
+        combined.unpersist()
     return out

@@ -199,8 +199,9 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_key = (id(spark), sf_dir)
     index = _INCR_INDEX_CACHE.get(cache_key)
     if index is None:
+        # lazy persist: the FIRST probe materializes the index in-flow
+        # (no separate build pass), later probes hit the cache.
         index = dedup_incremental.build_minhash_index(corpus).persist()
-        index.count()
         _INCR_INDEX_CACHE[cache_key] = index
     return dedup_incremental.probe_index(drop, index, threshold=INCR_TAU)
 
