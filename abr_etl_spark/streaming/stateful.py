@@ -50,3 +50,61 @@ def running_counts_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------- Spark 4 API
+# transformWithState (arbitrary-state v2): the Spark-4-native successor to
+# applyInPandasWithState -- typed state variables created in init(), TTL
+# support, timers, and initial-state bootstrap. The runtime requires
+# protobuf for the state-server protocol, which this environment doesn't
+# ship, so the operator is import-gated: running_counts_tws raises a clear
+# ImportError where protobuf is absent and the equivalence test skips.
+# (Same semantics as running_counts_stateful above; a deployment on a
+# protobuf-equipped cluster can switch between them freely.)
+
+try:  # pragma: no cover - exercised only where protobuf exists
+    import google.protobuf  # noqa: F401
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _HAS_TWS = True
+
+    class _RunningCountProcessor(StatefulProcessor):
+        """Per-user cumulative count in a typed ValueState."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "count LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._count.get()[0] if self._count.exists() else 0
+            total = prev + sum(len(pdf) for pdf in rows)
+            self._count.update((total,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events_total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # pragma: no cover
+    _HAS_TWS = False
+
+
+def running_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user cumulative event counts via transformWithState (Spark 4
+    arbitrary-state v2). Raises ImportError where the runtime lacks
+    protobuf; use running_counts_stateful (applyInPandasWithState) there."""
+    if not _HAS_TWS:
+        raise ImportError(
+            "transformWithState requires protobuf; use "
+            "running_counts_stateful on this runtime"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningCountProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
