@@ -70,6 +70,8 @@ HEADLINERS = [
     "kmv_distinct",
     # r5 additions
     "dedup_incremental_probe",
+    "sequence_pack",
+    "corpus_mix",
 ]
 
 
