@@ -46,6 +46,7 @@ _R5_PRIORITY: list[str] = [
     "dedup_incremental_probe",
     "sequence_pack",
     "corpus_mix",
+    "heavy_hitters_cms",
     # --- 3. r1-stale reference-parity delta core ---
     "delta_updated",
     "delta_added",

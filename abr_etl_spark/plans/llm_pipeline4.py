@@ -16,6 +16,16 @@
   reproducible on any cluster size / partitioning, and the DuckDB
   oracle replays it bit-for-bit.
 
+- ``heavy_hitters_cms``: Count-Min-Sketch frequency estimation for a
+  probe set of tokens -- the bounded-memory alternative to an exact
+  token groupBy when the vocabulary doesn't fit anywhere. The sketch is
+  D x W counters built with ONE shuffle of at most D*W cells (map-side
+  partial aggregation collapses each partition to the sketch size
+  first -- the mergeability that makes CMS the standard distributed
+  heavy-hitter structure); estimates are the min over the D rows.
+  Hash rows are (a_j * polyhash(tok) + b_j) mod P mod W from shared
+  literal seeds, so the DuckDB oracle rebuilds the identical sketch.
+
 Reference parity: the reference (abr-etl, Go) has no corpus tooling;
 these extend the engine's training-data block (SURVEY.md §2.C).
 """
@@ -25,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from abr_etl_spark.functions import texthash as th
 from abr_etl_spark.sources.lake import load_table
 
 #: tokens per packed training example (context window).
@@ -133,9 +144,79 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-Min sketch geometry: D independent hash rows x W counters.
+#: Error bound: over-estimate <= e*N/W per row w.p. 1-(1/e)^D; D=4, W=1024
+#: keeps the whole sketch at 4096 cells -- one map-side-combined shuffle.
+CMS_D = 4
+CMS_W = 1024
+_CMS_A, _CMS_B = (s[:CMS_D] for s in th.perm_seeds(CMS_D))
+#: probe tokens come from the first PROBE_DOCS docs (deterministic set).
+CMS_PROBE_DOCS = 5
+
+
+def _cms_cells_expr(hash_expr: str) -> str:
+    """array< cell_j > for j in 0..D-1 -- shared literal seeds, identical
+    string math in the DuckDB oracle."""
+    cells = ", ".join(
+        f"(({a} * ({hash_expr}) + {b}) % {th.P}) % {CMS_W}"
+        for a, b in zip(_CMS_A, _CMS_B)
+    )
+    return f"array({cells})"
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates for a deterministic probe
+    set of tokens (the distinct tokens of the first CMS_PROBE_DOCS
+    docs): (tok, est_freq) with est_freq = min_j sketch[j][h_j(tok)].
+
+    Scale shape: token occurrences never shuffle -- each partition
+    partially aggregates into at most D*W cells (HashAggregate partial),
+    so the exchange carries O(D*W * partitions) tiny rows regardless of
+    corpus size; the probe join touches D rows per probe token against
+    the <=4096-row sketch (broadcast). This is the bounded-memory
+    heavy-hitter path for vocabularies where the exact groupBy
+    (tfidf_top_terms) would shuffle the full distinct domain.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(F.explode(F.expr(th.sp_tokens("text"))).alias("tok"))
+    cells = occ.select(
+        F.posexplode(
+            F.expr(_cms_cells_expr(th.sp_polyhash("tok")))
+        ).alias("j", "cell")
+    )
+    sketch = cells.groupBy("j", "cell").agg(F.count("*").alias("n"))
+    probe = (
+        d.where(F.col("doc_id") < CMS_PROBE_DOCS)
+        .select(F.explode(F.expr(th.sp_tokens("text"))).alias("tok"))
+        .distinct()
+    )
+    probe_cells = probe.select(
+        "tok",
+        F.posexplode(
+            F.expr(_cms_cells_expr(th.sp_polyhash("tok")))
+        ).alias("j", "cell"),
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("tok")
+        .agg(F.min("n").alias("est_freq"))
+    )
+
+
+def _dk_cms_union(src: str, *, with_tok: bool) -> str:
+    """DuckDB twin of _cms_cells_expr as a UNION ALL over the D rows."""
+    tok = ", tok" if with_tok else ""
+    return " UNION ALL ".join(
+        f"SELECT {j} AS j, (({a} * h + {b}) % {th.P}) % {CMS_W} AS cell{tok}"
+        f" FROM {src}"
+        for j, (a, b) in enumerate(zip(_CMS_A, _CMS_B))
+    )
+
+
 QUERIES = {
     "sequence_pack": sequence_pack,
     "corpus_mix": corpus_mix,
+    "heavy_hitters_cms": heavy_hitters_cms,
 }
 
 ORACLES = {
@@ -170,5 +251,29 @@ ORACLES = {
         )
         SELECT doc_id, source, rate_e4
         FROM t WHERE h < rate_e4
+    """,
+    # Rebuilds the IDENTICAL sketch from the shared (a_j, b_j) literals
+    # and probes it with the same min-over-rows rule.
+    "heavy_hitters_cms": f"""
+        WITH occ AS (
+            SELECT {th.dk_polyhash('tok')} AS h
+            FROM (SELECT unnest({th.dk_tokens('text')}) AS tok
+                  FROM documents)
+        ), cells AS (
+            {_dk_cms_union('occ', with_tok=False)}
+        ), sketch AS (
+            SELECT j, cell, count(*) AS n FROM cells GROUP BY j, cell
+        ), probe AS (
+            SELECT DISTINCT tok
+            FROM (SELECT unnest({th.dk_tokens('text')}) AS tok
+                  FROM documents WHERE doc_id < {CMS_PROBE_DOCS})
+        ), ph AS (
+            SELECT tok, {th.dk_polyhash('tok')} AS h FROM probe
+        ), pcells AS (
+            {_dk_cms_union('ph', with_tok=True)}
+        )
+        SELECT p.tok, CAST(min(s.n) AS BIGINT) AS est_freq
+        FROM pcells p JOIN sketch s ON s.j = p.j AND s.cell = p.cell
+        GROUP BY p.tok
     """,
 }

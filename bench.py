@@ -72,6 +72,7 @@ HEADLINERS = [
     "dedup_incremental_probe",
     "sequence_pack",
     "corpus_mix",
+    "heavy_hitters_cms",
 ]
 
 

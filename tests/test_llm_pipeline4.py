@@ -102,3 +102,28 @@ def test_corpus_mix_partitioning_invariant(spark):
         for r in d.where((h % 10000) < rate).select("doc_id").collect()
     }
     assert base == again
+
+
+def test_cms_never_underestimates(spark):
+    """The CMS hard invariant: est_freq >= exact occurrence count for
+    every probe token (collisions only ADD); and the sketch is tight
+    enough at W=1024 over this vocabulary that at least one token is
+    estimated exactly."""
+    est = {
+        r["tok"]: r["est_freq"]
+        for r in lp4.heavy_hitters_cms(spark, SF_ORACLE).collect()
+    }
+    assert est
+    from abr_etl_spark.functions import texthash as th
+    from abr_etl_spark.sources.lake import load_table as _lt
+
+    exact = {
+        r["tok"]: r["n"]
+        for r in _lt(spark, SF_ORACLE, "documents")
+        .select(F.explode(F.expr(th.sp_tokens("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert all(est[t] >= exact[t] for t in est)
+    assert any(est[t] == exact[t] for t in est)
