@@ -20,43 +20,70 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-5 priority head, ordered by how badly each key needs a fresh
-# CORRECTNESS row under the driver's ~50-row budget:
-# 1. the ten keys broken by the Spark-4 TIMESTAMP_NTZ inference change,
-#    fixed this round via the load-time contract (functions/event_time.py)
-#    -- each needs a green row to close the r4 verdict's top item;
-# 2. keys whose plan changed this round (kmv bounded-shuffle rewrite) or
-#    that are brand new (dedup_incremental_probe, r4 verdict item 5);
-# 3. the reference-parity delta-engine core, whose driver rows are stale
-#    since r1 (r4 verdict item 7).
-_R5_PRIORITY: list[str] = [
-    # --- 1. NTZ-fixed event-time surface ---
-    "sessionize",
-    "asof_purchase_view",
-    "range_join_buckets",
-    "ohlc_bars",
-    "trailing_range_window",
-    "regr_slope_per_user",
-    "decay_weighted_sum",
-    "interval_coverage",
-    "stream_attribution_join",
-    "stream_attribution_outer",
-    # --- 2. changed / new this round ---
-    "kmv_distinct",
-    "dedup_incremental_probe",
-    "sequence_pack",
+# Round-6 priority head, ordered by how badly each key needs a fresh
+# CORRECTNESS row under the driver's ~50-row budget (r5 verdict item 1:
+# rotate oldest-driver-row keys to the head so no green row is older than
+# r4 after this round):
+# 1. keys that are brand new or whose plan changed this round;
+# 2. the 7 keys whose latest driver row dates to round 1;
+# 3. the 40 keys whose latest driver row dates to round 2.
+_R6_PRIORITY: list[str] = [
+    # --- 1. new / changed this round ---
+    "stream_running_counts",
+    "sequence_pack_chunks",
+    "dedup_lines",
+    "dedup_embedding",
     "corpus_mix",
-    "heavy_hitters_cms",
-    # --- 3. r1-stale reference-parity delta core ---
-    "delta_updated",
-    "delta_added",
-    "delta_removed",
-    "delta_unchanged_count",
-    "snapshot_latest",
-    "scd2",
-    "delta_classify_lake",
-    "incremental_agg",
-    "dq_referential",
+    "bucketed_join_revenue",
+    "dedup_incremental_probe",
+    # --- 2. r1-stale driver rows ---
+    "datetime_funcs",
+    "null_semantics",
+    "zscore_window",
+    "array_agg_per_group",
+    "string_funcs",
+    "ingest_routed",
+    "lake_partitions",
+    # --- 3. r2-stale driver rows ---
+    "set_ops",
+    "json_props_agg",
+    "dq_completeness",
+    "dq_uniqueness",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_canonical",
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_lsh_multiprobe",
+    "ann_ivf",
+    "text_stats",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "multimodal_meta",
+    "chunk_documents",
+    "redact_pii",
+    "sample_deterministic",
+    "dup_spans",
+    "tfidf_top_terms",
+    "sample_stratified",
+    "stream_window_counts",
+    "stream_sliding_avg",
+    "stream_session_windows",
+    "multimodal_features",
+    "repetition_score",
+    "embedding_quantize",
+    "quality_filter_pipeline",
+    "pagerank_suppliers",
+    "knn_classify",
+    "corpus_pipeline",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q11_important_stock",
+    "q20_dominant_suppliers",
+    "q13_order_distribution",
 ]
 
 
@@ -123,8 +150,8 @@ def _registry() -> tuple[dict, dict]:
 
     # Priority ordering: the driver checks queries in registry order under a
     # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
-    # first (see _R5_PRIORITY), then everything else in module order.
-    ordered = {k: queries[k] for k in _R5_PRIORITY if k in queries}
+    # first (see _R6_PRIORITY), then everything else in module order.
+    ordered = {k: queries[k] for k in _R6_PRIORITY if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
     return ordered, oracles
 

@@ -19,9 +19,12 @@ runtime inferred, the column leaves the reader as a session-timezone
 UTC -- exactly the mapping DuckDB's ``epoch(ts)`` applies to the same
 parquet, so the oracle and the engine agree on every instant.
 
-The NTZ->LTZ cast routes through the *session* timezone, so the helper pins
-``spark.sql.session.timeZone=UTC`` first (always runtime-settable) -- without
-that, a caller session in another zone would silently shift every epoch.
+A plain NTZ->LTZ ``cast`` would route through the *session* timezone -- and
+resolve it lazily at ACTION time, so a caller flipping the zone between plan
+build and action would silently shift every epoch.  Instead the NTZ branch
+computes the epoch arithmetically from the wall-clock fields (days since
+1970-01-01 + time-of-day), which references no timezone at all: the plan is
+deterministic however the session is configured, now or later.
 
 tests/test_plans.py::test_event_time_schema_contract pins the loaded type and
 one known epoch value so the next runtime drift fails in ONE place, loudly.
@@ -49,17 +52,17 @@ def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
         # the same truncation DuckDB applies to nanos parquet).
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
     if dtype == _NTZ:
-        # NTZ -> LTZ cast interprets wall-clock in the SESSION timezone;
-        # the session must therefore be UTC for a deterministic epoch.
-        spark = df.sparkSession
-        try:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-        except Exception:
-            pass  # a locked conf can only mean it was pinned at build time
-        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-            raise ValueError(
-                "normalize_event_time requires spark.sql.session.timeZone=UTC "
-                "to map TIMESTAMP_NTZ wall-clock to a deterministic epoch"
-            )
-        return df.withColumn(col, F.col(col).cast("timestamp"))
+        # Timezone-FREE epoch extraction: a cast would consult the session
+        # zone lazily at action time; arithmetic on the wall-clock fields
+        # (date-diff days + time-of-day) consults nothing.  extract(SECOND)
+        # carries the fractional part (DECIMAL), so micros are exact.
+        c = F.col(col)
+        days = F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
+        micros = (
+            days.cast("long") * F.lit(86_400_000_000)
+            + F.hour(c).cast("long") * F.lit(3_600_000_000)
+            + F.minute(c).cast("long") * F.lit(60_000_000)
+            + F.expr(f"CAST(extract(SECOND FROM {col}) * 1000000 AS BIGINT)")
+        )
+        return df.withColumn(col, F.timestamp_micros(micros))
     return df

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from abr_etl_spark.functions import texthash as th
+from abr_etl_spark.functions.cache import materialize_result
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -187,14 +188,12 @@ def ngram_jaccard_pairs(
     # The pair set is tiny (|true near-dups|); persist it so downstream
     # consumers in the same session (cluster canonicalization runs this
     # twice more for CC + star-CC) skip the candidate join + verify.
-    # Materialize it NOW (count) so the sh/kept intermediate caches can
-    # be dropped immediately -- under a long single-session driver those
-    # would otherwise accumulate until eviction pressure. The count is
-    # served from cache on repeat calls (identical canonicalized plan).
-    pairs = verified.select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
-    ).persist()
-    pairs.count()
+    # Materialize it NOW so the sh/kept intermediate caches can be dropped
+    # immediately; the result cache itself is owned by the lifecycle
+    # registry (functions/cache.py -- release_result_caches()).
+    pairs = materialize_result(
+        verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
     sh.unpersist()
     kept.unpersist()
     return pairs
@@ -263,8 +262,9 @@ def containment_pairs(
     )
     # Same lifecycle as ngram_jaccard_pairs: materialize the (tiny)
     # verified pair set, then drop the wide shingle cache immediately.
-    out = verified.select("doc_a", "doc_b", "common", "m", "cont_e4").persist()
-    out.count()
+    out = materialize_result(
+        verified.select("doc_a", "doc_b", "common", "m", "cont_e4")
+    )
     sh.unpersist()
     return out
 
@@ -345,10 +345,9 @@ def minhash_lsh_pairs(
     # Materialize the (tiny) pair set so the signature cache can be
     # dropped now rather than leak until session eviction pressure --
     # same lifecycle as ngram_jaccard_pairs above.
-    pairs = verified.select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
-    ).persist()
-    pairs.count()
+    pairs = materialize_result(
+        verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
     sigs.unpersist()
     return pairs
 
@@ -411,12 +410,12 @@ def simhash_pairs(
     )
     # Materialize, then drop the fingerprint cache (same lifecycle as
     # ngram_jaccard_pairs / minhash_lsh_pairs).
-    pairs = (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+    pairs = materialize_result(
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-        .persist()
     )
-    pairs.count()
     fp.unpersist()
     return pairs

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from abr_etl_spark.functions.cache import materialize_result
+
 _HASH_COL = "__row_hash"
 _NULL_SENTINEL = "\x00<NULL>\x00"
 
@@ -284,11 +286,10 @@ def incremental_agg(
             ).alias("sum_value"),
         )
         .where(F.col("n_rows") > 0)
-        # Materialize the (group-cardinality-sized) aggregate, then drop
-        # the classify cache -- same lifecycle as the dedup pair operators.
-        .persist()
     )
-    out.count()
+    # Materialize the (group-cardinality-sized) aggregate, then drop the
+    # classify cache -- result-cache ownership lives in functions/cache.py.
+    out = materialize_result(out)
     classified.unpersist()
     return out
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from abr_etl_spark.functions import texthash as th
+from abr_etl_spark.functions.cache import materialize_result
 
 # Deterministic hyperplane seeds (inlined into both engines' expressions).
 HYPERPLANE_BITS = 8
@@ -494,10 +495,9 @@ def embedding_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
         .select("doc_a", "doc_b", "cos")
-        # Materialize the (tiny) pair set, then drop the vector/bucket
-        # cache (same lifecycle as the dedup.py pair operators).
-        .persist()
     )
-    pairs.count()
+    # Materialize the (tiny) pair set, then drop the vector/bucket cache
+    # (result-cache ownership: functions/cache.py).
+    pairs = materialize_result(pairs)
     base.unpersist()
     return pairs

@@ -196,9 +196,18 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     corpus = d.where(F.col("doc_id") % INCR_MOD != 0)
     drop = d.where(F.col("doc_id") % INCR_MOD == 0)
-    cache_key = (id(spark), sf_dir)
+    # applicationId is stable for a session's lifetime and never reused by a
+    # later session in-process (unlike id(spark), which a new session can
+    # inherit after GC and receive an index bound to a dead JVM context).
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
     index = _INCR_INDEX_CACHE.get(cache_key)
     if index is None:
+        # Entries from stopped sessions are unreachable garbage: evict any
+        # cached index whose application no longer matches a live context,
+        # so persisted indexes can't accumulate across session restarts.
+        live_app = spark.sparkContext.applicationId
+        for k in [k for k in _INCR_INDEX_CACHE if k[0] != live_app]:
+            _INCR_INDEX_CACHE.pop(k)
         # lazy persist: the FIRST probe materializes the index in-flow
         # (no separate build pass), later probes hit the cache.
         index = dedup_incremental.build_minhash_index(corpus).persist()
@@ -206,7 +215,9 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental.probe_index(drop, index, threshold=INCR_TAU)
 
 
-#: session-lifetime materialized corpus indexes, keyed by (session, sf_dir).
+#: session-lifetime materialized corpus indexes, keyed by
+#: (applicationId, sf_dir); entries for dead applications are evicted on the
+#: next cache miss (see dedup_incremental_probe).
 _INCR_INDEX_CACHE: dict = {}
 
 

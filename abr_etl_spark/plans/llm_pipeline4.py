@@ -125,7 +125,13 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     like sample_deterministic does.
     """
     d = load_table(spark, sf_dir, "documents")
-    src_idx = F.regexp_extract("source", r"(\d+)$", 1).cast("long")
+    # nullif('') guard: a source with no trailing digits extracts '' -- the
+    # bare cast would NULL here but ERROR under ANSI mode, and the oracle's
+    # bare ::BIGINT would error too. NULLIF on both sides makes the no-suffix
+    # case take the same (web-rate) branch in both engines.
+    src_idx = F.nullif(
+        F.regexp_extract("source", r"(\d+)$", 1), F.lit("")
+    ).cast("long")
     rate = (
         F.when(src_idx % 4 == 0, F.lit(MIX_KEEP_ALL_E4))
         .otherwise(F.lit(MIX_KEEP_WEB_E4))
@@ -242,7 +248,8 @@ ORACLES = {
     "corpus_mix": f"""
         WITH t AS (
             SELECT doc_id, source,
-                   CASE WHEN regexp_extract(source, '(\\d+)$', 1)::BIGINT
+                   CASE WHEN NULLIF(regexp_extract(source, '(\\d+)$', 1),
+                                    '')::BIGINT
                              % 4 = 0
                         THEN {MIX_KEEP_ALL_E4}::BIGINT
                         ELSE {MIX_KEEP_WEB_E4}::BIGINT END AS rate_e4,

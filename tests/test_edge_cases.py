@@ -128,3 +128,25 @@ def test_ngram_prefix_filter_is_lossless_vs_bruteforce(spark):
         if j >= 0.5:
             want[(a, b)] = round(j, 4)
     assert got == want
+
+
+def test_result_cache_lifecycle(spark):
+    """Pair operators register their materialized result caches with
+    functions/cache.py; release_result_caches() frees every one (r5 advice:
+    nothing previously unpersisted them, leaking one cache per distinct
+    operator input for session lifetime)."""
+    from abr_etl_spark.functions import cache as result_cache
+    from abr_etl_spark.operators import dedup as dd
+    from abr_etl_spark.sources.lake import load_table
+
+    result_cache.release_result_caches()  # start clean
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dd.simhash_pairs(d)
+    assert pairs.storageLevel.useMemory, "result should be materialized"
+    assert len(result_cache._RESULT_CACHES) >= 1
+    released = result_cache.release_result_caches()
+    assert released >= 1
+    assert not result_cache._RESULT_CACHES
+    assert not pairs.storageLevel.useMemory, "release must unpersist"
+    # the DataFrame itself must stay usable post-release (lineage intact)
+    assert pairs.count() >= 0
