@@ -40,10 +40,12 @@ from abr_etl_spark.sources.lake import load_table
 
 #: tokens per packed training example (context window).
 PACK_CAP = 256
-#: docs per prefix-sum bucket. Level-2 (per-bucket totals) is then
-#: corpus_docs / PACK_BUCKET rows -- at 10^10 docs and a production
-#: bucket of 10^6 that's 10^4 rows; the tiny default keeps the
-#: two-level shape visible (and tested) at the 500-doc sf0.01 corpus.
+#: docs per prefix-sum bucket -- a DEFAULT, not a constant: sequence_pack
+#: takes it as a parameter (r5 verdict: the test-scale value must not be
+#: shippable by accident). Level-2 (per-bucket totals) is corpus_docs /
+#: bucket rows through one task -- at 10^10 docs size the bucket ~10^6 so
+#: level 2 is ~10^4 rows; the tiny default keeps the two-level shape
+#: visible (and tested) at the 500-doc sf0.01 corpus.
 PACK_BUCKET = 128
 #: Knuth 32-bit multiplicative constant (public domain, TAOCP vol 3).
 _MIX_MULT = 2654435761
@@ -54,9 +56,15 @@ MIX_KEEP_ALL_E4 = 10000
 MIX_KEEP_WEB_E4 = 2500
 
 
-def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequence_pack(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bucket: int = PACK_BUCKET,
+    cap: int = PACK_CAP,
+) -> DataFrame:
     """Per-doc packing manifest: (doc_id, n_tok, tok_offset, bin_first,
-    bin_last) under head-to-tail packing into PACK_CAP-token windows.
+    bin_last) under head-to-tail packing into ``cap``-token windows.
 
     Scale shape -- distributed exclusive prefix sum, never a global
     window:
@@ -76,7 +84,7 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        (F.col("doc_id") / F.lit(PACK_BUCKET)).cast("long").alias("__b"),
+        (F.col("doc_id") / F.lit(bucket)).cast("long").alias("__b"),
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
     )
     w_in = (
@@ -101,15 +109,56 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tok",
             (F.col("__pre") + F.col("__run")).alias("tok_offset"),
-            ((F.col("__pre") + F.col("__run")) / PACK_CAP)
+            ((F.col("__pre") + F.col("__run")) / cap)
             .cast("long")
             .alias("bin_first"),
             (
                 (F.col("__pre") + F.col("__run") + F.col("n_tok") - 1)
-                / PACK_CAP
+                / cap
             )
             .cast("long")
             .alias("bin_last"),
+        )
+    )
+
+
+def sequence_pack_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bucket: int = PACK_BUCKET,
+    cap: int = PACK_CAP,
+) -> DataFrame:
+    """Loader-facing packed chunks: one row per (bin, doc) slice --
+    (bin_id, doc_id, tok_start, tok_len), where tok_start is the offset
+    INSIDE the document and the slices of one bin concatenate to exactly
+    ``cap`` tokens (the last bin may be short).
+
+    Pure integer math exploded off the sequence_pack manifest: a doc
+    spanning bins b..b' emits one row per bin, its [tok_start, tok_start
+    + tok_len) intervals partitioning [0, n_tok). Fan-out is bounded --
+    sum over docs of (1 + n_tok/cap) rows, i.e. corpus_tokens/cap extra
+    rows total -- so the explode adds O(number of training examples),
+    never a blow-up (r5 verdict item 5).
+    """
+    manifest = sequence_pack(spark, sf_dir, bucket=bucket, cap=cap)
+    g_start = F.greatest(F.col("bin_id") * cap, F.col("tok_offset"))
+    g_end = F.least(
+        (F.col("bin_id") + 1) * cap, F.col("tok_offset") + F.col("n_tok")
+    )
+    return (
+        manifest.where(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            "tok_offset",
+            "n_tok",
+            F.explode(F.sequence("bin_first", "bin_last")).alias("bin_id"),
+        )
+        .select(
+            "bin_id",
+            "doc_id",
+            (g_start - F.col("tok_offset")).alias("tok_start"),
+            (g_end - g_start).alias("tok_len"),
         )
     )
 
@@ -221,6 +270,7 @@ def _dk_cms_union(src: str, *, with_tok: bool) -> str:
 
 QUERIES = {
     "sequence_pack": sequence_pack,
+    "sequence_pack_chunks": sequence_pack_chunks,
     "corpus_mix": corpus_mix,
     "heavy_hitters_cms": heavy_hitters_cms,
 }
@@ -244,6 +294,36 @@ ORACLES = {
                tok_offset // {PACK_CAP} AS bin_first,
                (tok_offset + n_tok - 1) // {PACK_CAP} AS bin_last
         FROM c
+    """,
+    # Same declarative manifest, exploded per (bin, doc): slice bounds are
+    # greatest/least clamps of the bin window against the doc interval.
+    "sequence_pack_chunks": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                       AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tok,
+                   (sum(n_tok) OVER (ORDER BY doc_id) - n_tok)::BIGINT
+                       AS tok_offset
+            FROM t
+        ), m AS (
+            SELECT doc_id, n_tok, tok_offset,
+                   tok_offset // {PACK_CAP} AS bin_first,
+                   (tok_offset + n_tok - 1) // {PACK_CAP} AS bin_last
+            FROM c WHERE n_tok > 0
+        ), e AS (
+            SELECT m.*, unnest(generate_series(bin_first, bin_last)) AS bin_id
+            FROM m
+        )
+        SELECT bin_id, doc_id,
+               CAST(greatest(bin_id * {PACK_CAP}, tok_offset) - tok_offset
+                    AS BIGINT) AS tok_start,
+               CAST(least((bin_id + 1) * {PACK_CAP}, tok_offset + n_tok)
+                    - greatest(bin_id * {PACK_CAP}, tok_offset)
+                    AS BIGINT) AS tok_len
+        FROM e
     """,
     "corpus_mix": f"""
         WITH t AS (
