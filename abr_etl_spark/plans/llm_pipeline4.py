@@ -199,6 +199,72 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: docs concatenated per synthetic multi-line "page" for dedup_lines.
+LINES_PER_PAGE = 5
+#: boilerplate header prepended to every synthetic page -- the repeated
+#: line the dedup exists to drop.
+PAGE_HEADER = "=== corpus page header ==="
+
+
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate dedup (CCNet-style): across a multi-line
+    corpus, keep only the FIRST occurrence of every (normalized) line
+    and report per-page counts (page_id, n_lines, n_kept, n_dropped).
+
+    The testdata corpus has no newlines (and no byte-exact duplicate
+    docs), so the query synthesizes its multi-line pages in its own CTE
+    -- LINES_PER_PAGE consecutive docs joined with \\n under a shared
+    boilerplate header line (PAGE_HEADER), identically in the DuckDB
+    oracle -- then runs the real operator shape: split + explode into
+    lines, ONE shuffle on the line value (first-occurrence window), one
+    aggregate back to pages. The header repeats on every page, so the
+    dedup provably drops n_pages - 1 occurrences of it.
+
+    Scale shape: the shuffle key is the line itself (the row IS the
+    line, so keying on xxhash64(line) would not shrink the wire); the
+    window per line holds df(line) rows -- bounded by page count, and
+    boilerplate-hot lines are exactly what the operator exists to
+    collapse. First-occurrence ties inside one page are broken
+    arbitrarily; per-page COUNTS are invariant to the tie-break, which
+    is why the oracle can match without an intra-page line index.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pages = d.groupBy(
+        F.expr(f"CAST(doc_id DIV {LINES_PER_PAGE} AS BIGINT)").alias(
+            "page_id"
+        )
+    ).agg(
+        F.concat(
+            F.lit(PAGE_HEADER + "\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ),
+        ).alias("page_text")
+    )
+    lines = pages.select(
+        "page_id",
+        F.explode(F.split("page_text", "\n")).alias("__raw"),
+    ).select("page_id", F.lower(F.trim("__raw")).alias("line"))
+    w = Window.partitionBy("line").orderBy("page_id")
+    return (
+        lines.withColumn("__rn", F.row_number().over(w))
+        .groupBy("page_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
 #: Count-Min sketch geometry: D independent hash rows x W counters.
 #: Error bound: over-estimate <= e*N/W per row w.p. 1-(1/e)^D; D=4, W=1024
 #: keeps the whole sketch at 4096 cells -- one map-side-combined shuffle.
@@ -271,6 +337,7 @@ def _dk_cms_union(src: str, *, with_tok: bool) -> str:
 QUERIES = {
     "sequence_pack": sequence_pack,
     "sequence_pack_chunks": sequence_pack_chunks,
+    "dedup_lines": dedup_lines,
     "corpus_mix": corpus_mix,
     "heavy_hitters_cms": heavy_hitters_cms,
 }
@@ -294,6 +361,35 @@ ORACLES = {
                tok_offset // {PACK_CAP} AS bin_first,
                (tok_offset + n_tok - 1) // {PACK_CAP} AS bin_last
         FROM c
+    """,
+    # Identical page synthesis (string_agg ORDER BY doc_id == the sorted
+    # collect_list) and the same first-occurrence-by-page rule; per-page
+    # counts are tie-break-invariant (see dedup_lines docstring).
+    "dedup_lines": f"""
+        WITH p AS (
+            SELECT doc_id // {LINES_PER_PAGE} AS page_id,
+                   '{PAGE_HEADER}' || chr(10)
+                       || string_agg(text, chr(10) ORDER BY doc_id)
+                       AS page_text
+            FROM documents GROUP BY 1
+        ), l AS (
+            SELECT page_id,
+                   lower(trim(unnest(string_split(page_text, chr(10)))))
+                       AS line
+            FROM p
+        ), r AS (
+            SELECT page_id,
+                   row_number() OVER (PARTITION BY line ORDER BY page_id)
+                       AS rn
+            FROM l
+        )
+        SELECT page_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM r GROUP BY page_id
     """,
     # Same declarative manifest, exploded per (bin, doc): slice bounds are
     # greatest/least clamps of the bin window against the doc interval.

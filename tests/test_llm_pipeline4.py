@@ -176,3 +176,25 @@ def test_sequence_pack_bucket_parameter_invariance(spark):
         for r in lp4.sequence_pack(spark, SF_ORACLE, bucket=7).collect()
     }
     assert base == alt
+
+
+def test_dedup_lines_finds_planted_boilerplate(spark):
+    """The corpus's planted exact-duplicate docs become repeated lines
+    across synthetic pages, so line dedup must actually drop something;
+    counts must conserve (kept + dropped = lines) and total kept must
+    equal the number of DISTINCT normalized lines."""
+    rows = lp4.dedup_lines(spark, SF_ORACLE).collect()
+    assert rows
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_lines"] for r in rows)
+    # the header line repeats on every page: exactly pages-1 drops of it,
+    # and the corpus has no byte-duplicate docs, so that's ALL the drops.
+    assert sum(r["n_dropped"] for r in rows) == len(rows) - 1
+    from abr_etl_spark.sources.lake import load_table
+
+    distinct_lines = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select(F.lower(F.trim("text")).alias("line"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_kept"] for r in rows) == distinct_lines + 1
