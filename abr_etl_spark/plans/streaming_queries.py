@@ -8,6 +8,9 @@ so the oracle checks the shared semantics.
 
 from __future__ import annotations
 
+import itertools
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 from abr_etl_spark.sources.lake import load_table
@@ -15,6 +18,8 @@ from pyspark.sql import functions as F
 
 from abr_etl_spark.streaming.stream_ops import (
     attribution_join,
+    read_event_stream,
+    run_stream_to_memory,
     session_agg,
     sliding_avg,
     windowed_counts,
@@ -64,7 +69,66 @@ def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: file drops the events table is split into for the stateful replay --
+#: >1 so keyed state PROVABLY carries across microbatches.
+_STAGE_FILES = 4
+#: repo-root spark-warehouse (gitignored) -- derived data lives here so the
+#: query works whatever the caller session's cwd/warehouse config is.
+_DERIVED_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse"
+_rc_names = itertools.count()
+
+
+def _stage_event_drops(spark: SparkSession, sf_dir: str) -> str:
+    """Split sf_dir's events into _STAGE_FILES parquet drops (idempotent,
+    keyed on sf_dir) so a file-source stream replays them as a sequence of
+    microbatches -- the local stand-in for a week of Kafka arrivals."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    out = _DERIVED_ROOT / f"stream_stage_{tag}"
+    if not (out / "_SUCCESS").exists():
+        # raw read, NOT load_table: the staged files must keep the original
+        # wire type for ts so read_event_stream normalizes exactly like the
+        # batch reader does on the original file.
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(_STAGE_FILES, "event_id")
+            .write.mode("overwrite")
+            .parquet(str(out))
+        )
+    return str(out)
+
+
+def q_stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming under the driver's oracle gate: per-user
+    cumulative event counts via applyInPandasWithState
+    (streaming/stateful.py -- keyed GroupState, Arrow-batched), replayed
+    over a multi-file drop with maxFilesPerTrigger=1 so the state
+    genuinely persists ACROSS microbatches (pytest already proves
+    stream==batch; this puts the same surface under the driver's
+    CORRECTNESS gate, r5 verdict item 2).
+
+    The memory sink accumulates one update row per (user, microbatch);
+    the final state is the max of the monotone running count -- which the
+    oracle recomputes as the plain batch GROUP BY. File-arrival order is
+    nondeterministic but the final counts are order-invariant.
+    """
+    stage = _stage_event_drops(spark, sf_dir)
+    from abr_etl_spark.streaming.stateful import running_counts_stateful
+
+    stream = read_event_stream(spark, stage, max_files_per_trigger=1)
+    name = f"rc_driver_{next(_rc_names)}"
+    q = run_stream_to_memory(
+        running_counts_stateful(stream), name, output_mode="update"
+    )
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events_total").alias("n_events_total"))
+    )
+
+
 QUERIES = {
+    "stream_running_counts": q_stream_running_counts,
     "stream_window_counts": q_stream_window_counts,
     "stream_sliding_avg": q_stream_sliding_avg,
     "stream_session_windows": q_stream_session_windows,
@@ -73,6 +137,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    # The stateful stream's final per-key state IS the batch aggregate.
+    "stream_running_counts": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events_total
+        FROM events GROUP BY user_id
+    """,
     "stream_window_counts": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type,

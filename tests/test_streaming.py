@@ -429,3 +429,31 @@ def test_running_counts_tws_equals_stateful(spark, tmp_path):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_driver_key_stream_running_counts_multibatch(spark):
+    """The driver-facing stream_running_counts key must (a) equal the
+    plain batch GROUP BY (the oracle's view) and (b) genuinely carry
+    keyed state across >1 microbatch -- the staged drop directory holds
+    _STAGE_FILES files replayed one per trigger, so some user MUST
+    receive multiple cumulative updates."""
+    import glob as _glob
+
+    from abr_etl_spark.plans import streaming_queries as sq
+
+    got = {
+        (r["user_id"], r["n_events_total"])
+        for r in sq.q_stream_running_counts(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = {
+        (r["user_id"], r["n"])
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and got
+    stage = sq._stage_event_drops(spark, SF_SMOKE)
+    assert len(_glob.glob(f"{stage}/part-*.parquet")) == sq._STAGE_FILES
+    # the most recent memory table: more update rows than final users
+    # proves per-key state persisted across microbatches
+    name = f"rc_driver_{next(sq._rc_names) - 1}"
+    assert spark.table(name).count() > len(got)
