@@ -116,3 +116,50 @@ def test_aqe_splits_skewed_join(spark):
         )
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_ensure_bucketed_table_lifecycle(spark, tmp_path):
+    """ensure_bucketed_table: builds once, reuses the catalog entry, and
+    re-registers over existing bucketed files with one DDL after the
+    (in-memory) catalog forgets them -- never rewrites the data."""
+    import os
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return load_table(spark, SF_ORACLE, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).limit(100)
+
+    path = str(tmp_path / "bkt_t")
+    spark.sql("DROP TABLE IF EXISTS bkt_lifecycle_t")
+    joins.ensure_bucketed_table(
+        spark, build, "bkt_lifecycle_t", "o_orderkey", path, buckets=4
+    )
+    assert calls == [1] and os.path.exists(f"{path}/_SUCCESS")
+    mtimes = sorted(
+        os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    )
+    # second call: catalog hit, no rebuild
+    joins.ensure_bucketed_table(
+        spark, build, "bkt_lifecycle_t", "o_orderkey", path, buckets=4
+    )
+    assert calls == [1]
+    # simulate a fresh session: drop the catalog entry, keep the files
+    spark.sql("DROP TABLE bkt_lifecycle_t")
+    joins.ensure_bucketed_table(
+        spark, build, "bkt_lifecycle_t", "o_orderkey", path, buckets=4
+    )
+    assert calls == [1], "re-register must not rebuild the DataFrame"
+    assert sorted(
+        os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    ) == mtimes, "files must be untouched"
+    # and the re-registered table still scans bucketed: an agg on the
+    # bucket key needs no exchange (bare scans don't engage bucketing)
+    agg = spark.table("bkt_lifecycle_t").groupBy("o_orderkey").count()
+    agg.count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    spark.sql("DROP TABLE bkt_lifecycle_t")
