@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -71,6 +72,99 @@ def dk_lsh_bucket(vec: str, bits: int = HYPERPLANE_BITS) -> str:
         )
         projections.append(f"CASE WHEN ({proj}) > 0 THEN {1 << b} ELSE 0 END")
     return "(" + " + ".join(projections) + ")"
+
+
+def _hyperplane_sign_matrix(bits: int, dims: int):
+    """(bits, dims) float64 matrix of the SAME +-1 LCG values
+    _hyperplane_sign emits in SQL -- integer math, exactly replayable."""
+    import numpy as np
+
+    idx = np.arange(dims, dtype=np.int64)
+    rows = [
+        np.where(
+            (1103515245 * (b * 4096 + idx + 1) + 12345) % 65536 < 32768,
+            -1.0,
+            1.0,
+        )
+        for b in range(bits)
+    ]
+    return np.stack(rows)
+
+
+def arrow_base_features(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = HYPERPLANE_BITS,
+) -> DataFrame:
+    """(id, v, __n, bucket) via ONE Arrow mapInPandas pass.
+
+    Bit-identical to the sp_norm / sp_lsh_bucket SQL expressions: the
+    accumulation loops run dimension-by-dimension in float64, the exact
+    operation order of the interpreted sequential aggregates, so sign
+    decisions and norms cannot diverge. Each add is vectorized across
+    the Arrow batch instead of interpreted per element -- the scale path
+    once per-element compute beats the worker-spawn constant (see
+    embedding_dup_pairs on when that crossover happens);
+    tests/test_llm_pipeline.py asserts exact equality with the
+    expression path.
+    """
+    import numpy as np
+
+    def compute(batches):
+        signs = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            if signs is None:
+                signs = _hyperplane_sign_matrix(bits, v.shape[1])
+            n_acc = np.zeros(len(pdf))
+            proj = np.zeros((len(pdf), bits))
+            for i in range(v.shape[1]):
+                col = v[:, i]
+                n_acc += col * col
+                proj += col[:, None] * signs[:, i]
+            bucket = (
+                (proj > 0).astype(np.int64)
+                << np.arange(bits, dtype=np.int64)
+            ).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["__id"],
+                    "v": pdf["__v"],
+                    "__n": np.sqrt(n_acc),
+                    "bucket": bucket,
+                }
+            )
+
+    vec_type = dict(df.dtypes)[vec_col]
+    return df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(
+        compute, schema=f"id long, v {vec_type}, __n double, bucket long"
+    )
+
+
+def _dot_seq_udf():
+    """Arrow-batched sequential-order dot product (same float64 op order
+    as sp_dot's interpreted aggregate)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def dot_seq(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(va))
+        for i in range(a.shape[1]):
+            acc += a[:, i] * b[:, i]
+        return pd.Series(acc)
+
+    return dot_seq
 
 
 def cosine_topk(
@@ -408,6 +502,7 @@ def embedding_dup_pairs(
     bits: int = HYPERPLANE_BITS,
     n_bands: int = 2,
     method: str = "lsh",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with cosine >= threshold.
 
@@ -425,6 +520,18 @@ def embedding_dup_pairs(
 
     method="exact": all-pairs crossJoin -- a deliberate small-n fallback
     (ground truth in tests); never the default.
+
+    ``use_arrow``: signatures/norms and the per-candidate dot products
+    run as Arrow-vectorized batches with the SAME float64 operation
+    order as the SQL expressions, so results are bit-identical
+    (pytest-asserted). MEASURED at sf0.1 (2k vectors x 64 dims) the
+    default stays False: the test-scale cold time is fixed-overhead
+    bound (~3 s of either expression first-compile or Python worker
+    spawn) and the Arrow path additionally serializes every candidate
+    pair's vectors (344k pairs here), netting SLOWER end-to-end. The
+    crossover favors Arrow once per-element compute dominates --
+    O(100k+) vectors or higher dims -- which is why the kernels stay
+    first-class and parity-tested rather than default.
     """
     a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
@@ -443,12 +550,21 @@ def embedding_dup_pairs(
     # 16-byte rows -- and the vectors are joined back for just the
     # surviving unique pairs (same separation minhash_lsh_pairs uses;
     # shuffling vectors through the dedup costs ~70x more bytes).
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.expr(th.sp_norm(vec_col)).alias("__n"),
-        F.expr(sp_lsh_bucket(vec_col, bits)).alias("bucket"),
-    ).persist()
+    if use_arrow:
+        base = arrow_base_features(
+            df, id_col=id_col, vec_col=vec_col, bits=bits
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.expr(th.sp_norm(vec_col)).alias("__n"),
+            F.expr(sp_lsh_bucket(vec_col, bits)).alias("bucket"),
+        )
+    # localCheckpoint, not persist: materializes ~2x faster for wide array
+    # rows, truncates the (interpreted, multi-consumer) lineage the same
+    # way, and its blocks are GC-owned -- no unpersist bookkeeping.
+    base = base.localCheckpoint()
     banded = base.select(
         "id",
         F.posexplode(
@@ -489,7 +605,14 @@ def embedding_dup_pairs(
         .withColumn(
             "cos",
             F.round(
-                F.expr(th.sp_dot("va", "vb")) / (F.col("__na") * F.col("__nb")),
+                (
+                    _dot_seq_udf()(F.col("va"), F.col("vb"))
+                    if use_arrow
+                    else F.expr(th.sp_dot("va", "vb"))
+                )
+                / (F.col("__na") * F.col("__nb")),
+                # F.round stays JVM-side either way: Spark HALF_UP, the
+                # same rule the oracle's round() applies.
                 6,
             ),
         )
@@ -498,6 +621,4 @@ def embedding_dup_pairs(
     )
     # Materialize the (tiny) pair set, then drop the vector/bucket cache
     # (result-cache ownership: functions/cache.py).
-    pairs = materialize_result(pairs)
-    base.unpersist()
-    return pairs
+    return materialize_result(pairs)

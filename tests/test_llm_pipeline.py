@@ -95,3 +95,41 @@ def test_multiprobe_recall_beats_single_probe(spark):
         for r in sim.lsh_ann_multiprobe_topk(e, q, k=5).collect()
     }
     assert len(multi & exact) >= len(single & exact)
+
+
+def test_embedding_arrow_path_bit_identical(spark):
+    """The Arrow-vectorized embedding-dedup kernels (numpy loops in the
+    exact float64 op order of the SQL expressions) must produce the
+    BIT-identical pair set -- same ids, same rounded cosines -- as the
+    pure-expression plan, at every tested scale."""
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    expr_pairs = {
+        (r["doc_a"], r["doc_b"], r["cos"])
+        for r in similarity.embedding_dup_pairs(e, use_arrow=False).collect()
+    }
+    arrow_pairs = {
+        (r["doc_a"], r["doc_b"], r["cos"])
+        for r in similarity.embedding_dup_pairs(e, use_arrow=True).collect()
+    }
+    assert expr_pairs == arrow_pairs and expr_pairs
+    # the base features themselves agree exactly (norm doubles included)
+    from pyspark.sql import functions as F
+    from abr_etl_spark.operators.similarity import (
+        arrow_base_features,
+        sp_lsh_bucket,
+    )
+    from abr_etl_spark.functions import texthash as th
+
+    expr_base = {
+        (r["id"], r["__n"], r["bucket"])
+        for r in e.select(
+            F.col("vec_id").alias("id"),
+            F.expr(th.sp_norm("embedding")).alias("__n"),
+            F.expr(sp_lsh_bucket("embedding")).alias("bucket"),
+        ).collect()
+    }
+    arrow_base = {
+        (r["id"], r["__n"], r["bucket"])
+        for r in arrow_base_features(e).select("id", "__n", "bucket").collect()
+    }
+    assert expr_base == arrow_base
