@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from abr_etl_spark.functions.event_time import normalize_event_time
+from abr_etl_spark.functions.type_contract import normalize_table_types
 
 TPCH_TABLES = (
     "region",
@@ -58,7 +59,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP all leave here as an LTZ timestamp with UTC epoch
         # semantics (see functions/event_time.py).
         df = normalize_event_time(df, "ts")
-    return df
+    # date/money contract (functions/type_contract.py): DATE-like columns
+    # leave as timestamp_ntz, MONEY-like as double, whatever the runtime
+    # inferred -- a no-op projection when nothing drifted.
+    return normalize_table_types(df, name)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

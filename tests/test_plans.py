@@ -132,3 +132,66 @@ def test_event_time_epoch_parity_whole_table(spark, ddb):
         " FROM events"
     ).fetchone()[0]
     assert got == want, (got, want)
+
+
+def test_table_type_contract(spark):
+    """Load-time date/money contract (functions/type_contract.py): every
+    DATE-like column loads as timestamp_ntz with its known wall-clock,
+    every MONEY-like column as double with its known value -- the ONE
+    test that fails first if a Spark upgrade re-infers parquet types
+    (the event_time twin of this pin caught the r4 NTZ break)."""
+    from abr_etl_spark.functions import type_contract as tc
+
+    for table, cols in tc.DATE_COLS.items():
+        dt = dict(load_table(spark, SF_ORACLE, table).dtypes)
+        for c in cols:
+            assert dt[c] == "timestamp_ntz", (table, c, dt[c])
+    for table, cols in tc.MONEY_COLS.items():
+        dt = dict(load_table(spark, SF_ORACLE, table).dtypes)
+        for c in cols:
+            assert dt[c] == "double", (table, c, dt[c])
+    # pinned values (sf0.01): the first order's date and price
+    row = (
+        load_table(spark, SF_ORACLE, "orders")
+        .where(F.col("o_orderkey") == 1)
+        .select("o_orderdate", "o_totalprice")
+        .collect()[0]
+    )
+    assert str(row["o_orderdate"]) == "1997-05-28 00:00:00"
+    assert isinstance(row["o_totalprice"], float)
+
+
+def test_type_contract_normalizes_simulated_drift(spark):
+    """Feed the normalizer every drift shape a future runtime could
+    produce -- DATE, LTZ timestamp, legacy bigint nanos, DECIMAL -- and
+    assert it lands on the pinned types with exactly the right values."""
+    from abr_etl_spark.functions.type_contract import normalize_table_types
+
+    drifted = spark.sql(
+        """
+        SELECT DATE'1992-01-01'                          AS o_orderdate,
+               CAST(12.34 AS DECIMAL(15, 2))             AS o_totalprice
+        """
+    )
+    out = normalize_table_types(drifted, "orders")
+    assert dict(out.dtypes) == {
+        "o_orderdate": "timestamp_ntz",
+        "o_totalprice": "double",
+    }
+    r = out.collect()[0]
+    assert str(r["o_orderdate"]) == "1992-01-01 00:00:00"
+    assert r["o_totalprice"] == 12.34
+    # LTZ drift: the rebuild must be session-timezone-INDEPENDENT
+    ltz = spark.sql(
+        "SELECT timestamp_micros(694224000000000) AS o_orderdate,"
+        " CAST(1.0 AS DOUBLE) AS o_totalprice"
+    )
+    r2 = normalize_table_types(ltz, "orders").collect()[0]
+    assert str(r2["o_orderdate"]) == "1992-01-01 00:00:00"
+    # bigint legacy nanos drift
+    nanos = spark.sql(
+        "SELECT CAST(694224000000000000 AS BIGINT) AS o_orderdate,"
+        " CAST(1.0 AS DOUBLE) AS o_totalprice"
+    )
+    r3 = normalize_table_types(nanos, "orders").collect()[0]
+    assert str(r3["o_orderdate"]) == "1992-01-01 00:00:00"
