@@ -32,6 +32,8 @@ _R6_PRIORITY: list[str] = [
     "stream_running_counts",
     "sequence_pack_chunks",
     "dedup_lines",
+    "dsir_importance",
+    "q21_waiting_suppliers",
     "dedup_embedding",
     "corpus_mix",
     "bucketed_join_revenue",

@@ -285,6 +285,67 @@ def late_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful Q21 structure: suppliers who were the SOLE late shipper
+    on a multi-supplier order (lateness = ship > order date + 60 days;
+    the schema has no commit/receipt dates). The classic EXISTS /
+    NOT-EXISTS correlated pair is rewritten as one aggregation pyramid
+    -- per-(order, supplier) late flags, then per-order supplier/late
+    counts -- so at scale it is two hash aggregates and a broadcast
+    instead of two correlated semi-joins re-scanning lineitem.
+
+    Completes the TPC-H shape coverage: with min_price_supplier_per_part
+    (Q2's correlated-min) and profit_by_nation_year (Q9) this repo now
+    has an analog for all 22 queries (late_shipment_suppliers remains
+    the simpler ranked-late-count flavor).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    per_os = (
+        l.join(
+            o.select("o_orderkey", "o_orderdate"),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .select(
+            "o_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate").cast("date")
+                > F.date_add(F.col("o_orderdate").cast("date"), 60),
+                1,
+            )
+            .otherwise(0)
+            .alias("late"),
+        )
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("any_late"))
+    )
+    w = Window.partitionBy("o_orderkey")
+    flagged = per_os.select(
+        "o_orderkey",
+        "l_suppkey",
+        "any_late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("any_late").over(w).alias("n_late"),
+    )
+    waiting = (
+        flagged.where(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        waiting.join(broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
 def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by key-mod (hash-mod
     in production; mod here so the oracle derives the identical split),
@@ -338,6 +399,7 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q17_small_qty_revenue": q17_small_qty_revenue,
     "late_shipment_suppliers": late_shipment_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "train_test_split": train_test_split,
     "histogram_equi_width": histogram_equi_width,
 }
@@ -447,6 +509,34 @@ ORACLES = {
         JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
         JOIN avg_qty ON l_partkey = ap_key
         WHERE l_quantity < 0.5 * aq
+    """,
+    # Declarative EXISTS/NOT-EXISTS form -- agreement proves the
+    # aggregation-pyramid rewrite above implements the correlated pair.
+    "q21_waiting_suppliers": """
+        WITH per_os AS (
+            SELECT o_orderkey, l_suppkey,
+                   max(CASE WHEN l_shipdate::DATE
+                                 > o_orderdate::DATE + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END) AS any_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, l_suppkey
+        ), waiting AS (
+            SELECT x.l_suppkey, count(*) AS numwait
+            FROM per_os x
+            WHERE x.any_late = 1
+              AND EXISTS (SELECT 1 FROM per_os y
+                          WHERE y.o_orderkey = x.o_orderkey
+                            AND y.l_suppkey <> x.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM per_os z
+                              WHERE z.o_orderkey = x.o_orderkey
+                                AND z.l_suppkey <> x.l_suppkey
+                                AND z.any_late = 1)
+            GROUP BY x.l_suppkey
+        )
+        SELECT s_name, CAST(numwait AS BIGINT) AS numwait
+        FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 100
     """,
     "late_shipment_suppliers": """
         SELECT s_name, numwait FROM (

@@ -199,6 +199,87 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hashed-bigram feature buckets for dsir_importance.
+DSIR_B = 1024
+
+
+def _curated_src() -> F.Column:
+    """True for every 4th source (numeric suffix % 4 == 0) -- the shared
+    "curated" rule corpus_mix uses, NULLIF-guarded the same way."""
+    idx = F.nullif(
+        F.regexp_extract("source", r"(\d+)$", 1), F.lit("")
+    ).cast("long")
+    return idx % 4 == 0
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-flavored importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023 -- hashed-n-gram features scoring each
+    doc by target-domain vs whole-corpus likelihood). Features are the
+    per-doc distinct bigram hashes folded into DSIR_B buckets; the
+    target domain is the curated sources (corpus_mix's rule). Instead of
+    float log-likelihood ratios (libm-divergent across engines), the
+    weight is the exact integer ratio of smoothed hit mass,
+    weight_e4 = round(1e4 * (tgt_hits+1) / (ref_hits+1)) -- rank-
+    equivalent for selection and bit-replayable in the oracle.
+
+    Scale shape: both count tables collapse to <= DSIR_B rows before
+    their shuffle (map-side partials), then broadcast back onto the
+    exploded gram stream -- one doc-keyed shuffle for the final
+    aggregate. Nothing global exceeds the 1024-row feature table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # Checkpoint BARRIER after token hashing: the gram expression
+    # references its input array several times, and Catalyst's projection
+    # collapse would inline the whole char-level token-hash computation
+    # into every reference (measured 21 s vs 3 s at sf0.1). Materializing
+    # the token-hash column makes each downstream reference an array
+    # lookup.
+    toks = d.select(
+        "doc_id",
+        _curated_src().cast("int").alias("__cur"),
+        F.expr(th.sp_token_hashes(th.sp_tokens("text"))).alias("__th"),
+    ).localCheckpoint()
+    grams = toks.select(
+        "doc_id",
+        "__cur",
+        F.expr(
+            f"transform({th.sp_gram_hashes_from_token_hashes('__th', 2)}, "
+            f"g -> g % {DSIR_B})"
+        ).alias("bkts"),
+    )
+    # Second materialization: the exploded gram stream feeds THREE
+    # consumers (both count tables + the per-doc aggregate); without it
+    # each would replay the gram fold. After the two checkpoints the
+    # whole query is joins over integer pairs.
+    ex = grams.select(
+        "doc_id", "__cur", F.explode("bkts").alias("b")
+    ).localCheckpoint()
+    tgt_counts = (
+        ex.where(F.col("__cur") == 1)
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    ref_counts = ex.groupBy("b").agg(F.count("*").alias("rc"))
+    return (
+        ex.join(F.broadcast(tgt_counts), "b", "left")
+        .join(F.broadcast(ref_counts), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("tc"), F.lit(0))).alias("tgt_hits"),
+            F.sum("rc").alias("ref_hits"),
+        )
+        .withColumn(
+            "weight_e4",
+            F.expr(
+                "(10000 * (tgt_hits + 1) + (ref_hits + 1) DIV 2) "
+                "DIV (ref_hits + 1)"
+            ),
+        )
+    )
+
+
 #: docs concatenated per synthetic multi-line "page" for dedup_lines.
 LINES_PER_PAGE = 5
 #: boilerplate header prepended to every synthetic page -- the repeated
@@ -338,6 +419,7 @@ QUERIES = {
     "sequence_pack": sequence_pack,
     "sequence_pack_chunks": sequence_pack_chunks,
     "dedup_lines": dedup_lines,
+    "dsir_importance": dsir_importance,
     "corpus_mix": corpus_mix,
     "heavy_hitters_cms": heavy_hitters_cms,
 }
@@ -361,6 +443,37 @@ ORACLES = {
                tok_offset // {PACK_CAP} AS bin_first,
                (tok_offset + n_tok - 1) // {PACK_CAP} AS bin_last
         FROM c
+    """,
+    # Identical hashed-bigram features and integer ratio math.
+    "dsir_importance": f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   list_transform(
+                       {th.dk_gram_hashes_from_token_hashes(
+                           th.dk_token_hashes(th.dk_tokens('text')), 2)},
+                       g -> g % {DSIR_B}) AS bkts
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, source, unnest(bkts) AS b FROM t
+        ), tgt AS (
+            SELECT b, count(*) AS tc FROM ex
+            WHERE NULLIF(regexp_extract(source, '(\\d+)$', 1), '')::BIGINT
+                  % 4 = 0
+            GROUP BY b
+        ), refc AS (
+            SELECT b, count(*) AS rc FROM ex GROUP BY b
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(coalesce(tc, 0)) AS BIGINT) AS tgt_hits,
+                   CAST(sum(rc) AS BIGINT) AS ref_hits
+            FROM ex LEFT JOIN tgt USING (b) JOIN refc USING (b)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, tgt_hits, ref_hits,
+               ((10000 * (tgt_hits + 1)) + ((ref_hits + 1) // 2))
+                   // (ref_hits + 1) AS weight_e4
+        FROM agg
     """,
     # Identical page synthesis (string_agg ORDER BY doc_id == the sorted
     # collect_list) and the same first-occurrence-by-page rule; per-page

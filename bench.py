@@ -73,6 +73,13 @@ HEADLINERS = [
     "sequence_pack",
     "corpus_mix",
     "heavy_hitters_cms",
+    # r6 additions (stream_running_counts intentionally absent: a
+    # multi-microbatch stateful replay measures trigger latency, not
+    # query throughput)
+    "sequence_pack_chunks",
+    "dedup_lines",
+    "q21_waiting_suppliers",
+    "dsir_importance",
 ]
 
 

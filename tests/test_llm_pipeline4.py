@@ -198,3 +198,25 @@ def test_dedup_lines_finds_planted_boilerplate(spark):
         .count()
     )
     assert sum(r["n_kept"] for r in rows) == distinct_lines + 1
+
+
+def test_dsir_importance_favors_curated_docs(spark):
+    """DSIR sanity: docs FROM the target (curated) domain must average a
+    higher importance weight than out-of-domain docs -- their grams are,
+    by construction, the ones the target counts were built from. Also
+    pins the smoothing floor: weight_e4 >= the 1/(ref+1) floor > 0."""
+    rows = lp4.dsir_importance(spark, SF_ORACLE).collect()
+    assert rows and all(r["weight_e4"] > 0 for r in rows)
+    assert all(r["tgt_hits"] <= r["ref_hits"] for r in rows)
+    from abr_etl_spark.sources.lake import load_table
+
+    curated = {
+        r["doc_id"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .where(lp4._curated_src())
+        .collect()
+    }
+    w_cur = [r["weight_e4"] for r in rows if r["doc_id"] in curated]
+    w_web = [r["weight_e4"] for r in rows if r["doc_id"] not in curated]
+    assert w_cur and w_web
+    assert sum(w_cur) / len(w_cur) > sum(w_web) / len(w_web)
