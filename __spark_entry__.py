@@ -34,6 +34,7 @@ _R6_PRIORITY: list[str] = [
     "dedup_lines",
     "dsir_importance",
     "q21_waiting_suppliers",
+    "dedup_semantic",
     "dedup_embedding",
     "corpus_mix",
     "bucketed_join_revenue",

@@ -134,6 +134,57 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(e, q, cent, k=ANN_K)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
+    clusters as the BLOCKING key, exact-cosine near-dup pairs found only
+    WITHIN each cluster -- (cell, doc_a, doc_b, cos >= tau). The cluster
+    equi-join bounds candidates at sum_c n_c^2/2 (vs the corpus
+    quadratic), the same cost argument as LSH banding but with
+    semantically-coherent blocks, so the dedup radius follows the data's
+    own cluster structure. Cross-cluster pairs are missed BY DESIGN --
+    that is SemDeDup's approximation, stated here and in the paper.
+
+    Uses the same deterministic Lloyd k-means the IVF quantizer uses, so
+    the oracle replays clustering AND pair generation exactly.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_centroids(
+        e, KMEANS_K, iters=KMEANS_ITERS
+    ).withColumnRenamed("centroid_id", "vec_id")
+    assigned = similarity.ivf_assign(e, cent).select(
+        F.col("centroid_id").alias("cell"),
+        "vec_id",
+        "embedding",
+        F.expr(th.sp_norm("embedding")).alias("__n"),
+    )
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("va"),
+        F.col("__n").alias("__na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("vb"),
+        F.col("__n").alias("__nb"),
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(th.sp_dot("va", "vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
+        .where(F.col("cos") >= COS_TAU)
+        .select(F.col("cell").cast("long").alias("cell"), "doc_a", "doc_b", "cos")
+    )
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level dedup: near-dup pairs -> connected components ->
     (doc_id, canonical_id). Oracle = recursive CTE over the brute-force
@@ -296,6 +347,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_semantic": q_dedup_semantic,
     "dedup_canonical": q_dedup_canonical,
     "dedup_canonical_star": q_dedup_canonical_star,
     "ann_bruteforce": q_ann_bruteforce,
@@ -583,6 +635,27 @@ ORACLES = {
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM scored
         ) WHERE rank <= {ANN_K}
+    """,
+    # Replays the identical k-means (same CTEs as ann_ivf_kmeans), then
+    # in-cluster pairs with the same rounded cosine.
+    "dedup_semantic": f"""
+        WITH {_dk_kmeans_ctes()}, assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY round({th.dk_cosine('e.embedding', 'c.c_vec')}, 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        )
+        SELECT CAST(a.centroid_id AS BIGINT) AS cell,
+               a.vec_id AS doc_a, b.vec_id AS doc_b,
+               round({th.dk_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+        FROM assigned a JOIN assigned b USING (centroid_id)
+        WHERE a.vec_id < b.vec_id
+          AND round({th.dk_cosine('a.embedding', 'b.embedding')}, 6)
+              >= {COS_TAU}
     """,
     "text_stats": f"""
         SELECT doc_id,

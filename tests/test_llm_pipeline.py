@@ -133,3 +133,39 @@ def test_embedding_arrow_path_bit_identical(spark):
         for r in arrow_base_features(e).select("id", "__n", "bucket").collect()
     }
     assert expr_base == arrow_base
+
+
+def test_dedup_semantic_subset_of_bruteforce_and_blocked(spark):
+    """SemDeDup pairs must be exactly the brute-force cosine>=tau pairs
+    whose two sides landed in the SAME k-means cell (the documented
+    blocking approximation -- no false pairs, misses only cross-cell)."""
+    from abr_etl_spark.plans.llm_pipeline import (
+        COS_TAU,
+        KMEANS_ITERS,
+        KMEANS_K,
+        q_dedup_semantic,
+    )
+
+    e = load_table(spark, SF_ORACLE, "embeddings")
+    got = {
+        (r["doc_a"], r["doc_b"], r["cos"])
+        for r in q_dedup_semantic(spark, SF_ORACLE).collect()
+    }
+    brute = {
+        (r["doc_a"], r["doc_b"], r["cos"])
+        for r in similarity.embedding_dup_pairs(
+            e, threshold=COS_TAU, method="exact"
+        ).collect()
+    }
+    assert got <= brute
+    cent = similarity.kmeans_centroids(
+        e, KMEANS_K, iters=KMEANS_ITERS
+    ).withColumnRenamed("centroid_id", "vec_id")
+    cells = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(e, cent).collect()
+    }
+    same_cell = {
+        (a, b, c) for (a, b, c) in brute if cells[a] == cells[b]
+    }
+    assert got == same_cell and got
