@@ -35,6 +35,7 @@ _R6_PRIORITY: list[str] = [
     "dsir_importance",
     "q21_waiting_suppliers",
     "dedup_semantic",
+    "asof_next_view",
     "dedup_embedding",
     "corpus_mix",
     "bucketed_join_revenue",

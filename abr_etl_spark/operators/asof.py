@@ -30,11 +30,21 @@ def asof_join(
     by: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Attach the latest right row at-or-before each left row's ``on``
-    time, per ``by`` key. Right ties on (ts) resolve to the row latest in
-    the right's own order; left rows with no prior right row get NULLs.
+    """Attach the nearest right row per ``by`` key: at-or-before each
+    left row's ``on`` time (``direction="backward"``, the default
+    kdb/pandas semantics) or at-or-after it (``"forward"`` -- the
+    "next event" lookup). Right ties on (ts) resolve to the row latest
+    in the right's own order; left rows with no match get NULLs.
+
+    Both directions are the same one-shuffle union+window plan -- forward
+    simply reverses the window's time order, so "most recent at-or-
+    before" becomes "soonest at-or-after"; nothing about the scale story
+    changes.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction: {direction}")
     lcols = left.columns
     l = left.select(
         *lcols,
@@ -52,10 +62,14 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l.unionByName(r.select(l.columns))
     # right rows (side 0) sort before left rows at equal ts => "at or
-    # before" includes same-timestamp right rows.
+    # before"/"at or after" includes same-timestamp right rows. Forward
+    # reverses the time order so the trailing window sees FOLLOWING rows.
+    ts_order = (
+        F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    )
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -275,6 +275,40 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase annotated with the user's next
+    view event at-or-after it (the "what did they look at right after
+    buying" lookup). Same union+window plan as the backward key with the
+    time order reversed; oracle = DuckDB's native ASOF JOIN with the
+    inequality flipped -- an independent implementation of the forward
+    semantics."""
+    from abr_etl_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", F.col("ts").alias("v_ts")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="ts",
+        by="user_id",
+        value_cols=["value", "v_ts"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value_asof", 4).alias("v_value"),
+        (
+            F.col("v_ts_asof").cast("long") - F.col("ts").cast("long")
+        ).alias("gap_s"),
+    )
+
+
 def spark_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's raw SQL surface: register the lake as views and run
     ANSI SQL through spark.sql (same text a Trino/Athena user would port)."""
@@ -301,6 +335,7 @@ def spark_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "asof_purchase_view": asof_purchase_view,
+    "asof_next_view": asof_next_view,
     "spark_sql_interface": spark_sql_interface,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -328,6 +363,18 @@ ORACLES = {
                    - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_s
         FROM p ASOF LEFT JOIN v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    "asof_next_view": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             v AS (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'view')
+        SELECT p.event_id, p.user_id,
+               round(v.value, 4) AS v_value,
+               CAST(floor(epoch(v.ts)) AS BIGINT)
+                   - CAST(floor(epoch(p.ts)) AS BIGINT) AS gap_s
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.ts <= v.ts
     """,
     "spark_sql_interface": """
         SELECT c_mktsegment,

@@ -11,3 +11,28 @@ from tests.conftest import SF_ORACLE, assert_matches_oracle
 def test_analytics_vs_oracle(spark, ddb, key):
     df = analytics.QUERIES[key](spark, SF_ORACLE)
     assert_matches_oracle(df, ddb, analytics.ORACLES[key], key)
+
+
+def test_asof_forward_backward_complement(spark):
+    """Forward and backward as-of are mirror semantics: for a purchase
+    with both a prior and a following view, backward gap_s >= 0 and
+    forward gap_s >= 0, and the matched view timestamps straddle the
+    purchase. Spot-checks the direction parameter actually flips the
+    window rather than relabeling columns."""
+    from abr_etl_spark.plans.analytics2 import (
+        asof_next_view,
+        asof_purchase_view,
+    )
+    from tests.conftest import SF_ORACLE
+
+    back = {r["event_id"]: r["gap_s"]
+            for r in asof_purchase_view(spark, SF_ORACLE).collect()}
+    fwd = {r["event_id"]: r["gap_s"]
+           for r in asof_next_view(spark, SF_ORACLE).collect()}
+    assert back.keys() == fwd.keys()
+    both = [k for k in back
+            if back[k] is not None and fwd[k] is not None]
+    assert both, "some purchase should have views on both sides"
+    assert all(back[k] >= 0 and fwd[k] >= 0 for k in both)
+    # directions disagree somewhere (different views matched)
+    assert any(back[k] != fwd[k] for k in both)
