@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R6_PRIORITY: list[str] = [
     # --- 1. new / changed this round ---
     "stream_running_counts",
+    "stream_dedup_exact",
     "sequence_pack_chunks",
     "dedup_lines",
     "dsir_importance",

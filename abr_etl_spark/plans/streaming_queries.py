@@ -127,8 +127,58 @@ def q_stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_event_drops_with_dups(spark: SparkSession, sf_dir: str) -> str:
+    """Like _stage_event_drops plus ONE extra drop replaying every 10th
+    event -- planted cross-microbatch duplicates for the dedup key.
+    Idempotent via a marker file (the parquet _SUCCESS belongs to the
+    first write and cannot witness the append)."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    out = _DERIVED_ROOT / f"stream_stage_dup_{tag}"
+    marker = out / "_DUPS_STAGED"
+    if not marker.exists():
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        (
+            ev.repartition(_STAGE_FILES, "event_id")
+            .write.mode("overwrite")
+            .parquet(str(out))
+        )
+        (
+            ev.where(F.col("event_id") % 10 == 0)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(out))
+        )
+        marker.touch()
+    return str(out)
+
+
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-per-key dedup under the driver gate:
+    dropDuplicatesWithinWatermark over a drop sequence whose LAST file
+    replays every 10th event (the at-least-once-delivery reality), so
+    the duplicates arrive in a different microbatch than the originals
+    and only keyed state can drop them. The watermark horizon is set
+    beyond the corpus time span, so state covers the whole replay and
+    the deduped stream aggregates to exactly the batch per-user counts
+    -- which is what the oracle recomputes."""
+    stage = _stage_event_drops_with_dups(spark, sf_dir)
+    from abr_etl_spark.streaming.stream_ops import dedup_stream
+
+    stream = read_event_stream(spark, stage, max_files_per_trigger=1)
+    deduped = dedup_stream(stream, ["event_id"], watermark="2400 hours")
+    name = f"dd_driver_{next(_rc_names)}"
+    q = run_stream_to_memory(deduped, name, output_mode="append")
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
 QUERIES = {
     "stream_running_counts": q_stream_running_counts,
+    "stream_dedup_exact": q_stream_dedup_exact,
     "stream_window_counts": q_stream_window_counts,
     "stream_sliding_avg": q_stream_sliding_avg,
     "stream_session_windows": q_stream_session_windows,
@@ -140,6 +190,12 @@ ORACLES = {
     # The stateful stream's final per-key state IS the batch aggregate.
     "stream_running_counts": """
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events_total
+        FROM events GROUP BY user_id
+    """,
+    # The deduped replay must collapse the planted duplicate drop back to
+    # the original per-user counts.
+    "stream_dedup_exact": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY user_id
     """,
     "stream_window_counts": """

@@ -457,3 +457,25 @@ def test_driver_key_stream_running_counts_multibatch(spark):
     # proves per-key state persisted across microbatches
     name = f"rc_driver_{next(sq._rc_names) - 1}"
     assert spark.table(name).count() > len(got)
+
+
+def test_driver_key_stream_dedup_exact_drops_cross_batch_dups(spark):
+    """The staged dup drop must contain MORE rows than the events table
+    (the planted replay), and the deduped driver key must still equal
+    the batch per-user counts -- proving keyed dedup state worked across
+    microbatches rather than the input being accidentally clean."""
+    from abr_etl_spark.plans import streaming_queries as sq
+
+    stage = sq._stage_event_drops_with_dups(spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    staged_rows = spark.read.parquet(stage).count()
+    assert staged_rows > ev.count()
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in sq.q_stream_dedup_exact(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r["user_id"], r["n"])
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and got

@@ -92,6 +92,12 @@ def main() -> int:
             rec["err"] = f"{type(e).__name__}: {e}"[:300]
             rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = False
         rec["sec"] = round(time.time() - t0, 2)
+        # free the pair-operators' materialized result caches between keys
+        # so a full 130-key run stays memory-bounded (functions/cache.py
+        # owns them; repeats inside one key still reuse via CacheManager).
+        from abr_etl_spark.functions.cache import release_result_caches
+
+        release_result_caches()
         ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
         n_fail += 0 if ok else 1
         status = "ok  " if ok else "FAIL"
