@@ -37,6 +37,7 @@ _R6_PRIORITY: list[str] = [
     "q21_waiting_suppliers",
     "dedup_semantic",
     "asof_next_view",
+    "multimodal_frame_sample",
     "dedup_embedding",
     "corpus_mix",
     "bucketed_join_revenue",

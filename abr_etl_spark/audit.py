@@ -34,11 +34,13 @@ def audit_plan(spark, df) -> dict:
     }
 
 
-# The one sanctioned Python-in-the-loop plan: the Arrow-batched
-# multimodal decode (operators/multimodal.py). Its mapInPandas node is
-# expected -- and the query is still oracle-verified (the stub's math is
-# replayed in DuckDB SQL). Any OTHER python-eval node still fails audit.
-SANCTIONED_PYTHON = {"multimodal_features"}
+# The sanctioned Python-in-the-loop plans: the Arrow-batched multimodal
+# decode and frame sampler (operators/multimodal.py). Their mapInPandas
+# nodes are expected -- and both queries are still oracle-verified (the
+# stub byte math is replayed in DuckDB SQL). Any OTHER python-eval node
+# still fails audit. (stream_running_counts' Python lives inside the
+# streaming engine, not the returned batch plan, so it needs no entry.)
+SANCTIONED_PYTHON = {"multimodal_features", "multimodal_frame_sample"}
 
 
 def main(argv: list[str]) -> int:

@@ -87,3 +87,62 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+#: bytes per synthetic "frame" and frames sampled per payload.
+FRAME_BYTES = 32
+FRAME_SAMPLES = 4
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_idx", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("byte_offset", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Deterministic frame sampling over binary payloads -- the video
+    analogue of extract_features: treat every FRAME_BYTES-byte window as
+    a frame, uniformly sample up to FRAME_SAMPLES of them (stride =
+    frame_count DIV FRAME_SAMPLES), and emit per-sample byte ranges plus
+    a header-style checksum. A real pipeline replaces the byte-window
+    slicing with an actual demuxer keyframe fetch; the Spark plumbing --
+    Arrow batches, fan-out bounded at FRAME_SAMPLES rows per payload,
+    nothing through the driver -- is the part exercised here, and the
+    checksum math is replayed by the DuckDB oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                fc = (n + FRAME_BYTES - 1) // FRAME_BYTES
+                k = min(FRAME_SAMPLES, fc)
+                stride = max(1, fc // FRAME_SAMPLES)
+                for j in range(k):
+                    off = j * stride * FRAME_BYTES
+                    fb = payload[off : off + FRAME_BYTES]
+                    cs = 0
+                    for b in fb:
+                        cs = (cs * 31 + b) % 2147483647
+                    rows.append(
+                        (doc_id, j, j * stride, off, len(fb), cs)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_idx",
+                    "frame_idx",
+                    "byte_offset",
+                    "frame_len",
+                    "frame_checksum",
+                ],
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

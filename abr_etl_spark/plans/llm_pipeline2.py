@@ -304,8 +304,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(multimodal.attach_payload(d))
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (operators/multimodal.
+    sample_frames): the video-style window sampler, Arrow-batched, with
+    per-sample byte ranges and checksums the oracle replays byte-for-
+    byte in SQL (ASCII corpus => char slicing == byte slicing, same
+    contract multimodal_features relies on)."""
+    from abr_etl_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.attach_payload(d))
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "decontaminate_ngram": decontaminate_ngram,
     "repetition_score": repetition_score,
     "embedding_quantize": embedding_quantize,
@@ -341,6 +354,34 @@ ORACLES = {
     # = base-31 fold over the first 64 bytes (ASCII corpus: char ==
     # byte). greatest(unicode, 0) clamps DuckDB's unicode('') == -1 so an
     # empty payload folds to 0 like the stub's empty loop.
+    # Replays sample_frames' stride/window/checksum byte math.
+    "multimodal_frame_sample": """
+        WITH d AS (
+            SELECT doc_id, text,
+                   (strlen(text) + 31) // 32 AS fc
+            FROM documents
+        ), s AS (
+            SELECT doc_id, text,
+                   greatest(1, fc // 4) AS stride,
+                   unnest(range(0, least(4, fc))) AS sample_idx
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(sample_idx AS BIGINT) AS sample_idx,
+               CAST(sample_idx * stride AS BIGINT) AS frame_idx,
+               CAST(sample_idx * stride * 32 AS BIGINT) AS byte_offset,
+               CAST(strlen(substr(text, sample_idx * stride * 32 + 1, 32))
+                    AS BIGINT) AS frame_len,
+               CAST(list_reduce(list_prepend(0::BIGINT,
+                        list_transform(
+                            split(substr(text,
+                                         sample_idx * stride * 32 + 1, 32),
+                                  ''),
+                            c -> ascii(c)::BIGINT)),
+                    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT)
+                   AS frame_checksum
+        FROM s
+    """,
     "multimodal_features": """
         SELECT doc_id,
                'text/plain' AS mime,

@@ -31,3 +31,35 @@ def test_extract_features_matches_local_stub(spark):
             want["checksum"],
         )
     assert feats.rdd.getNumPartitions() >= 1
+
+
+def test_frame_sample_covers_and_bounds(spark):
+    """Frame samples must (a) emit at most FRAME_SAMPLES rows per doc,
+    (b) start frame 0 at offset 0, (c) keep every slice inside the
+    payload with len <= FRAME_BYTES, and (d) use a uniform stride."""
+    from abr_etl_spark.operators import multimodal as mm
+    from abr_etl_spark.sources.lake import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    payloads = {
+        r["doc_id"]: r["n_bytes"]
+        for r in mm.attach_payload(d).select("doc_id", "meta.n_bytes").collect()
+    }
+    rows = mm.sample_frames(mm.attach_payload(d)).collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["sample_idx"])
+        n = payloads[doc_id]
+        assert 1 <= len(rs) <= mm.FRAME_SAMPLES
+        assert rs[0]["byte_offset"] == 0 and rs[0]["frame_idx"] == 0
+        strides = {
+            b["frame_idx"] - a["frame_idx"] for a, b in zip(rs, rs[1:])
+        }
+        assert len(strides) <= 1, "stride must be uniform"
+        for r in rs:
+            assert r["byte_offset"] < n
+            assert 1 <= r["frame_len"] <= mm.FRAME_BYTES
+            assert r["byte_offset"] + r["frame_len"] <= n
