@@ -38,6 +38,8 @@ _R6_PRIORITY: list[str] = [
     "dedup_semantic",
     "asof_next_view",
     "multimodal_frame_sample",
+    "doc_ngram_novelty",
+    "cumulative_distinct_users",
     "dedup_embedding",
     "corpus_mix",
     "bucketed_join_revenue",

@@ -275,6 +275,43 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day -- the classic OLAP trap where a
+    naive COUNT(DISTINCT) OVER (ORDER BY day) either isn't supported or
+    rescans history per day. The scalable identity: a user contributes
+    exactly once, on their FIRST day -- so aggregate first-seen days
+    (one shuffle on user_id), count per day, and prefix-sum the counts
+    over the tiny per-day frame. State is O(days), never O(users x days).
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_seen = (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    # report every active day (0-filled), not just days with new users --
+    # the day list is tiny, so the outer join is a broadcast.
+    days = (
+        e.select(F.date_format("ts", "yyyy-MM-dd").alias("day")).distinct()
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(per_day, "day", "left")
+        .select(
+            "day", F.coalesce("new_users", F.lit(0)).alias("new_users")
+        )
+        .select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
 def asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join: each purchase annotated with the user's next
     view event at-or-after it (the "what did they look at right after
@@ -349,6 +386,7 @@ QUERIES = {
     "min_price_supplier_per_part": min_price_supplier_per_part,
     "cube_agg": cube_agg,
     "distinct_users_daily": distinct_users_daily,
+    "cumulative_distinct_users": cumulative_distinct_users,
 }
 
 ORACLES = {
@@ -363,6 +401,27 @@ ORACLES = {
                    - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_s
         FROM p ASOF LEFT JOIN v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    # Same first-seen identity, declaratively.
+    "cumulative_distinct_users": """
+        WITH fs AS (
+            SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+            FROM events GROUP BY user_id
+        ), pd AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS new_users
+            FROM fs GROUP BY day
+        ), days AS (
+            SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events
+        ), filled AS (
+            SELECT days.day,
+                   CAST(coalesce(pd.new_users, 0) AS BIGINT) AS new_users
+            FROM days LEFT JOIN pd ON days.day = pd.day
+        )
+        SELECT day, new_users,
+               CAST(sum(new_users) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_users
+        FROM filled
     """,
     "asof_next_view": """
         WITH p AS (SELECT event_id, user_id, ts FROM events

@@ -280,6 +280,47 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty score for curation ordering: the fraction of a
+    doc's distinct 3-gram hashes whose FIRST corpus occurrence (min
+    doc_id) is this doc -- high for fresh content, near zero for
+    documents assembled from already-seen text. The diversity-aware
+    companion to dedup: dedup drops near-copies, novelty RANKS partial
+    rehashes.
+
+    Shape: one (doc_id, gram) explode (same checkpoint-barrier rule as
+    dsir_importance), one groupBy(gram) min for first-occurrence, one
+    16-byte-row equi-join back, one doc-keyed aggregate. Ratio in exact
+    integer 1e-4 units, bit-replayable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(th.sp_token_hashes(th.sp_tokens("text"))).alias("__th"),
+    ).localCheckpoint()
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(th.sp_gram_hashes_from_token_hashes("__th", 3))
+        ).alias("g"),
+    ).localCheckpoint()
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_e4",
+            F.expr("(10000 * n_novel + n_grams DIV 2) DIV n_grams"),
+        )
+    )
+
+
 #: docs concatenated per synthetic multi-line "page" for dedup_lines.
 LINES_PER_PAGE = 5
 #: boilerplate header prepended to every synthetic page -- the repeated
@@ -420,6 +461,7 @@ QUERIES = {
     "sequence_pack_chunks": sequence_pack_chunks,
     "dedup_lines": dedup_lines,
     "dsir_importance": dsir_importance,
+    "doc_ngram_novelty": doc_ngram_novelty,
     "corpus_mix": corpus_mix,
     "heavy_hitters_cms": heavy_hitters_cms,
 }
@@ -443,6 +485,30 @@ ORACLES = {
                tok_offset // {PACK_CAP} AS bin_first,
                (tok_offset + n_tok - 1) // {PACK_CAP} AS bin_last
         FROM c
+    """,
+    # Identical distinct-gram first-occurrence rule and integer ratio.
+    "doc_ngram_novelty": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {th.dk_gram_hashes_from_token_hashes(
+                       th.dk_token_hashes(th.dk_tokens('text')), 3)} AS gs
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, unnest(gs) AS g FROM t
+        ), f AS (
+            SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM ex JOIN f USING (g)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, n_novel,
+               ((10000 * n_novel) + (n_grams // 2)) // n_grams
+                   AS novelty_e4
+        FROM agg
     """,
     # Identical hashed-bigram features and integer ratio math.
     "dsir_importance": f"""

@@ -36,3 +36,23 @@ def test_asof_forward_backward_complement(spark):
     assert all(back[k] >= 0 and fwd[k] >= 0 for k in both)
     # directions disagree somewhere (different views matched)
     assert any(back[k] != fwd[k] for k in both)
+
+
+def test_cumulative_distinct_users_invariants(spark):
+    """Zero-filled day list, monotone cumulative sum, and the final
+    value equals the table's total distinct users."""
+    from abr_etl_spark.plans.analytics2 import cumulative_distinct_users
+    from abr_etl_spark.sources.lake import load_table
+    from tests.conftest import SF_ORACLE
+
+    rows = cumulative_distinct_users(spark, SF_ORACLE).collect()
+    assert len(rows) == 30  # the corpus spans 30 active days
+    assert all(a["cum_users"] <= b["cum_users"] for a, b in zip(rows, rows[1:]))
+    total = (
+        load_table(spark, SF_ORACLE, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[-1]["cum_users"] == total
+    assert sum(r["new_users"] for r in rows) == total

@@ -220,3 +220,18 @@ def test_dsir_importance_favors_curated_docs(spark):
     w_web = [r["weight_e4"] for r in rows if r["doc_id"] not in curated]
     assert w_cur and w_web
     assert sum(w_cur) / len(w_cur) > sum(w_web) / len(w_web)
+
+
+def test_doc_ngram_novelty_bounds_and_first_doc(spark):
+    """Novelty invariants: the lowest-id doc is 100% novel (nothing
+    precedes it), every score is in (0, 10000], and the corpus's planted
+    near-dups force some later doc far below full novelty."""
+    rows = lp4.doc_ngram_novelty(spark, SF_ORACLE).collect()
+    assert rows
+    by_id = {r["doc_id"]: r for r in rows}
+    first = by_id[min(by_id)]
+    assert first["novelty_e4"] == 10000 and first["n_novel"] == first["n_grams"]
+    assert all(0 <= r["novelty_e4"] <= 10000 for r in rows)
+    assert min(r["novelty_e4"] for r in rows) < 5000, (
+        "planted near-dups should make some doc mostly non-novel"
+    )
