@@ -80,6 +80,8 @@ HEADLINERS = [
     "dedup_lines",
     "q21_waiting_suppliers",
     "dsir_importance",
+    "doc_ngram_novelty",
+    "cumulative_distinct_users",
 ]
 
 
