@@ -40,6 +40,7 @@ _R6_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "doc_ngram_novelty",
     "cumulative_distinct_users",
+    "pii_report",
     "dedup_embedding",
     "corpus_mix",
     "bucketed_join_revenue",

@@ -280,6 +280,57 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared PII regexes (same patterns redact_pii scrubs with).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance-style PII exposure report per source: docs scanned,
+    docs containing an email / phone, and total match counts -- the
+    measurement side of redact_pii (you report before you scrub, and
+    re-report after to prove the scrub). The corpus has no organic PII,
+    so the query plants a deterministic email on every 3rd doc and a
+    phone on every 5th (both on every 15th), identically in the oracle
+    -- making the expected counts provable, not incidental. One map-only
+    regexp_count pass, one aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +61 3 9999 00"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    per_doc = d.select(
+        "source",
+        F.regexp_count(planted, F.lit(_EMAIL_RE)).cast("long").alias("ne"),
+        F.regexp_count(planted, F.lit(_PHONE_RE)).cast("long").alias("np"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("docs_scanned"),
+            F.sum((F.col("ne") > 0).cast("long")).alias("docs_with_email"),
+            F.sum((F.col("np") > 0).cast("long")).alias("docs_with_phone"),
+            F.sum("ne").alias("n_emails"),
+            F.sum("np").alias("n_phones"),
+        )
+        .orderBy("source")
+    )
+
+
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc novelty score for curation ordering: the fraction of a
     doc's distinct 3-gram hashes whose FIRST corpus occurrence (min
@@ -462,6 +513,7 @@ QUERIES = {
     "dedup_lines": dedup_lines,
     "dsir_importance": dsir_importance,
     "doc_ngram_novelty": doc_ngram_novelty,
+    "pii_report": pii_report,
     "corpus_mix": corpus_mix,
     "heavy_hitters_cms": heavy_hitters_cms,
 }
@@ -485,6 +537,40 @@ ORACLES = {
                tok_offset // {PACK_CAP} AS bin_first,
                (tok_offset + n_tok - 1) // {PACK_CAP} AS bin_last
         FROM c
+    """,
+    # Identical plant + the same regexes redact_pii scrubs with.
+    "pii_report": f"""
+        WITH p AS (
+            SELECT source,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' reach user' || doc_id
+                                || '@mail.example.org'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' call +61 3 9999 00'
+                                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                           ELSE '' END AS t
+            FROM documents
+        ), c AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                       AS BIGINT) AS ne,
+                   CAST(len(regexp_extract_all(t,
+                       '\\+?[0-9][0-9()\\-\\s]{{7,}}[0-9]'))
+                       AS BIGINT) AS np
+            FROM p
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS docs_scanned,
+               CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_with_email,
+               CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_with_phone,
+               CAST(sum(ne) AS BIGINT) AS n_emails,
+               CAST(sum(np) AS BIGINT) AS n_phones
+        FROM c GROUP BY source
     """,
     # Identical distinct-gram first-occurrence rule and integer ratio.
     "doc_ngram_novelty": f"""

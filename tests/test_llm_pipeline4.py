@@ -235,3 +235,27 @@ def test_doc_ngram_novelty_bounds_and_first_doc(spark):
     assert min(r["novelty_e4"] for r in rows) < 5000, (
         "planted near-dups should make some doc mostly non-novel"
     )
+
+
+def test_pii_report_counts_match_plant(spark):
+    """The plant is deterministic, so the expected counts are provable:
+    every 3rd doc carries exactly one email, every 5th at least one
+    phone match; totals must tie back to the doc_id arithmetic."""
+    rows = lp4.pii_report(spark, SF_ORACLE).collect()
+    assert rows
+    from abr_etl_spark.sources.lake import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    want_email_docs = sum(1 for i in ids if i % 3 == 0)
+    assert sum(r["docs_with_email"] for r in rows) == want_email_docs
+    assert sum(r["n_emails"] for r in rows) == want_email_docs
+    # phones: every 5th doc is planted; organic digit runs could add
+    # matches but never remove them
+    want_phone_docs = sum(1 for i in ids if i % 5 == 0)
+    assert sum(r["docs_with_phone"] for r in rows) >= want_phone_docs
+    assert sum(r["docs_scanned"] for r in rows) == len(ids)
