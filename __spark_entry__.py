@@ -41,6 +41,7 @@ _R6_PRIORITY: list[str] = [
     "doc_ngram_novelty",
     "cumulative_distinct_users",
     "pii_report",
+    "rfm_segments",
     "dedup_embedding",
     "corpus_mix",
     "bucketed_join_revenue",

@@ -264,7 +264,62 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, recency (days since last
+    order, anchored to the corpus's max order date so the metric is
+    data-deterministic), frequency (order count), monetary (total spend
+    in exact cents), each quartiled with ntile(4) under a fully
+    deterministic (metric, custkey) order; output is the 64-cell segment
+    census (r_score, f_score, m_score, n_customers, total_cents).
+
+    Scale shape: one groupBy(custkey) scan, three ntile windows over the
+    customer-level aggregate (orders-cardinality rows, not lineitem),
+    one tiny census aggregate. The max-date anchor is a 1-row broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("__max_d"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("__max_d").cast("date"), F.col("last_d").cast("date")).alias("rec_days"),
+            "freq",
+            "cents",
+        )
+    )
+    # LOW recency days = GOOD, so recency orders ascending; freq/monetary
+    # order descending so ntile 1 is always the best quartile.
+    w_r = Window.orderBy(F.col("rec_days").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("freq").desc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    scored = per_cust.select(
+        "o_custkey",
+        "cents",
+        F.ntile(4).over(w_r).alias("r_score"),
+        F.ntile(4).over(w_f).alias("f_score"),
+        F.ntile(4).over(w_m).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
 QUERIES = {
+    "rfm_segments": rfm_segments,
     "gap_fill_ffill": gap_fill_ffill,
     "correlated_subqueries": correlated_subqueries,
     "salted_join_revenue": salted_join_revenue,
@@ -276,6 +331,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rfm_segments": """
+        WITH a AS (SELECT max(o_orderdate) AS max_d FROM orders),
+        pc AS (
+            SELECT o_custkey,
+                   date_diff('day', max(o_orderdate)::DATE,
+                             (SELECT max_d FROM a)::DATE) AS rec_days,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ), sc AS (
+            SELECT o_custkey, cents,
+                   ntile(4) OVER (ORDER BY rec_days ASC, o_custkey ASC)
+                       AS r_score,
+                   ntile(4) OVER (ORDER BY freq DESC, o_custkey ASC)
+                       AS f_score,
+                   ntile(4) OVER (ORDER BY cents DESC, o_custkey ASC)
+                       AS m_score
+            FROM pc
+        )
+        SELECT CAST(r_score AS INTEGER) AS r_score,
+               CAST(f_score AS INTEGER) AS f_score,
+               CAST(m_score AS INTEGER) AS m_score,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM sc GROUP BY 1, 2, 3
+    """,
     "gap_fill_ffill": f"""
         WITH ev AS (
             SELECT * FROM events WHERE user_id < {GAP_FILL_USERS}

@@ -30,3 +30,29 @@ def test_salted_join_plan_has_salt_key(spark):
     )
     assert "__salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_segments_quartiles_balanced_and_conserve(spark):
+    """Each RFM dimension must partition customers into 4 near-equal
+    quartiles (ntile guarantee: sizes differ by at most 1), and the
+    census must conserve customers and cents exactly."""
+    from abr_etl_spark.plans.analytics5 import rfm_segments
+    from abr_etl_spark.sources.lake import load_table
+    from tests.conftest import SF_ORACLE
+    from pyspark.sql import functions as F
+
+    rows = rfm_segments(spark, SF_ORACLE).collect()
+    assert rows
+    o = load_table(spark, SF_ORACLE, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    total_cents = o.select(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+    ).collect()[0][0]
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["total_cents"] for r in rows) == total_cents
+    for dim in ("r_score", "f_score", "m_score"):
+        sizes: dict = {}
+        for r in rows:
+            sizes[r[dim]] = sizes.get(r[dim], 0) + r["n_customers"]
+        assert sorted(sizes) == [1, 2, 3, 4]
+        assert max(sizes.values()) - min(sizes.values()) <= 1
