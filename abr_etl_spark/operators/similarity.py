@@ -622,3 +622,20 @@ def embedding_dup_pairs(
     # Materialize the (tiny) pair set, then drop the vector/bucket cache
     # (result-cache ownership: functions/cache.py).
     return materialize_result(pairs)
+
+
+# Self-contained worker pickling: these module-level functions cross the
+# driver/worker boundary (Arrow/stateful UDFs). By default cloudpickle
+# serializes them BY REFERENCE, so a Python worker spawned from a driver
+# process with a foreign cwd (the round driver, notebooks) dies with
+# ModuleNotFoundError on this package. Registering the module for
+# by-value pickling ships the function bodies with the task instead --
+# no sys.path assumptions on workers.
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - ancient cloudpickle
+    pass

@@ -63,3 +63,23 @@ def test_frame_sample_covers_and_bounds(spark):
             assert r["byte_offset"] < n
             assert 1 <= r["frame_len"] <= mm.FRAME_BYTES
             assert r["byte_offset"] + r["frame_len"] <= n
+
+
+def test_worker_udf_modules_pickle_by_value():
+    """Modules whose functions cross the driver/worker boundary must be
+    registered for by-value cloudpickle: a driver process with a foreign
+    cwd (the round driver) spawns workers that cannot import this
+    package, and by-reference pickling then dies with
+    ModuleNotFoundError (caught live in r6, fixed at module import)."""
+    from pyspark import cloudpickle
+
+    import abr_etl_spark.operators.multimodal as mm
+    import abr_etl_spark.operators.similarity as sim
+    import abr_etl_spark.streaming.stateful as st
+
+    registered = {
+        m if isinstance(m, str) else m.__name__
+        for m in cloudpickle.list_registry_pickle_by_value()
+    }
+    for mod in (mm, sim, st):
+        assert mod.__name__ in registered, mod.__name__
