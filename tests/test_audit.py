@@ -21,3 +21,21 @@ def test_audit_flags_python(spark):
     feats = multimodal.extract_features(multimodal.attach_payload(d))
     info = audit.audit_plan(spark, feats)
     assert info["python_eval"] >= 1
+
+
+def test_driver_registry_contract():
+    """The driver contract must stay closed: every queries() key has an
+    oracle (this engine has no rows-only keys -- a regression to
+    rows-only should be a deliberate, visible choice), every oracle
+    refers to a real query, and the priority head only lists real keys."""
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(oracles) == set(qs), (
+        set(oracles) ^ set(qs)
+    )
+    missing = [k for k in entry._R6_PRIORITY if k not in qs]
+    assert not missing, missing
+    # priority head has no duplicates (duplicates silently waste the
+    # driver's ~50-row budget)
+    assert len(entry._R6_PRIORITY) == len(set(entry._R6_PRIORITY))
