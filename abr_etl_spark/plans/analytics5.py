@@ -265,17 +265,99 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+RFM_NTILE_BUCKETS = 512  # order-aligned equi-width buckets per metric
+
+
+def _ntile_distributed(
+    df: DataFrame,
+    metric: str,
+    *,
+    ascending: bool,
+    n_tiles: int = 4,
+    n_buckets: int = RFM_NTILE_BUCKETS,
+    keep_metric: bool = False,
+) -> DataFrame:
+    """Exact ``ntile(n)`` over the total order ``(metric, o_custkey)``
+    WITHOUT a global single-partition sort.
+
+    Plan (the sequence_pack two-level prefix-sum pattern):
+
+    1. 1-row min/max/count aggregate, broadcast.
+    2. Deterministic order-aligned equi-width bucket (integer
+       arithmetic, no sampled range boundaries -- replayable and
+       partitioning-independent, unlike repartitionByRange).
+    3. row_number over a window partitioned BY BUCKET (parallel).
+    4. Per-bucket counts -> exclusive prefix sum over the <=n_buckets
+       tiny rows -> broadcast back; global rank = prefix + local rank.
+    5. ntile's exact tile arithmetic from (rank, total): the first
+       n % t tiles carry ceil(n/t) rows, the rest floor(n/t).
+
+    Returns (o_custkey, __tile). Worst case one bucket holds a skewed
+    value run; the window stays partition-parallel across buckets and
+    never sorts more than one bucket per task.
+    """
+    stats = df.agg(
+        F.min(metric).alias("__mn"),
+        F.max(metric).alias("__mx"),
+        F.count("*").alias("__n"),
+    )
+    val = F.col(metric)
+    lo, hi = F.col("__mn"), F.col("__mx")
+    span = hi - lo + F.lit(1)
+    raw = (val - lo) if ascending else (hi - val)
+    annotated = df.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        val.alias("__v"),
+        F.col("__n"),
+        F.floor(raw * F.lit(n_buckets) / span).cast("long").alias("__b"),
+    )
+    order = [
+        F.col("__v").asc() if ascending else F.col("__v").desc(),
+        F.col("o_custkey").asc(),
+    ]
+    w_in = Window.partitionBy("__b").orderBy(*order)
+    within = annotated.select(
+        "o_custkey",
+        "__b",
+        "__n",
+        "__v",
+        F.row_number().over(w_in).alias("__rn"),
+    )
+    counts = annotated.groupBy("__b").agg(F.count("*").alias("__c"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = counts.select(
+        "__b", F.coalesce(F.sum("__c").over(w_b), F.lit(0)).alias("__pre")
+    )
+    p = F.col("__pre") + F.col("__rn")
+    n = F.col("__n")
+    t = F.lit(n_tiles)
+    q = F.floor(n / t).cast("long")
+    r = n % t
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    tile = F.when(p <= big, F.floor((p - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((p - big - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    out_cols = ["o_custkey", tile.cast("int").alias("__tile")]
+    if keep_metric:
+        out_cols.append(F.col("__v").alias(metric))
+    return within.join(F.broadcast(prefix), "__b").select(*out_cols)
+
+
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per customer, recency (days since last
     order, anchored to the corpus's max order date so the metric is
     data-deterministic), frequency (order count), monetary (total spend
-    in exact cents), each quartiled with ntile(4) under a fully
-    deterministic (metric, custkey) order; output is the 64-cell segment
-    census (r_score, f_score, m_score, n_customers, total_cents).
+    in exact cents), each quartiled with exact ntile(4) semantics under
+    a fully deterministic (metric, custkey) order; output is the 64-cell
+    segment census (r_score, f_score, m_score, n_customers, total_cents).
 
-    Scale shape: one groupBy(custkey) scan, three ntile windows over the
-    customer-level aggregate (orders-cardinality rows, not lineitem),
-    one tiny census aggregate. The max-date anchor is a 1-row broadcast.
+    Scale shape (r7): one groupBy(custkey) scan, then each metric is
+    quartiled by ``_ntile_distributed`` -- bucket-partitioned windows +
+    a tiny broadcast prefix, NEVER an unpartitioned global sort (the r6
+    version's three ``Window.orderBy`` ntiles were single-task global
+    sorts over the customer dimension; at 1e9 customers that is one
+    executor sorting the world three times). Scores recombine via three
+    narrow (custkey, int) shuffle joins, then one tiny census aggregate.
     """
     o = load_table(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("__max_d"))
@@ -295,18 +377,16 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "cents",
         )
-    )
+    ).localCheckpoint(eager=False)  # barrier: 6 downstream lineage refs
     # LOW recency days = GOOD, so recency orders ascending; freq/monetary
-    # order descending so ntile 1 is always the best quartile.
-    w_r = Window.orderBy(F.col("rec_days").asc(), F.col("o_custkey").asc())
-    w_f = Window.orderBy(F.col("freq").desc(), F.col("o_custkey").asc())
-    w_m = Window.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
-    scored = per_cust.select(
-        "o_custkey",
-        "cents",
-        F.ntile(4).over(w_r).alias("r_score"),
-        F.ntile(4).over(w_f).alias("f_score"),
-        F.ntile(4).over(w_m).alias("m_score"),
+    # order descending so tile 1 is always the best quartile.
+    r_sc = _ntile_distributed(per_cust, "rec_days", ascending=True)
+    f_sc = _ntile_distributed(per_cust, "freq", ascending=False)
+    m_sc = _ntile_distributed(per_cust, "cents", ascending=False, keep_metric=True)
+    scored = (
+        m_sc.withColumnRenamed("__tile", "m_score")
+        .join(r_sc.withColumnRenamed("__tile", "r_score"), "o_custkey")
+        .join(f_sc.withColumnRenamed("__tile", "f_score"), "o_custkey")
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

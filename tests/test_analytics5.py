@@ -56,3 +56,35 @@ def test_rfm_segments_quartiles_balanced_and_conserve(spark):
             sizes[r[dim]] = sizes.get(r[dim], 0) + r["n_customers"]
         assert sorted(sizes) == [1, 2, 3, 4]
         assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+@pytest.mark.parametrize(
+    "n,dup_every,ascending",
+    [(10, 1, True), (17, 3, False), (101, 5, True), (101, 1, False), (3, 1, True)],
+)
+def test_ntile_distributed_matches_global_ntile(spark, n, dup_every, ascending):
+    """_ntile_distributed must reproduce ntile(4) over the global
+    (metric, custkey) order bit-for-bit -- including ties straddling
+    quartile boundaries (dup_every>1 plants runs of equal metric
+    values) and n % 4 != 0 tile-size asymmetry."""
+    from pyspark.sql import Window
+
+    rows = [(i, (i * 7919) % (max(n // dup_every, 1))) for i in range(n)]
+    df = spark.createDataFrame(rows, "o_custkey long, m long")
+    order = [
+        F.col("m").asc() if ascending else F.col("m").desc(),
+        F.col("o_custkey").asc(),
+    ]
+    expected = {
+        r["o_custkey"]: r["t"]
+        for r in df.select(
+            "o_custkey", F.ntile(4).over(Window.orderBy(*order)).alias("t")
+        ).collect()
+    }
+    got = {
+        r["o_custkey"]: r["__tile"]
+        for r in a5._ntile_distributed(
+            df, "m", ascending=ascending, n_buckets=8
+        ).collect()
+    }
+    assert got == expected
