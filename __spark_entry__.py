@@ -20,67 +20,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-6 priority head, ordered by how badly each key needs a fresh
-# CORRECTNESS row under the driver's ~50-row budget (r5 verdict item 1:
-# rotate oldest-driver-row keys to the head so no green row is older than
-# r4 after this round):
-# 1. keys that are brand new or whose plan changed this round;
-# 2. the 7 keys whose latest driver row dates to round 1;
-# 3. the 40 keys whose latest driver row dates to round 2.
-_R6_PRIORITY: list[str] = [
-    # --- 1. new / changed this round ---
-    "stream_running_counts",
-    "stream_dedup_exact",
-    "sequence_pack_chunks",
-    "dedup_lines",
-    "dsir_importance",
-    "q21_waiting_suppliers",
-    "dedup_semantic",
-    "asof_next_view",
-    "multimodal_frame_sample",
-    "doc_ngram_novelty",
-    "cumulative_distinct_users",
-    "pii_report",
-    "rfm_segments",
-    "dedup_embedding",
-    "corpus_mix",
-    "bucketed_join_revenue",
-    "dedup_incremental_probe",
-    # --- 2. r1-stale driver rows ---
-    "datetime_funcs",
-    "null_semantics",
-    "zscore_window",
-    "array_agg_per_group",
-    "string_funcs",
-    "ingest_routed",
-    "lake_partitions",
-    # --- 3. r2-stale driver rows ---
-    "set_ops",
-    "json_props_agg",
-    "dq_completeness",
-    "dq_uniqueness",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_canonical",
-    "ann_bruteforce",
-    "ann_lsh",
-    "ann_lsh_multiprobe",
-    "ann_ivf",
-    "text_stats",
-    "lang_id",
-    "quality_score",
-    "fingerprint",
-    "multimodal_meta",
-    "chunk_documents",
-    "redact_pii",
-    "sample_deterministic",
-    "dup_spans",
-    "tfidf_top_terms",
-    "sample_stratified",
-    "stream_window_counts",
-    "stream_sliding_avg",
+# Round-7 priority head, ordered by how badly each key needs a fresh
+# CORRECTNESS row under the driver's ~50-row budget (r6 verdict item 3):
+# 1. the 13 keys whose latest driver row still dates to round 2 (they did
+#    not fit r6's budget);
+# 2. keys that are brand new or whose plan changed this round;
+# 3. the 25 keys whose latest driver row dates to round 4.
+# Everything after the budget line keeps module order; all keys pass the
+# local 136-query gate regardless.
+_R7_PRIORITY: list[str] = [
+    # --- 1. r2-stale driver rows (rotate first, r6 verdict item 3) ---
     "stream_session_windows",
     "multimodal_features",
     "repetition_score",
@@ -94,6 +43,40 @@ _R6_PRIORITY: list[str] = [
     "q11_important_stock",
     "q20_dominant_suppliers",
     "q13_order_distribution",
+    # --- 2. new / changed this round ---
+    "rfm_segments",
+    "heavy_hitters_cms",
+    "dedup_embedding",
+    "lake_partitions",
+    "bucketed_join_revenue",
+    "stream_window_counts",
+    "stream_dedup_exact",
+    # --- 3. r4-stale driver rows ---
+    "window_funcs",
+    "map_funcs",
+    "json_nested_extract",
+    "array_funcs",
+    "dedup_canonical_star",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "late_shipment_suppliers",
+    "train_test_split",
+    "histogram_equi_width",
+    "histogram_equi_depth",
+    "gap_fill_ffill",
+    "correlated_subqueries",
+    "salted_join_revenue",
+    "grouping_sets_agg",
+    "unpivot_melt",
+    "triangle_count",
+    "reachability_bfs",
+    "markov_transitions",
+    "skyline_pareto",
+    "mode_per_group",
+    "ann_ivf_kmeans",
+    "decontaminate_ngram",
+    "bigram_lm",
+    "containment_pairs",
 ]
 
 
@@ -160,8 +143,8 @@ def _registry() -> tuple[dict, dict]:
 
     # Priority ordering: the driver checks queries in registry order under a
     # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
-    # first (see _R6_PRIORITY), then everything else in module order.
-    ordered = {k: queries[k] for k in _R6_PRIORITY if k in queries}
+    # first (see _R7_PRIORITY), then everything else in module order.
+    ordered = {k: queries[k] for k in _R7_PRIORITY if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
     return ordered, oracles
 
