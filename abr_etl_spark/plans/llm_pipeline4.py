@@ -448,14 +448,29 @@ _CMS_A, _CMS_B = (s[:CMS_D] for s in th.perm_seeds(CMS_D))
 CMS_PROBE_DOCS = 5
 
 
-def _cms_cells_expr(hash_expr: str) -> str:
-    """array< cell_j > for j in 0..D-1 -- shared literal seeds, identical
-    string math in the DuckDB oracle."""
-    cells = ", ".join(
-        f"(({a} * ({hash_expr}) + {b}) % {th.P}) % {CMS_W}"
-        for a, b in zip(_CMS_A, _CMS_B)
+def _cms_stack_expr(hash_col: str) -> str:
+    """``stack(D, j, cell_j, ...) AS (j, cell)`` over an already-computed
+    hash COLUMN -- shared literal seeds, identical string math in the
+    DuckDB oracle. Folds the former array-build + posexplode into one
+    generator whose per-row work is D cheap (a*h+b)%P%W expressions; the
+    expensive char-level polyhash is evaluated exactly once per token
+    behind its own generator boundary (CollapseProject cannot inline
+    through Generate, the dsir_importance lesson)."""
+    rows = ", ".join(
+        f"{j}, (({a} * {hash_col} + {b}) % {th.P}) % {CMS_W}"
+        for j, (a, b) in enumerate(zip(_CMS_A, _CMS_B))
     )
-    return f"array({cells})"
+    return f"stack({CMS_D}, {rows}) AS (j, cell)"
+
+
+def _cms_cells(df: DataFrame, tok: str = "tok", *, keep_tok: bool = False) -> DataFrame:
+    """(j, cell) rows, D per input token, hash computed once per token."""
+    hashed = df.select(
+        "*",
+        F.explode(F.array(F.expr(th.sp_polyhash(tok)))).alias("__h"),
+    )
+    keep = [c for c in df.columns if keep_tok or c != tok]
+    return hashed.select(*keep, F.expr(_cms_stack_expr("__h")))
 
 
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -473,23 +488,14 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     occ = d.select(F.explode(F.expr(th.sp_tokens("text"))).alias("tok"))
-    cells = occ.select(
-        F.posexplode(
-            F.expr(_cms_cells_expr(th.sp_polyhash("tok")))
-        ).alias("j", "cell")
-    )
+    cells = _cms_cells(occ)
     sketch = cells.groupBy("j", "cell").agg(F.count("*").alias("n"))
     probe = (
         d.where(F.col("doc_id") < CMS_PROBE_DOCS)
         .select(F.explode(F.expr(th.sp_tokens("text"))).alias("tok"))
         .distinct()
     )
-    probe_cells = probe.select(
-        "tok",
-        F.posexplode(
-            F.expr(_cms_cells_expr(th.sp_polyhash("tok")))
-        ).alias("j", "cell"),
-    )
+    probe_cells = _cms_cells(probe, keep_tok=True)
     return (
         probe_cells.join(F.broadcast(sketch), ["j", "cell"])
         .groupBy("tok")
@@ -498,7 +504,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dk_cms_union(src: str, *, with_tok: bool) -> str:
-    """DuckDB twin of _cms_cells_expr as a UNION ALL over the D rows."""
+    """DuckDB twin of _cms_stack_expr as a UNION ALL over the D rows."""
     tok = ", tok" if with_tok else ""
     return " UNION ALL ".join(
         f"SELECT {j} AS j, (({a} * h + {b}) % {th.P}) % {CMS_W} AS cell{tok}"
