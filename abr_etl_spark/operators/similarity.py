@@ -561,10 +561,15 @@ def embedding_dup_pairs(
             F.expr(th.sp_norm(vec_col)).alias("__n"),
             F.expr(sp_lsh_bucket(vec_col, bits)).alias("bucket"),
         )
-    # localCheckpoint, not persist: materializes ~2x faster for wide array
-    # rows, truncates the (interpreted, multi-consumer) lineage the same
-    # way, and its blocks are GC-owned -- no unpersist bookkeeping.
-    base = base.localCheckpoint()
+    # persist, not localCheckpoint: a checkpoint RDD makes every
+    # invocation's plan unique, so the RESULT cache below stops
+    # canonicalizing equal across repeat calls and each call recomputes
+    # and accumulates fresh blocks (r6 regression: warm 0.42 s -> 1.39 s,
+    # plus the cache.py "one JVM cache per (operator, input)" contract
+    # went false). persist keeps the plan canonical -- repeat invocations
+    # hit the materialized pair cache without recomputing -- and the base
+    # cache is explicitly dropped the moment the pairs materialize.
+    base = base.persist()
     banded = base.select(
         "id",
         F.posexplode(
@@ -621,7 +626,9 @@ def embedding_dup_pairs(
     )
     # Materialize the (tiny) pair set, then drop the vector/bucket cache
     # (result-cache ownership: functions/cache.py).
-    return materialize_result(pairs)
+    out = materialize_result(pairs)
+    base.unpersist()
+    return out
 
 
 # Self-contained worker pickling: these module-level functions cross the
