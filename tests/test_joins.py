@@ -163,3 +163,59 @@ def test_ensure_bucketed_table_lifecycle(spark, tmp_path):
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning" not in plan, plan
     spark.sql("DROP TABLE bkt_lifecycle_t")
+
+
+def test_ensure_bucketed_table_validates_spec(spark, tmp_path):
+    """The re-register path must refuse to declare a bucket spec that
+    disagrees with the on-disk _BUCKET_SPEC marker (silently wrong joins
+    otherwise), and must rebuild -- not trust -- a legacy directory that
+    has data but no marker."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return load_table(spark, SF_ORACLE, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).limit(50)
+
+    path = str(tmp_path / "bkt_v")
+    spark.sql("DROP TABLE IF EXISTS bkt_spec_t")
+    joins.ensure_bucketed_table(
+        spark, build, "bkt_spec_t", "o_orderkey", path, buckets=4
+    )
+    assert json.load(open(f"{path}/_BUCKET_SPEC.json")) == {
+        "buckets": 4,
+        "key": "o_orderkey",
+        "sorted": True,
+    }
+    spark.sql("DROP TABLE bkt_spec_t")
+    # wrong bucket count -> refuse
+    with _pytest.raises(ValueError, match="bucket spec mismatch"):
+        joins.ensure_bucketed_table(
+            spark, build, "bkt_spec_t", "o_orderkey", path, buckets=8
+        )
+    # wrong key -> refuse
+    with _pytest.raises(ValueError, match="bucket spec mismatch"):
+        joins.ensure_bucketed_table(
+            spark, build, "bkt_spec_t", "o_orderpriority", path, buckets=4
+        )
+    assert calls == [1] and not spark.catalog.tableExists("bkt_spec_t")
+    # matching spec still re-registers without a rebuild
+    joins.ensure_bucketed_table(
+        spark, build, "bkt_spec_t", "o_orderkey", path, buckets=4
+    )
+    assert calls == [1]
+    spark.sql("DROP TABLE bkt_spec_t")
+    # legacy dir (no marker): rebuilt once, acquiring the marker
+    os.remove(f"{path}/_BUCKET_SPEC.json")
+    joins.ensure_bucketed_table(
+        spark, build, "bkt_spec_t", "o_orderkey", path, buckets=4
+    )
+    assert calls == [1, 1], "unverifiable legacy layout must rebuild"
+    assert os.path.exists(f"{path}/_BUCKET_SPEC.json")
+    spark.sql("DROP TABLE bkt_spec_t")
