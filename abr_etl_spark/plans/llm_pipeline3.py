@@ -34,6 +34,8 @@ primitives a 100 TB curation pipeline needs.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -200,24 +202,34 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # later session in-process (unlike id(spark), which a new session can
     # inherit after GC and receive an index bound to a dead JVM context).
     cache_key = (spark.sparkContext.applicationId, sf_dir)
-    index = _INCR_INDEX_CACHE.get(cache_key)
-    if index is None:
-        # Entries from stopped sessions are unreachable garbage: evict any
-        # cached index whose application no longer matches a live context,
-        # so persisted indexes can't accumulate across session restarts.
-        live_app = spark.sparkContext.applicationId
-        for k in [k for k in _INCR_INDEX_CACHE if k[0] != live_app]:
-            _INCR_INDEX_CACHE.pop(k)
+    entry = _INCR_INDEX_CACHE.get(cache_key)
+    if entry is None:
+        # Evict only entries whose owning SparkContext is actually STOPPED
+        # (r6 advice: a second LIVE session in this process must keep its
+        # index -- evicting by applicationId != current thrashed index
+        # rebuilds between alternating live sessions and leaked their
+        # persisted blocks without unpersist). A stopped context's blocks
+        # died with its JVM state, so popping is the whole cleanup.
+        for k, (_, sc_ref) in list(_INCR_INDEX_CACHE.items()):
+            sc = sc_ref()
+            if sc is None or getattr(sc, "_jsc", None) is None:
+                _INCR_INDEX_CACHE.pop(k, None)
         # lazy persist: the FIRST probe materializes the index in-flow
         # (no separate build pass), later probes hit the cache.
         index = dedup_incremental.build_minhash_index(corpus).persist()
-        _INCR_INDEX_CACHE[cache_key] = index
+        _INCR_INDEX_CACHE[cache_key] = (
+            index,
+            weakref.ref(spark.sparkContext),
+        )
+    else:
+        index = entry[0]
     return dedup_incremental.probe_index(drop, index, threshold=INCR_TAU)
 
 
 #: session-lifetime materialized corpus indexes, keyed by
-#: (applicationId, sf_dir); entries for dead applications are evicted on the
-#: next cache miss (see dedup_incremental_probe).
+#: (applicationId, sf_dir) -> (index_df, weakref(SparkContext)); entries
+#: whose owning context has stopped are evicted on the next cache miss
+#: (see dedup_incremental_probe). Live sibling sessions' entries survive.
 _INCR_INDEX_CACHE: dict = {}
 
 

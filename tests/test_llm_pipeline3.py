@@ -88,3 +88,33 @@ def test_containment_catches_quote_inclusion(spark):
     assert got[0]["cont_e4"] == 10000
     # and jaccard at 0.9 misses it
     assert dedup.ngram_jaccard_pairs(df, threshold=0.9).count() == 0
+
+
+def test_incr_index_cache_keeps_live_entries_evicts_dead(spark):
+    """Eviction must spare entries owned by LIVE contexts (a second
+    session in-process) and drop only stopped-context entries."""
+    import weakref
+
+    from abr_etl_spark.plans import llm_pipeline3 as lp3
+
+    lp3._INCR_INDEX_CACHE.clear()
+    # a fake "sibling live session" entry: same live context, foreign app id
+    sentinel = object()
+    lp3._INCR_INDEX_CACHE[("other-live-app", "x")] = (
+        sentinel,
+        weakref.ref(spark.sparkContext),
+    )
+
+    class _DeadSC:
+        _jsc = None
+
+    dead = _DeadSC()
+    lp3._INCR_INDEX_CACHE[("dead-app", "y")] = (object(), weakref.ref(dead))
+    del dead  # weakref now returns None too
+
+    lp3.dedup_incremental_probe(spark, SF_ORACLE).count()
+    keys = set(lp3._INCR_INDEX_CACHE)
+    assert ("other-live-app", "x") in keys, "live sibling entry evicted"
+    assert ("dead-app", "y") not in keys, "dead entry not evicted"
+    assert lp3._INCR_INDEX_CACHE[("other-live-app", "x")][0] is sentinel
+    lp3._INCR_INDEX_CACHE.pop(("other-live-app", "x"))
