@@ -78,13 +78,51 @@ _DERIVED_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse"
 _rc_names = itertools.count()
 
 
+def _stage_root() -> Path:
+    """Writable staging root: the repo-root spark-warehouse, or a per-user
+    tempdir when the install is read-only (r6 advice -- previously these
+    two driver keys hard-failed on a read-only checkout, unlike
+    bucketed_join_revenue which already had a fallback)."""
+    try:
+        _DERIVED_ROOT.mkdir(parents=True, exist_ok=True)
+        probe = _DERIVED_ROOT / ".__write_probe"
+        probe.touch()
+        probe.unlink()
+        return _DERIVED_ROOT
+    except OSError:
+        import tempfile
+
+        alt = Path(tempfile.gettempdir()) / "abr_etl_spark_stage"
+        alt.mkdir(parents=True, exist_ok=True)
+        return alt
+
+
+def _events_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint (name/size/mtime) of the source events table.
+
+    Stored inside the staging marker so regenerated testdata at the same
+    path RESTAGES instead of replaying stale drops against a fresh oracle
+    table (r6 advice: the old _SUCCESS marker never invalidated)."""
+    import hashlib
+
+    src = Path(sf_dir) / "events.parquet"
+    entries = []
+    for p in sorted(src.iterdir()) if src.is_dir() else [src]:
+        st = p.stat()
+        entries.append(f"{p.name}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256(";".join(entries).encode()).hexdigest()[:16]
+
+
 def _stage_event_drops(spark: SparkSession, sf_dir: str) -> str:
     """Split sf_dir's events into _STAGE_FILES parquet drops (idempotent,
-    keyed on sf_dir) so a file-source stream replays them as a sequence of
-    microbatches -- the local stand-in for a week of Kafka arrivals."""
+    keyed on sf_dir + source fingerprint) so a file-source stream replays
+    them as a sequence of microbatches -- the local stand-in for a week
+    of Kafka arrivals."""
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    out = _DERIVED_ROOT / f"stream_stage_{tag}"
-    if not (out / "_SUCCESS").exists():
+    out = _stage_root() / f"stream_stage_{tag}"
+    marker = out / "_STAGED_FP"
+    fp = _events_fingerprint(sf_dir)
+    if not (marker.exists() and marker.read_text() == fp):
         # raw read, NOT load_table: the staged files must keep the original
         # wire type for ts so read_event_stream normalizes exactly like the
         # batch reader does on the original file.
@@ -94,6 +132,7 @@ def _stage_event_drops(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("overwrite")
             .parquet(str(out))
         )
+        marker.write_text(fp)
     return str(out)
 
 
@@ -130,12 +169,14 @@ def q_stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stage_event_drops_with_dups(spark: SparkSession, sf_dir: str) -> str:
     """Like _stage_event_drops plus ONE extra drop replaying every 10th
     event -- planted cross-microbatch duplicates for the dedup key.
-    Idempotent via a marker file (the parquet _SUCCESS belongs to the
-    first write and cannot witness the append)."""
+    Idempotent via a fingerprint marker (the parquet _SUCCESS belongs to
+    the first write and cannot witness the append; the fingerprint
+    additionally restages when the source table was regenerated)."""
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    out = _DERIVED_ROOT / f"stream_stage_dup_{tag}"
+    out = _stage_root() / f"stream_stage_dup_{tag}"
     marker = out / "_DUPS_STAGED"
-    if not marker.exists():
+    fp = _events_fingerprint(sf_dir)
+    if not (marker.exists() and marker.read_text() == fp):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         (
             ev.repartition(_STAGE_FILES, "event_id")
@@ -148,7 +189,7 @@ def _stage_event_drops_with_dups(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("append")
             .parquet(str(out))
         )
-        marker.touch()
+        marker.write_text(fp)
     return str(out)
 
 

@@ -1,0 +1,34 @@
+"""Staging lifecycle tests for the streaming driver keys."""
+
+from tests.conftest import SF_ORACLE
+
+def test_stage_restages_on_source_fingerprint_change(spark, tmp_path):
+    """A regenerated source table at the same path must restage the drops
+    (the stale-replay-vs-fresh-oracle mismatch from the r6 advice)."""
+    import shutil
+    from pathlib import Path
+
+    from abr_etl_spark.plans import streaming_queries as sq
+
+    src = tmp_path / "sfX"
+    src.mkdir()
+    ev_src = Path(SF_ORACLE) / "events.parquet"
+    if ev_src.is_dir():
+        shutil.copytree(ev_src, src / "events.parquet")
+    else:
+        shutil.copy2(ev_src, src / "events.parquet")
+    stage1 = Path(sq._stage_event_drops(spark, str(src)))
+    marker = stage1 / "_STAGED_FP"
+    fp1 = marker.read_text()
+    # idempotent while the source is unchanged
+    assert Path(sq._stage_event_drops(spark, str(src))) == stage1
+    assert marker.read_text() == fp1
+    # "regenerate" the source: touch mtimes forward
+    import os
+    import time
+
+    ev = src / "events.parquet"
+    for p in ev.iterdir() if ev.is_dir() else [ev]:
+        os.utime(p, (time.time() + 5, time.time() + 5))
+    sq._stage_event_drops(spark, str(src))
+    assert marker.read_text() != fp1, "fingerprint must change -> restaged"
