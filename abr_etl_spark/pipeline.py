@@ -38,7 +38,92 @@ class WeeklyConfig:
     sep: str = "|"
     delta_datasets: tuple[str, ...] = ("Agency_Data",)
     export_dir: str | None = None
+    #: optional weekly zip drop (the reference's VIC_ABR_Extract.zip,
+    #: extract.go:20-27): unzipped into drop_dir before routing.
+    zip_path: str | None = None
+    #: also land the raw .txt as DATA/<ds>/importdate=<d>/ABR_<ds>.txt.gz
+    #: (byte-layout parity with the reference lake, load.go:19-21).
+    raw_gz: bool = False
     results: dict = field(default_factory=dict)
+
+
+def unzip_drop(
+    zip_path: str,
+    dest_dir: str,
+    *,
+    max_files: int = 64,
+    max_bytes: int = 4 << 30,
+) -> list[str]:
+    """Bounded driver-side unzip of the weekly drop (the reference shells
+    out to /usr/bin/unzip -o, extract.go:57; here stdlib zipfile).
+
+    Driver-side is correct, not a compromise: the weekly zip is ONE
+    bounded artifact (8 datasets), not data-scale input -- the 100 TB
+    path starts after extraction, when Spark scans the routed text files.
+    Guards: entry count and total declared uncompressed size are capped,
+    entries are extracted FLAT by basename (zip-slip: absolute paths and
+    ``..`` components in archive names never touch the filesystem).
+
+    Returns the extracted file paths.
+    """
+    import zipfile
+
+    os.makedirs(dest_dir, exist_ok=True)
+    out: list[str] = []
+    with zipfile.ZipFile(zip_path) as zf:
+        infos = [i for i in zf.infolist() if not i.is_dir()]
+        if len(infos) > max_files:
+            raise ValueError(
+                f"{zip_path}: {len(infos)} entries > max_files={max_files}"
+            )
+        total = sum(i.file_size for i in infos)
+        if total > max_bytes:
+            raise ValueError(
+                f"{zip_path}: declared uncompressed size {total} "
+                f"> max_bytes={max_bytes}"
+            )
+        for info in infos:
+            base = os.path.basename(info.filename.replace("\\", "/"))
+            if not base:
+                continue
+            target = os.path.join(dest_dir, base)
+            with zf.open(info) as src, open(target, "wb") as dst:
+                while chunk := src.read(1 << 20):
+                    dst.write(chunk)
+            out.append(target)
+    return out
+
+
+def raw_gz_passthrough(drop_dir: str, raw_root: str) -> dict[str, str]:
+    """Land each routed raw text file as
+    ``<raw_root>/DATA/<ds>/importdate=<date>/ABR_<ds>.txt.gz`` -- the
+    byte layout the reference writes (DataKey load.go:19-21, gzip
+    GetFile load.go:23-36) -- so consumers of the reference lake mount
+    ``raw_root`` as their bucket root and read unchanged. It is a
+    SEPARATE root from the parquet lake (run_weekly passes
+    ``<lake_root>/RAW``): the engine's primary representation stays
+    columnar/predicate-pushdown parquet, and mixing .txt.gz into the
+    parquet DATA tree would corrupt the parquet scans. Returns
+    dataset -> written path."""
+    import gzip
+    import shutil
+
+    written: dict[str, str] = {}
+    for name in sorted(os.listdir(drop_dir)):
+        routed = routed_ingest.match_dataset(name)
+        if routed is None:
+            continue
+        ds, yymmdd = routed
+        date = f"20{yymmdd[:2]}-{yymmdd[2:4]}-{yymmdd[4:6]}"
+        out_dir = os.path.join(raw_root, "DATA", ds, f"importdate={date}")
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(out_dir, f"ABR_{ds}.txt.gz")
+        with open(os.path.join(drop_dir, name), "rb") as src, gzip.open(
+            out_path, "wb"
+        ) as dst:
+            shutil.copyfileobj(src, dst)
+        written[ds] = out_path
+    return written
 
 
 def check_disabled(lake_root: str) -> None:
@@ -54,6 +139,14 @@ def check_disabled(lake_root: str) -> None:
 def run_weekly(spark: SparkSession, cfg: WeeklyConfig) -> WeeklyConfig:
     """Execute the weekly flow; per-dataset results land in cfg.results."""
     check_disabled(cfg.lake_root)
+
+    if cfg.zip_path:
+        extracted = unzip_drop(cfg.zip_path, cfg.drop_dir)
+        cfg.results["__zip"] = {"extracted": extracted}
+    if cfg.raw_gz:
+        cfg.results["__raw_gz"] = raw_gz_passthrough(
+            cfg.drop_dir, os.path.join(cfg.lake_root, "RAW")
+        )
 
     for ds in cfg.datasets:
         try:

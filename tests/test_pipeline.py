@@ -50,3 +50,65 @@ def test_kill_switch_blocks_run(spark, tmp_path):
     cfg = pipeline.WeeklyConfig(drop_dir=str(tmp_path), lake_root=str(root))
     with pytest.raises(pipeline.PipelineDisabled):
         pipeline.run_weekly(spark, cfg)
+
+
+def test_run_weekly_from_zip_drop(spark, tmp_path):
+    """The weekly flow consumes a VIC_ABR_Extract.zip drop end-to-end
+    (extract.go:20-27 parity): unzip -> route -> lake -> delta -> export,
+    plus the raw .txt.gz byte-layout passthrough (load.go:19-21)."""
+    import gzip
+    import zipfile
+
+    staging = tmp_path / "staging"
+    _write_drop(staging)
+    zip_path = tmp_path / "VIC_ABR_Extract.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for p in staging.iterdir():
+            # archive entries under a subdir, as real zips often are --
+            # extraction must flatten to basenames
+            zf.write(p, f"Sent/{p.name}")
+    drop = tmp_path / "drop"
+    cfg = pipeline.WeeklyConfig(
+        drop_dir=str(drop),
+        lake_root=str(tmp_path / "lake"),
+        datasets=("Agency_Data", "Funds"),
+        export_dir=str(tmp_path / "exports"),
+        zip_path=str(zip_path),
+        raw_gz=True,
+    )
+    out = pipeline.run_weekly(spark, cfg)
+    assert len(out.results["__zip"]["extracted"]) == 3
+    ag = out.results["Agency_Data"]
+    assert (ag["newest"], ag["previous"]) == ("2019-04-29", "2019-04-22")
+    assert len(open(ag["updated_csv"]).read().strip().splitlines()) - 1 == 5
+    # raw passthrough: reference byte layout, content round-trips
+    gz = (
+        tmp_path
+        / "lake/RAW/DATA/Funds/importdate=2019-04-29/ABR_Funds.txt.gz"
+    )
+    assert gz.exists()
+    assert gzip.open(gz, "rt").read() == "pid|x\nf1|1\n"
+
+
+def test_unzip_drop_rejects_traversal_and_bounds(tmp_path):
+    import zipfile
+
+    zp = tmp_path / "evil.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("../../escape.txt", "x")
+        zf.writestr("/abs/path.txt", "y")
+        zf.writestr("ok.txt", "z")
+    dest = tmp_path / "out"
+    got = pipeline.unzip_drop(str(zp), str(dest))
+    # traversal names flattened to basenames inside dest, never outside
+    assert sorted(os.path.basename(p) for p in got) == [
+        "escape.txt",
+        "ok.txt",
+        "path.txt",
+    ]
+    assert all(os.path.dirname(p) == str(dest) for p in got)
+    assert not (tmp_path.parent / "escape.txt").exists()
+    with pytest.raises(ValueError, match="max_files"):
+        pipeline.unzip_drop(str(zp), str(dest), max_files=2)
+    with pytest.raises(ValueError, match="max_bytes"):
+        pipeline.unzip_drop(str(zp), str(dest), max_bytes=1)
