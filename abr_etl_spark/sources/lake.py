@@ -105,17 +105,54 @@ def read_lake(spark: SparkSession, path: str) -> DataFrame:
 
 def discover_partitions(df: DataFrame, partition_col: str = "importdate") -> list[str]:
     """Sorted distinct partition values (MSCK-equivalent listing,
-    agency-delta.go:97-124). Metadata-only for partitioned parquet: the
-    scan prunes to the partition column, no data pages read.
+    agency-delta.go:97-124). For partitioned parquet the scan prunes to
+    the partition column so this is near-metadata-only, but it IS a
+    Spark job (the distinct still lists/plans every file); for lakes
+    where even that matters, ``discover_partitions_listing`` answers
+    from the directory layout alone.
     """
     rows = df.select(partition_col).distinct().collect()
     return sorted(str(r[0]) for r in rows)
 
 
-def newest_previous(df: DataFrame, partition_col: str = "importdate") -> tuple[str, str]:
+def discover_partitions_listing(
+    path: str, partition_col: str = "importdate"
+) -> list[str]:
+    """Partition discovery from the directory layout alone -- ZERO Spark
+    jobs, zero data-page reads (the r6 verdict's catalog-backed option).
+
+    Hive-style layouts encode one directory per partition value
+    (``importdate=2019-04-29/``); listing the table root IS the
+    authoritative partition set -- the same metadata a catalog's MSCK
+    REPAIR (agency-delta.go:20) derives its partition list from. At
+    cloud scale this maps to one object-store LIST per table (or a
+    catalog partitions API call), independent of data volume. Values are
+    percent-decoded exactly as Spark's partition writer escapes them.
+    """
+    import os
+    from urllib.parse import unquote
+
+    prefix = f"{partition_col}="
+    vals = [
+        unquote(name[len(prefix):])
+        for name in os.listdir(path)
+        if name.startswith(prefix)
+        and os.path.isdir(os.path.join(path, name))
+    ]
+    return sorted(vals)
+
+
+def newest_previous(
+    df_or_path: DataFrame | str, partition_col: str = "importdate"
+) -> tuple[str, str]:
     """The two newest snapshot dates (agency-delta.go:118-123); raises like
-    the reference's 'Not enough partitions' error when <2 exist."""
-    parts = discover_partitions(df, partition_col)
+    the reference's 'Not enough partitions' error when <2 exist. Accepts
+    either a lake DataFrame (pruned-scan discovery) or a table-root path
+    (pure directory-listing discovery)."""
+    if isinstance(df_or_path, str):
+        parts = discover_partitions_listing(df_or_path, partition_col)
+    else:
+        parts = discover_partitions(df_or_path, partition_col)
     if len(parts) < 2:
         raise ValueError("Not enough partitions to run delta")
     return parts[-1], parts[-2]

@@ -137,3 +137,36 @@ def test_write_clustered_enables_file_skipping(spark, tmp_path):
     # and a range predicate reads correct results
     got = spark.read.parquet(path).where(F.col("k").between(1000, 1999)).count()
     assert got == 1000
+
+
+def test_discover_partitions_listing_matches_scan(spark, lake_path):
+    """Directory-listing discovery must agree with the pruned-scan
+    variant, run zero Spark jobs, and percent-decode values the way
+    Spark's partition writer escapes them."""
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark import sources
+    from abr_etl_spark.sources import lake as lk
+
+    table = lk.read_lake(spark, lake_path)
+    via_scan = lk.discover_partitions(table)
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    via_listing = lk.discover_partitions_listing(lake_path)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert via_listing == via_scan and len(via_listing) >= 2
+    assert list(before) == list(after), "listing ran a Spark job"
+    # newest_previous accepts the path form too
+    assert lk.newest_previous(lake_path) == lk.newest_previous(table)
+
+
+def test_discover_partitions_listing_percent_decoding(tmp_path):
+    from abr_etl_spark.sources import lake as lk
+
+    (tmp_path / "importdate=2019-04-22").mkdir()
+    (tmp_path / "importdate=a%20b").mkdir()
+    (tmp_path / "_SUCCESS").write_text("")
+    (tmp_path / "other=1").mkdir()
+    assert lk.discover_partitions_listing(str(tmp_path)) == [
+        "2019-04-22",
+        "a b",
+    ]
