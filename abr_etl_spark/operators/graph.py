@@ -21,6 +21,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+
+def _lineage_barrier(df: DataFrame, reliable: bool) -> DataFrame:
+    """Per-round lineage truncation for the iterative loops.
+
+    ``reliable=False`` (default): localCheckpoint -- blocks live on
+    executors; fastest, right for local mode and for clusters where
+    re-running the whole operator on a lost executor is acceptable.
+    ``reliable=True``: RDD checkpoint to ``sc.setCheckpointDir`` storage
+    (HDFS / object store) -- survives executor loss, the correct choice
+    for long iterative jobs on a real cluster where a single lost
+    executor mid-iteration would otherwise have NO lineage to recompute
+    from (localCheckpoint deliberately severs it). Lazy either way: the
+    convergence aggregate that follows each round is the materializing
+    action, keeping one job per round.
+    """
+    if reliable:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def connected_components(
     edges: DataFrame,
     *,
@@ -28,11 +49,18 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     small_graph_edges: int = 1_000_000,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
     ``edges`` is undirected input given as one direction; isolated nodes
     don't appear (callers union them in if needed).
+
+    ``reliable_checkpoint``: per-round barriers go to the session's
+    checkpoint dir instead of executor-local blocks (see
+    ``_lineage_barrier`` -- set it on a real cluster where executor loss
+    mid-iteration must not restart the whole operator; requires
+    ``spark.sparkContext.setCheckpointDir(...)``).
     """
     # The union below traverses ``edges`` twice (once per direction);
     # persist first so an expensive upstream (e.g. a similarity join)
@@ -105,11 +133,11 @@ def connected_components(
                     F.coalesce(F.col("llabel"), F.col("x.label")),
                 ).alias("label"),
             )
-            # Lazy checkpoint: the convergence aggregate right below is
-            # the action that materializes it, so each round is ONE job
-            # (eager=True would run a separate materialization job first).
-            .localCheckpoint(eager=False)
         )
+        # Lazy barrier: the convergence aggregate right below is the
+        # action that materializes it, so each round is ONE job
+        # (eager=True would run a separate materialization job first).
+        new_labels = _lineage_barrier(new_labels, reliable_checkpoint)
         label_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
@@ -133,6 +161,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond").
@@ -173,12 +202,12 @@ def connected_components_star(
             F.col("b").alias("a"), F.col("m").alias("b")
         )
         self_edge = withmin.select(F.col("a"), F.col("m").alias("b"))
-        return (
+        out = (
             moved.union(self_edge)
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=False)
         )
+        return _lineage_barrier(out, reliable_checkpoint)
 
     cur = sym
     prev_sig = None

@@ -47,3 +47,27 @@ def test_star_random_graph_matches_label_propagation(spark):
 
 def test_star_single_edge_and_self_contained(spark):
     _assert_same(spark, [(7, 3)])
+
+
+def test_reliable_checkpoint_rounds(spark, tmp_path):
+    """reliable_checkpoint=True must route per-round barriers to the
+    session checkpoint dir (cluster fault tolerance) and produce the
+    identical components as the local-checkpoint default."""
+    import os
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "chk"))
+    edges = [(1, 2), (2, 3), (10, 11)]
+    base = _cc(spark, edges, connected_components)
+    rel = _cc(
+        spark,
+        edges,
+        lambda e: connected_components(e, reliable_checkpoint=True),
+    )
+    star_rel = _cc(
+        spark,
+        edges,
+        lambda e: connected_components_star(e, reliable_checkpoint=True),
+    )
+    assert rel == base and star_rel == base
+    chk = tmp_path / "chk"
+    assert any(chk.rglob("*")), "no reliable checkpoint data written"
