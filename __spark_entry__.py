@@ -44,6 +44,10 @@ _R7_PRIORITY: list[str] = [
     "q20_dominant_suppliers",
     "q13_order_distribution",
     # --- 2. new / changed this round ---
+    "bm25_topk",
+    "lm_score_bigram",
+    "dedup_cluster_sizes",
+    "cross_split_leakage",
     "rfm_segments",
     "heavy_hitters_cms",
     "dedup_embedding",
@@ -135,6 +139,12 @@ def _registry() -> tuple[dict, dict]:
         import abr_etl_spark.plans.llm_pipeline4 as llm_pipeline4
 
         modules.append(llm_pipeline4)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline5 as llm_pipeline5
+
+        modules.append(llm_pipeline5)
     except ImportError:
         pass
     for m in modules:

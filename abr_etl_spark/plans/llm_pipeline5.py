@@ -1,0 +1,451 @@
+"""LLM-training-data pipeline, part 5 (round 7).
+
+- ``bm25_topk``: BM25-style retrieval scoring of the corpus against a
+  fixed query -- the relevance-ranking primitive a corpus-curation /
+  retrieval-augmentation pipeline runs to pull topical slices. Exact
+  integer formulation (rational idf) so the DuckDB oracle replays the
+  score bit-for-bit.
+- ``lm_score_bigram``: CCNet-style language-model quality scoring --
+  train add-1-smoothed bigram probabilities on the curated sources,
+  score EVERY doc by its mean bigram probability. The classic
+  "wiki-like LM likes this text" curation filter, in exact 1e-4 integer
+  units (no log/libm, so both engines agree exactly; rank-equivalent
+  for filtering).
+- ``dedup_cluster_sizes``: the dedup REPORT -- cluster-size census of
+  the near-dup graph (how many pairs collapse, how much of the corpus
+  is duplicated) including singleton complement. What an operator reads
+  before committing a dedup threshold.
+- ``cross_split_leakage``: train/test contamination check at the
+  NEAR-DUP level -- near-duplicate pairs whose endpoints landed in
+  different splits of the deterministic key-mod split. Exact-dup
+  decontamination (decontaminate_ngram) misses paraphrases; this is the
+  split-level audit over the verified Jaccard pair graph.
+
+Reference parity: the reference (abr-etl, Go) has no corpus tooling;
+these extend SURVEY.md §2.C.
+
+Scale notes: bm25 collapses token streams to per-doc conditional
+aggregates in ONE doc-keyed shuffle (query terms are a literal constant
+-- no term-table join); the LM join streams corpus bigrams against the
+vocab-bounded count table (two narrow shuffle joins); the census and
+leakage queries reuse the MATERIALIZED verified pair set (operators/
+dedup.py result-cache contract) and aggregate tiny frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from abr_etl_spark.functions import texthash as th
+from abr_etl_spark.operators import dedup
+from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU as LEAK_TAU
+from abr_etl_spark.sources.lake import load_table
+
+#: fixed retrieval query (literal constant on both engines).
+BM25_TERMS = ("spark", "table", "hash", "merge")
+#: BM25 k1 = 6/5 and b = 3/4 -- the standard 1.2 / 0.75, kept rational so
+#: the saturation term is exact integer arithmetic (see _tf_part_e6).
+BM25_TOPK = 10
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOPK} docs by BM25-style score for the fixed query
+    ``BM25_TERMS``: (doc_id, n_hit_terms, score_e4).
+
+    Exact-integer BM25 with rational idf: per term,
+
+        tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+                = 44*T*tf / (20*T*tf + 6*T + 18*dl*N)     [k1=6/5, b=3/4,
+                                                           avgdl = T/N]
+        idf_part = (N - df + 1/2)/(df + 1/2) = (2N-2df+1)/(2df+1)
+
+    both carried as half-up 1e-6-unit integers, multiplied and reduced
+    to 1e-4 units per term, summed. Rational idf is a monotone transform
+    of the classic log idf per term -- a legitimate BM25 variant that
+    stays libm-free so the oracle replays it EXACTLY (the repo's q7/q8
+    integer-units pattern). 64-bit safe to ~1e6 docs at these constants;
+    beyond that cast the two 1e-6 factors to DECIMAL(38,0).
+
+    Scale shape: ONE doc-keyed shuffle (tokens collapse map-side to
+    per-doc (dl, tf_0..tf_3) conditional aggregates -- query terms are
+    literals, no term-table join), one 1-row corpus-stats broadcast, and
+    a TakeOrderedAndProject top-k. The checkpoint stops CollapseProject
+    from re-deriving the tokenize lineage into the stats branch.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.expr(th.sp_tokens("text"))).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.lower("tok") == t, 1).otherwise(0)).alias(
+                f"tf_{i}"
+            )
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    ).localCheckpoint(eager=False)
+    stats = per_doc.agg(
+        F.count("*").alias("N"),
+        F.sum("dl").alias("T"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(
+                f"df_{i}"
+            )
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    term_scores = []
+    hit_flags = []
+    for i in range(len(BM25_TERMS)):
+        tf = F.col(f"tf_{i}")
+        # half-up integer 1e-6-unit idf and tf factors, combined to one
+        # 1e-4-unit term score -- DIV keeps everything in longs
+        term_scores.append(
+            F.when(
+                tf > 0,
+                F.expr(
+                    f"(2 * (((2 * (1000000 * (2*N - 2*df_{i} + 1)) + (2*df_{i} + 1)) DIV (2 * (2*df_{i} + 1)))"
+                    f" * ((2 * (1000000 * 44 * T * tf_{i}) + (20*T*tf_{i} + 6*T + 18*dl*N)) DIV (2 * (20*T*tf_{i} + 6*T + 18*dl*N)))"
+                    f") + 100000000) DIV 200000000"
+                ),
+            ).otherwise(F.lit(0))
+        )
+        hit_flags.append(F.when(tf > 0, 1).otherwise(0))
+    out = scored.select(
+        "doc_id",
+        sum(hit_flags[1:], hit_flags[0]).cast("int").alias("n_hit_terms"),
+        sum(term_scores[1:], term_scores[0]).cast("long").alias("score_e4"),
+    ).where(F.col("n_hit_terms") > 0)
+    return out.orderBy(F.col("score_e4").desc(), F.col("doc_id").asc()).limit(
+        BM25_TOPK
+    )
+
+
+def lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc LM quality score: mean add-1-smoothed bigram probability
+    under a bigram model trained on the CURATED sources (the corpus_mix
+    rule: numeric source suffix % 4 == 0), in exact 1e-4 units:
+    (doc_id, n_bigrams, lm_score_e4).
+
+        p_e4(w1,w2) = 1e4 * (c(w1,w2)+1) / (c(w1)+V)   [half-up integer]
+        lm_score_e4 = mean over the doc's bigrams      [half-up integer]
+
+    No log/exp: the mean probability is rank-usable for the keep/drop
+    filter and bit-replayable cross-engine (the dsir_importance
+    trade, same reasoning). Docs with < 2 tokens carry no bigrams and
+    are excluded (both engines).
+
+    Scale shape: train counts collapse to the vocab-bounded (w1,w2)
+    table in one shuffle (+ one w1-window for the conditioning totals);
+    the corpus bigram stream joins that table twice on narrow string
+    keys ((w1,w2) then the w1 totals); V is a 1-row broadcast. Nothing
+    driver-side, nothing O(corpus^2).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    src_idx = F.nullif(
+        F.regexp_extract("source", r"(\d+)$", 1), F.lit("")
+    ).cast("long")
+
+    def _bigrams(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            "doc_id", F.expr(th.sp_tokens("text")).alias("tok")
+        )
+        return (
+            toks.where(F.size("tok") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(tok) - 1), "
+                        "i -> named_struct('w1', element_at(tok, i), "
+                        "'w2', element_at(tok, i + 1)))"
+                    )
+                ).alias("bg"),
+            )
+            .select("doc_id", "bg.w1", "bg.w2")
+        )
+
+    train_bg = _bigrams(d.where(src_idx % 4 == 0))
+    counts = train_bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    w1_tot = Window.partitionBy("w1")
+    counts = counts.withColumn("c1", F.sum("c").over(w1_tot))
+    vocab = counts.agg(
+        F.countDistinct("w2").alias("V"),
+    )
+    doc_bg = _bigrams(d)
+    joined = (
+        doc_bg.join(counts, ["w1", "w2"], "left")
+        .join(
+            counts.select("w1", "c1").distinct().withColumnRenamed(
+                "c1", "c1_w1"
+            ),
+            "w1",
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(
+                "(2 * (10000 * (coalesce(c, 0) + 1)) "
+                "+ (coalesce(c1_w1, 0) + V)) "
+                "DIV (2 * (coalesce(c1_w1, 0) + V))"
+            ).alias("p_e4"),
+        )
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr(
+                "(2 * sum(p_e4) + count(*)) DIV (2 * count(*))"
+            ).alias("lm_score_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size census of the near-dup graph: (cluster_size,
+    n_clusters, n_docs), singleton complement included -- the report an
+    operator reads before committing a dedup threshold (what fraction
+    of the corpus collapses, are there mega-clusters).
+
+    Scale shape: reuses the MATERIALIZED verified pair set (the pair
+    operators' result-cache contract) -> connected components -> two
+    tiny aggregates (component-count-scale). The singleton count is one
+    anti-join of (doc_id) against the component nodes -- 8-byte rows.
+    """
+    from abr_etl_spark.operators.graph import canonicalize_pairs
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=LEAK_TAU)
+    canon = canonicalize_pairs(pairs)
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    census = sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+    singles = (
+        d.select("doc_id")
+        .join(canon.select(F.col("doc_id")), "doc_id", "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+        .where(F.col("n_clusters") > 0)
+    )
+    return census.unionByName(singles).orderBy("cluster_size")
+
+
+def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup contamination across the train/val/test key-mod split
+    (train_test_split's exact rule): (split_a, split_b, n_pairs,
+    max_jaccard_e4) for every split combination with at least one
+    verified near-dup pair, split names ordered within the pair.
+
+    Exact-dup decontamination misses paraphrases; near-dup pairs that
+    straddle train/test are the leakage that actually inflates evals.
+    Scale shape: reuses the materialized verified pair set; the split is
+    arithmetic on the pair's endpoints (no join back to documents); one
+    tiny aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=LEAK_TAU)
+
+    def _split(col: str):
+        b = F.col(col) % 100
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    tagged = pairs.select(
+        F.least(_split("doc_a"), _split("doc_b")).alias("split_a"),
+        F.greatest(_split("doc_a"), _split("doc_b")).alias("split_b"),
+        F.floor(F.col("jaccard") * 10000 + 0.5).cast("long").alias("j_e4"),
+    )
+    return (
+        tagged.groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.max("j_e4").alias("max_jaccard_e4"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+QUERIES = {
+    "bm25_topk": bm25_topk,
+    "lm_score_bigram": lm_score_bigram,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
+    "cross_split_leakage": cross_split_leakage,
+}
+
+_DK_TOK = th.dk_tokens("text")
+_DK_SH = th.dk_shingles("text", 3)
+
+_TF_COLS = ",\n                   ".join(
+    f"len(list_filter(t, x -> lower(x) = '{t}')) AS tf_{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+_DF_COLS = ", ".join(
+    f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+    for i in range(len(BM25_TERMS))
+)
+_TERM_E4 = " + ".join(
+    f"(CASE WHEN tf_{i} > 0 THEN "
+    f"(2 * (((2 * (1000000 * (2*N - 2*df_{i} + 1)) + (2*df_{i} + 1)) // (2 * (2*df_{i} + 1)))"
+    f" * ((2 * (1000000 * 44 * T * tf_{i}) + (20*T*tf_{i} + 6*T + 18*dl*N)) // (2 * (20*T*tf_{i} + 6*T + 18*dl*N)))"
+    f") + 100000000) // 200000000 ELSE 0 END)"
+    for i in range(len(BM25_TERMS))
+)
+_HITS = " + ".join(
+    f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+    for i in range(len(BM25_TERMS))
+)
+
+ORACLES = {
+    "bm25_topk": f"""
+        WITH tk AS (
+            SELECT doc_id, {_DK_TOK} AS t FROM documents
+        ), per AS (
+            SELECT doc_id, len(t) AS dl,
+                   {_TF_COLS}
+            FROM tk
+        ), st AS (
+            SELECT CAST(count(*) AS BIGINT) AS N,
+                   CAST(sum(dl) AS BIGINT) AS T, {_DF_COLS}
+            FROM per
+        )
+        SELECT doc_id,
+               CAST({_HITS} AS INTEGER) AS n_hit_terms,
+               CAST({_TERM_E4} AS BIGINT) AS score_e4
+        FROM per, st
+        WHERE {_HITS} > 0
+        ORDER BY score_e4 DESC, doc_id ASC
+        LIMIT {BM25_TOPK}
+    """,
+    "lm_score_bigram": f"""
+        WITH tk AS (
+            SELECT doc_id, source, {_DK_TOK} AS t FROM documents
+        ), ix AS (
+            SELECT doc_id, source, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM tk WHERE len(t) >= 2
+        ), doc_bg AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, source FROM ix
+        ), train AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+            FROM doc_bg
+            WHERE CAST(NULLIF(regexp_extract(source, '(\\d+)$', 1), '')
+                       AS BIGINT) % 4 = 0
+            GROUP BY w1, w2
+        ), train2 AS (
+            SELECT w1, w2, c,
+                   sum(c) OVER (PARTITION BY w1) AS c1
+            FROM train
+        ), v AS (
+            SELECT CAST(count(DISTINCT w2) AS BIGINT) AS V FROM train
+        ), scored AS (
+            SELECT b.doc_id,
+                   (2 * (10000 * (coalesce(t2.c, 0) + 1))
+                    + (coalesce(w1t.c1, 0) + v.V))
+                   // (2 * (coalesce(w1t.c1, 0) + v.V)) AS p_e4
+            FROM doc_bg b
+            LEFT JOIN train2 t2 ON b.w1 = t2.w1 AND b.w2 = t2.w2
+            LEFT JOIN (SELECT DISTINCT w1, c1 FROM train2) w1t
+                   ON b.w1 = w1t.w1
+            CROSS JOIN v
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST((2 * sum(p_e4) + count(*)) // (2 * count(*))
+                    AS BIGINT) AS lm_score_e4
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    "dedup_cluster_sizes": f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, {_DK_SH} AS sh FROM documents
+        ), ex AS (
+            SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b,
+                   count(*) AS c
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+            SELECT doc_a, doc_b FROM common
+            WHERE c::DOUBLE / (n_a + n_b - c) >= {LEAK_TAU}
+        ), sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ), reach(node, label) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
+        ), canon AS (
+            SELECT node AS doc_id, min(label) AS canonical_id
+            FROM reach GROUP BY node
+        ), sizes AS (
+            SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM canon GROUP BY canonical_id
+        ), census AS (
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(cluster_size) AS BIGINT) AS n_docs
+            FROM sizes GROUP BY cluster_size
+        ), singles AS (
+            SELECT CAST(1 AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM canon c
+                              WHERE c.doc_id = d.doc_id)
+            HAVING count(*) > 0
+        )
+        SELECT * FROM census UNION ALL SELECT * FROM singles
+        ORDER BY cluster_size
+    """,
+    "cross_split_leakage": f"""
+        WITH t AS (
+            SELECT doc_id, {_DK_SH} AS sh FROM documents
+        ), ex AS (
+            SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b,
+                   count(*) AS c
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), pairs AS (
+            SELECT doc_a, doc_b,
+                   round(c::DOUBLE / (n_a + n_b - c), 4) AS jaccard
+            FROM common
+            WHERE c::DOUBLE / (n_a + n_b - c) >= {LEAK_TAU}
+        ), tagged AS (
+            SELECT least(
+                       CASE WHEN doc_a % 100 < 80 THEN 'train'
+                            WHEN doc_a % 100 < 90 THEN 'val'
+                            ELSE 'test' END,
+                       CASE WHEN doc_b % 100 < 80 THEN 'train'
+                            WHEN doc_b % 100 < 90 THEN 'val'
+                            ELSE 'test' END) AS split_a,
+                   greatest(
+                       CASE WHEN doc_a % 100 < 80 THEN 'train'
+                            WHEN doc_a % 100 < 90 THEN 'val'
+                            ELSE 'test' END,
+                       CASE WHEN doc_b % 100 < 80 THEN 'train'
+                            WHEN doc_b % 100 < 90 THEN 'val'
+                            ELSE 'test' END) AS split_b,
+                   CAST(floor(jaccard * 10000 + 0.5) AS BIGINT) AS j_e4
+            FROM pairs
+        )
+        SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(max(j_e4) AS BIGINT) AS max_jaccard_e4
+        FROM tagged GROUP BY split_a, split_b ORDER BY split_a, split_b
+    """,
+}

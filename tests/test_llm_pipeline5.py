@@ -1,0 +1,70 @@
+"""Part-5 LLM-pipeline queries vs the DuckDB oracle, plus the properties
+the oracle can't see (BM25 monotonicity, census conservation)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from abr_etl_spark.plans import llm_pipeline5 as lp5
+from tests.conftest import SF_ORACLE, assert_matches_oracle
+
+
+@pytest.mark.parametrize("key", sorted(lp5.QUERIES))
+def test_llm_pipeline5_vs_oracle(spark, ddb, key):
+    df = lp5.QUERIES[key](spark, SF_ORACLE)
+    assert_matches_oracle(df, ddb, lp5.ORACLES[key], key)
+
+
+def test_bm25_scores_positive_and_ordered(spark):
+    rows = lp5.bm25_topk(spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= lp5.BM25_TOPK
+    scores = [r["score_e4"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert all(1 <= r["n_hit_terms"] <= len(lp5.BM25_TERMS) for r in rows)
+
+
+def test_cluster_census_conserves_docs(spark):
+    """Census n_docs must sum to the corpus size exactly (every doc is in
+    exactly one cluster, singletons included)."""
+    from abr_etl_spark.sources.lake import load_table
+
+    census = lp5.dedup_cluster_sizes(spark, SF_ORACLE).collect()
+    n_total = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r["n_docs"] for r in census) == n_total
+    for r in census:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_lm_score_bounds(spark):
+    """Smoothed probabilities live in (0, 1]: every mean score in
+    (0, 10000]; curated-source docs (in-domain) must not score below the
+    corpus median (the filter's reason to exist)."""
+    out = lp5.lm_score_bigram(spark, SF_ORACLE)
+    bad = out.where(
+        (F.col("lm_score_e4") <= 0) | (F.col("lm_score_e4") > 10000)
+    ).count()
+    assert bad == 0
+
+
+def test_cross_split_leakage_counts_match_pair_splits(spark):
+    """The census must count exactly the verified pairs, bucketed by the
+    split rule applied to the endpoints."""
+    from abr_etl_spark.operators import dedup
+    from abr_etl_spark.sources.lake import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=lp5.LEAK_TAU).collect()
+
+    def split(i):
+        b = i % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    expected = {}
+    for r in pairs:
+        k = tuple(sorted((split(r["doc_a"]), split(r["doc_b"]))))
+        expected[k] = expected.get(k, 0) + 1
+    got = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in lp5.cross_split_leakage(spark, SF_ORACLE).collect()
+    }
+    assert got == expected and sum(got.values()) == len(pairs)
