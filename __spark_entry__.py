@@ -44,6 +44,7 @@ _R7_PRIORITY: list[str] = [
     "q20_dominant_suppliers",
     "q13_order_distribution",
     # --- 2. new / changed this round ---
+    "asof_interpolate",
     "bm25_topk",
     "lm_score_bigram",
     "dedup_cluster_sizes",

@@ -387,7 +387,110 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of each user's 'view' value stream AT their
+    'purchase' times -- the time-series resampling staple (sensor gap
+    fill, price marks at trade times): (event_id, user_id, ts_s,
+    v_interp) with
+
+        v = v_prev + (v_next - v_prev) * (ts - t_prev)/(t_next - t_prev)
+
+    v_prev/t_prev from the latest view at-or-before, v_next/t_next from
+    the EARLIEST view strictly after (same-second views belong to the
+    backward side; the guard returns v_prev exactly when both collapse
+    to the probe second). Missing one side coalesces to the other;
+    users with no views yield NULL. Pure +-*/ on doubles in the SAME
+    operation order both engines, so values agree bit-for-bit (round 4).
+
+    Scale shape: views pre-aggregate to one row per (user, second)
+    (max_by tie-break), then ONE shuffle -- probes and views union and a
+    single (user)-partitioned sort hosts BOTH window frames (trailing
+    last-ignorenulls, leading first-ignorenulls); no self-join, no
+    range join, no per-probe scan. The same union+window machinery as
+    operators/asof.py, with both directions in one pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ts_s = F.col("ts").cast("long")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .select("user_id", ts_s.alias("ts_s"), "value", "event_id")
+        .groupBy("user_id", "ts_s")
+        .agg(F.expr("max_by(value, event_id)").alias("ref_v"))
+    )
+    probes = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_s.alias("ts_s")
+    )
+    unioned = probes.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("double").alias("ref_v"),
+    ).unionByName(
+        views.select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts_s",
+            F.lit(0).alias("__side"),
+            "ref_v",
+        )
+    )
+    order = [F.col("ts_s").asc(), F.col("__side").asc()]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = unioned.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        "__side",
+        F.last(F.when(F.col("__side") == 0, F.col("ref_v")), True)
+        .over(w_back)
+        .alias("v_prev"),
+        F.last(F.when(F.col("__side") == 0, F.col("ts_s")), True)
+        .over(w_back)
+        .alias("t_prev"),
+        F.first(F.when(F.col("__side") == 0, F.col("ref_v")), True)
+        .over(w_fwd)
+        .alias("v_next"),
+        F.first(F.when(F.col("__side") == 0, F.col("ts_s")), True)
+        .over(w_fwd)
+        .alias("t_next"),
+    )
+    interp = (
+        F.when(F.col("v_prev").isNull(), F.col("v_next"))
+        .when(F.col("v_next").isNull(), F.col("v_prev"))
+        .when(F.col("t_next") == F.col("t_prev"), F.col("v_prev"))
+        .otherwise(
+            F.col("v_prev")
+            + (F.col("v_next") - F.col("v_prev"))
+            * (
+                (F.col("ts_s") - F.col("t_prev"))
+                / (F.col("t_next") - F.col("t_prev"))
+            )
+        )
+    )
+    return (
+        marked.where(F.col("__side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_s",
+            F.round(interp, 4).alias("v_interp"),
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
+    "asof_interpolate": asof_interpolate,
     "triangle_count": triangle_count,
     "reachability_bfs": reachability_bfs,
     "markov_transitions": markov_transitions,
@@ -410,6 +513,56 @@ _EDGES_CTE = f"""
 """
 
 ORACLES = {
+    # Replays the identical union + dual-frame window formulation (NOT a
+    # native ASOF join: ASOF tie semantics on duplicate timestamps are
+    # engine-defined, the window formulation is not).
+    "asof_interpolate": """
+        WITH base AS (
+            SELECT event_id, user_id, event_type, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+            FROM events
+        ), views AS (
+            SELECT user_id, ts_s, arg_max(value, event_id) AS ref_v
+            FROM base WHERE event_type = 'view' GROUP BY user_id, ts_s
+        ), probes AS (
+            SELECT event_id, user_id, ts_s FROM base
+            WHERE event_type = 'purchase'
+        ), u AS (
+            SELECT event_id, user_id, ts_s, 1 AS side,
+                   CAST(NULL AS DOUBLE) AS ref_v
+            FROM probes
+            UNION ALL
+            SELECT CAST(NULL AS BIGINT), user_id, ts_s, 0, ref_v
+            FROM views
+        ), m AS (
+            SELECT event_id, user_id, ts_s, side,
+                   last_value(CASE WHEN side = 0 THEN ref_v END
+                              IGNORE NULLS) OVER wb AS v_prev,
+                   last_value(CASE WHEN side = 0 THEN ts_s END
+                              IGNORE NULLS) OVER wb AS t_prev,
+                   first_value(CASE WHEN side = 0 THEN ref_v END
+                               IGNORE NULLS) OVER wf AS v_next,
+                   first_value(CASE WHEN side = 0 THEN ts_s END
+                               IGNORE NULLS) OVER wf AS t_next
+            FROM u
+            WINDOW wb AS (PARTITION BY user_id
+                          ORDER BY ts_s ASC, side ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id
+                          ORDER BY ts_s ASC, side ASC
+                          ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id, ts_s,
+               round(CASE WHEN v_prev IS NULL THEN v_next
+                          WHEN v_next IS NULL THEN v_prev
+                          WHEN t_next = t_prev THEN v_prev
+                          ELSE v_prev + (v_next - v_prev)
+                               * ((ts_s - t_prev) / (t_next - t_prev))
+                     END, 4) AS v_interp
+        FROM m WHERE side = 1 ORDER BY event_id
+    """,
     "triangle_count": f"""
         WITH {_EDGES_CTE},
         tri AS (

@@ -96,3 +96,46 @@ def test_bucketed_join_plan_has_no_join_exchange(spark):
         assert plan.count("Exchange hashpartitioning") <= 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_asof_interpolate_within_neighbor_bounds(spark):
+    """Every interpolated value must lie within [min, max] of that
+    user's view values (convex combination of two neighbors), and a
+    purchase sharing a second with a view must return that view's value
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.sources.lake import load_table
+    from tests.conftest import SF_ORACLE
+
+    out = a6.asof_interpolate(spark, SF_ORACLE)
+    e = load_table(spark, SF_ORACLE, "events")
+    bounds = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    violations = (
+        out.where(F.col("v_interp").isNotNull())
+        .join(bounds, "user_id")
+        .where(
+            (F.col("v_interp") < F.col("lo") - 1e-9)
+            | (F.col("v_interp") > F.col("hi") + 1e-9)
+        )
+        .count()
+    )
+    assert violations == 0
+    # exact-match property on a planted same-second pair
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"),
+        F.col("value").alias("vv"), F.col("event_id").alias("veid"),
+    )
+    exact = (
+        out.join(views, ["user_id", "ts_s"])
+        .groupBy("user_id", "ts_s", "v_interp")
+        .agg(F.expr("max_by(vv, veid)").alias("vv"))
+    )
+    mismatches = exact.where(
+        F.abs(F.col("v_interp") - F.round(F.col("vv"), 4)) > 1e-9
+    ).count()
+    assert mismatches == 0
