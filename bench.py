@@ -82,6 +82,11 @@ HEADLINERS = [
     "dsir_importance",
     "doc_ngram_novelty",
     "cumulative_distinct_users",
+    # r7 additions
+    "bm25_topk",
+    "lm_score_bigram",
+    "asof_interpolate",
+    "rfm_segments",
 ]
 
 
