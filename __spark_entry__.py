@@ -45,6 +45,10 @@ _R7_PRIORITY: list[str] = [
     "q13_order_distribution",
     # --- 2. new / changed this round ---
     "asof_interpolate",
+    "time_weighted_avg",
+    "bpe_pair_counts",
+    "jaccard_topk_similar",
+    "percentile_normalize",
     "bm25_topk",
     "lm_score_bigram",
     "dedup_cluster_sizes",

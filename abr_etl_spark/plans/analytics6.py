@@ -489,8 +489,72 @@ def asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value`` over the event stream
+    (trapezoidal rule) -- the TSDB aggregate that answers "what was the
+    level, on average over wall-clock time" instead of the sample-biased
+    plain mean: (user_id, n_events, span_s, twa_e4).
+
+    Exact integers end-to-end: values are 2-decimal, so cents v_c =
+    floor(100v + 0.5); the trapezoid area in (2 x cent-seconds) is
+    sum (v_c[i] + v_c[i+1]) * dt, and
+
+        twa_e4 = 1e4-units of value = (area * 50) / span   [half-up]
+
+    (area/(2*span) cents = area*50/span 1e-4-units). Users with a single
+    event have no span and are excluded on both engines.
+
+    Scale shape: one lag window and one aggregate over the SAME
+    (user_id)-partitioning -- Catalyst plans a single Exchange+Sort; no
+    joins, nothing driver-side.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # order on the TRUNCATED second + event_id (the exported time grain)
+    # so both engines see the identical total order within a second
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_s").asc(), F.col("event_id").asc()
+    )
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_c"),
+    )
+    paired = base.select(
+        "user_id",
+        "ts_s",
+        "v_c",
+        F.lag("ts_s").over(w).alias("pt"),
+        F.lag("v_c").over(w).alias("pv"),
+    )
+    return (
+        paired.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("ts_s") - F.min("ts_s")).alias("span_s"),
+            F.sum(
+                F.when(
+                    F.col("pt").isNotNull(),
+                    (F.col("pv") + F.col("v_c")) * (F.col("ts_s") - F.col("pt")),
+                )
+            ).alias("area2"),
+        )
+        .where(F.col("span_s") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "span_s",
+            F.expr("(2 * area2 * 50 + span_s) DIV (2 * span_s)").alias(
+                "twa_e4"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "asof_interpolate": asof_interpolate,
+    "time_weighted_avg": time_weighted_avg,
     "triangle_count": triangle_count,
     "reachability_bfs": reachability_bfs,
     "markov_transitions": markov_transitions,
@@ -513,6 +577,32 @@ _EDGES_CTE = f"""
 """
 
 ORACLES = {
+    "time_weighted_avg": """
+        WITH base AS (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+            FROM events
+        ), paired AS (
+            SELECT user_id, ts_s, v_c,
+                   lag(ts_s) OVER w AS pt,
+                   lag(v_c) OVER w AS pv
+            FROM base
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts_s ASC, event_id ASC)
+        ), agg AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(ts_s) - min(ts_s) AS BIGINT) AS span_s,
+                   CAST(sum(CASE WHEN pt IS NOT NULL
+                                 THEN (pv + v_c) * (ts_s - pt) END)
+                        AS BIGINT) AS area2
+            FROM paired GROUP BY user_id
+        )
+        SELECT user_id, n_events, span_s,
+               CAST((2 * area2 * 50 + span_s) // (2 * span_s) AS BIGINT)
+                   AS twa_e4
+        FROM agg WHERE span_s > 0 ORDER BY user_id
+    """,
     # Replays the identical union + dual-frame window formulation (NOT a
     # native ASOF join: ASOF tie semantics on duplicate timestamps are
     # engine-defined, the window formulation is not).

@@ -279,8 +279,137 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: probe docs for the similar-document search (deterministic).
+SIM_PROBES = 5
+SIM_TOPK = 3
+BPE_TOP = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BPE_TOP} adjacent character pairs inside corpus words -- the
+    counting step of a BPE tokenizer's first merge (vocab induction):
+    (pair, n) by count desc, pair asc.
+
+    Scale shape: chars never shuffle individually -- the pair stream
+    collapses map-side into the (bounded) pair vocabulary before the one
+    exchange, and the top-k is TakeOrderedAndProject. (Later BPE merges
+    re-run the same count over re-segmented text; the per-merge shape is
+    identical, so this query IS the iteration body.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.expr(th.sp_tokens("text"))).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(BPE_TOP)
+    )
+
+
+def jaccard_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar-document SEARCH (thresholdless, unlike the dedup pair
+    ops): for each of the first {SIM_PROBES} docs, the {SIM_TOPK} most
+    Jaccard-similar other docs -- (probe_id, doc_id, rank, jaccard),
+    deterministic (jaccard desc, doc_id asc) ranking.
+
+    Scale shape: the probe side is a literal handful of docs, so its
+    exploded gram-hash set BROADCASTS; the corpus side streams its own
+    gram hashes through the broadcast hash join map-side -- the only
+    shuffle is the per-(probe, doc) intersection count aggregate (16-byte
+    rows), then a {SIM_TOPK}-deep window per probe (WindowGroupLimit).
+    Token-hash gram folding, not gram strings (the kmv lesson).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.expr(
+            th.sp_gram_hashes_from_token_hashes(
+                th.sp_token_hashes(th.sp_tokens("text")), 3
+            )
+        ).alias("hs"),
+    ).select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h")
+    )
+    probes = sh.where(F.col("doc_id") < SIM_PROBES).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("n_sh").alias("n_p"),
+        "h",
+    )
+    common = (
+        sh.join(F.broadcast(probes), "h")
+        .where(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(
+            F.count("*").alias("c"),
+            F.first("n_p").alias("n_p"),
+            F.first("n_sh").alias("n_d"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.expr("c / (n_p + n_d - c)").desc(), F.col("doc_id").asc()
+    )
+    return (
+        common.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= SIM_TOPK)
+        .select(
+            "probe_id",
+            "doc_id",
+            "rank",
+            F.round(F.expr("c / (n_p + n_d - c)"), 4).alias("jaccard"),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+def percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile rank of document length -- the score
+    normalization every mixed-source curation needs before one global
+    keep threshold can be fair across sources: (doc_id, source,
+    pct_e4) with pct_e4 = 1e4 * rank / n_in_source (half-up, rank by
+    (n_chars, doc_id) -- fully deterministic).
+
+    Scale shape: one source-partitioned window (rank) + a window count
+    over the SAME partitioning -- a single Exchange; no joins; exact
+    integer output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("source")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count("*").over(w_all).alias("n_src"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("(2 * 10000 * rk + n_src) DIV (2 * n_src)").alias(
+                "pct_e4"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
+    "bpe_pair_counts": bpe_pair_counts,
+    "jaccard_topk_similar": jaccard_topk_similar,
+    "percentile_normalize": percentile_normalize,
     "lm_score_bigram": lm_score_bigram,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "cross_split_leakage": cross_split_leakage,
@@ -449,3 +578,63 @@ ORACLES = {
         FROM tagged GROUP BY split_a, split_b ORDER BY split_a, split_b
     """,
 }
+
+ORACLES["bpe_pair_counts"] = f"""
+    WITH wd AS (
+        SELECT unnest({_DK_TOK}) AS word FROM documents
+    ), ix AS (
+        SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+        FROM wd WHERE length(word) >= 2
+    ), p AS (
+        SELECT substring(word, i, 2) AS pair FROM ix
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT {BPE_TOP}
+"""
+
+_DK_GRAMS = th.dk_gram_hashes_from_token_hashes(
+    th.dk_token_hashes(_DK_TOK), 3
+)
+
+ORACLES["jaccard_topk_similar"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_DK_GRAMS} AS hs FROM documents
+    ), e AS (
+        SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS h FROM t
+    ), pr AS (
+        SELECT doc_id AS probe_id, n_sh AS n_p, h
+        FROM e WHERE doc_id < {SIM_PROBES}
+    ), common AS (
+        SELECT pr.probe_id, e.doc_id,
+               any_value(pr.n_p) AS n_p, any_value(e.n_sh) AS n_d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM e JOIN pr ON e.h = pr.h
+        WHERE e.doc_id != pr.probe_id
+        GROUP BY pr.probe_id, e.doc_id
+    ), ranked AS (
+        SELECT probe_id, doc_id, c, n_p, n_d,
+               row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY c / (n_p + n_d - c) DESC, doc_id ASC
+               ) AS rank
+        FROM common
+    )
+    SELECT probe_id, doc_id, CAST(rank AS INTEGER) AS rank,
+           round(c / (n_p + n_d - c), 4) AS jaccard
+    FROM ranked WHERE rank <= {SIM_TOPK} ORDER BY probe_id, rank
+"""
+
+ORACLES["percentile_normalize"] = """
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars ASC, doc_id ASC) AS rk,
+               count(*) OVER (PARTITION BY source) AS n_src
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST((2 * 10000 * rk + n_src) // (2 * n_src) AS BIGINT)
+               AS pct_e4
+    FROM r ORDER BY doc_id
+"""

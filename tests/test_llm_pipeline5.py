@@ -68,3 +68,42 @@ def test_cross_split_leakage_counts_match_pair_splits(spark):
         for r in lp5.cross_split_leakage(spark, SF_ORACLE).collect()
     }
     assert got == expected and sum(got.values()) == len(pairs)
+
+
+def test_percentile_normalize_bounds_and_max(spark):
+    """Percentile ranks live in (0, 10000] and every source's longest doc
+    gets exactly 10000."""
+    out = lp5.percentile_normalize(spark, SF_ORACLE)
+    assert (
+        out.where(
+            (F.col("pct_e4") <= 0) | (F.col("pct_e4") > 10000)
+        ).count()
+        == 0
+    )
+    per_src_max = (
+        out.groupBy("source").agg(F.max("pct_e4").alias("m")).collect()
+    )
+    assert all(r["m"] == 10000 for r in per_src_max)
+
+
+def test_time_weighted_avg_within_value_bounds(spark):
+    """A trapezoidal mean is a convex combination of observed values:
+    twa_e4 must lie within [min, max] of the user's cent values * 100."""
+    from abr_etl_spark.plans.analytics6 import time_weighted_avg
+    from abr_etl_spark.sources.lake import load_table
+
+    out = time_weighted_avg(spark, SF_ORACLE)
+    e = load_table(spark, SF_ORACLE, "events")
+    bounds = e.groupBy("user_id").agg(
+        (F.floor(F.min("value") * 100 + 0.5) * 100).alias("lo"),
+        (F.floor(F.max("value") * 100 + 0.5) * 100).alias("hi"),
+    )
+    bad = (
+        out.join(bounds, "user_id")
+        .where(
+            (F.col("twa_e4") < F.col("lo") - 1)
+            | (F.col("twa_e4") > F.col("hi") + 1)
+        )
+        .count()
+    )
+    assert bad == 0
