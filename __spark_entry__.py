@@ -100,6 +100,7 @@ def _registry() -> tuple[dict, dict]:
     import abr_etl_spark.plans.analytics4 as analytics4
     import abr_etl_spark.plans.analytics5 as analytics5
     import abr_etl_spark.plans.analytics6 as analytics6
+    import abr_etl_spark.plans.analytics7 as analytics7
 
     modules = [
         analytics,
@@ -108,6 +109,7 @@ def _registry() -> tuple[dict, dict]:
         analytics4,
         analytics5,
         analytics6,
+        analytics7,
         semistructured,
     ]
     try:

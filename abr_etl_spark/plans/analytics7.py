@@ -1,0 +1,209 @@
+"""Coverage part 7 (round 7): robust statistics, time-series BI, and
+product analytics shapes.
+
+- ``anomaly_mad``: MAD-based robust outlier report per customer segment
+  -- median absolute deviation tolerates the very outliers that inflate
+  a mean/stddev z-score (the outlier_filter IQR rule's robust sibling).
+- ``mom_growth``: month-over-month revenue growth -- monthly aggregate
+  (exact cents) + a lag over the tiny month table, growth as one
+  deterministic double division.
+- ``new_vs_returning``: daily new-vs-returning user split off the
+  first-seen identity (the cumulative_distinct_users trick applied to
+  cohort accounting): each user is "new" exactly once.
+
+Reference parity: the reference (abr-etl, Go) delegates analytics to
+Athena SQL; these are Spark-native shapes its users run downstream
+(SURVEY.md §2.B rationale).
+
+Scale notes: anomaly_mad is three pruned scans with two tiny
+(segment-cardinality) broadcasts -- medians are exact here and would
+swap to approx_percentile at 100 TB (the histogram_equi_depth
+precedent, noted in the docstring); mom_growth's global window runs
+over the aggregated month table (tens of rows -- the sanctioned tiny
+frame); new_vs_returning shuffles (day, user) pairs once and joins
+narrow 16-byte rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from abr_etl_spark.sources.lake import load_table
+
+#: MAD multiplier for the outlier rule (≈ 2 sigma for normal data, since
+#: MAD ≈ 0.674 sigma; kept integer so the threshold math is exact).
+MAD_K = 3
+
+
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per market segment over customer balances:
+    (segment, n, med, mad, n_outliers) where an outlier is
+    |x - median| > MAD_K * MAD. Medians are exact percentile_cont
+    (cross-engine parity proven by the percentiles query); at 100 TB
+    swap both to approx_percentile exactly as histogram_equi_depth's
+    docstring prescribes -- the plan shape (tiny broadcast per segment)
+    is unchanged.
+
+    Scale shape: three column-pruned scans; each reduction broadcasts a
+    segment-cardinality (5-row) aggregate; no row-level joins shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    )
+    med = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("med")
+    )
+    with_med = c.join(F.broadcast(med), "c_mktsegment")
+    mad = (
+        with_med.select(
+            "c_mktsegment", F.abs(F.col("c_acctbal") - F.col("med")).alias("dev")
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    )
+    return (
+        with_med.join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("c_acctbal") - F.col("med"))
+                    > MAD_K * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: (month, revenue_c, growth_e6)
+    with revenue in exact cents and growth = (rev - prev)/prev rounded
+    to 6 (one double division -- identical IEEE both engines; integer
+    DIV is avoided because Spark truncates and DuckDB floors on
+    NEGATIVE growth months). First month reports NULL growth.
+
+    Scale shape: the order scan collapses to one row per month before
+    the lag window touches anything -- the global window runs over tens
+    of rows (the sequence_pack tiny-frame pattern).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("month")
+        .agg(F.sum("cents").alias("revenue_c"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue_c").over(w)
+    return monthly.select(
+        "month",
+        "revenue_c",
+        F.round(
+            (F.col("revenue_c") - prev) / prev,
+            6,
+        ).alias("growth"),
+    ).orderBy("month")
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active users: (day, n_new, n_returning).
+    A user is "new" on their first-ever active day (the first-seen
+    identity -- each user contributes to n_new exactly once, so the
+    n_new column alone reproduces cumulative_distinct_users).
+
+    Scale shape: ONE shuffle builds the distinct (day, user) activity
+    set; first days reduce it per user; the flag is arithmetic on the
+    joined 16-byte rows and one final day aggregate. No day-by-day
+    rescans, state is O(users).
+    """
+    e = load_table(spark, sf_dir, "events")
+    day_user = e.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).distinct()
+    first_day = day_user.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    return (
+        day_user.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("n_new"),
+            F.sum(
+                F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)
+            ).alias("n_returning"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES = {
+    "anomaly_mad": anomaly_mad,
+    "mom_growth": mom_growth,
+    "new_vs_returning": new_vs_returning,
+}
+
+ORACLES = {
+    "anomaly_mad": f"""
+        WITH med AS (
+            SELECT c_mktsegment, quantile_cont(c_acctbal, 0.5) AS med
+            FROM customer GROUP BY c_mktsegment
+        ), wm AS (
+            SELECT c.c_mktsegment, c.c_acctbal, m.med
+            FROM customer c JOIN med m USING (c_mktsegment)
+        ), mad AS (
+            SELECT c_mktsegment,
+                   quantile_cont(abs(c_acctbal - med), 0.5) AS mad
+            FROM wm GROUP BY c_mktsegment
+        )
+        SELECT w.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+               round(any_value(w.med), 4) AS med,
+               round(any_value(d.mad), 4) AS mad,
+               CAST(sum(CASE WHEN abs(w.c_acctbal - w.med)
+                                  > {MAD_K} * d.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM wm w JOIN mad d USING (c_mktsegment)
+        GROUP BY w.c_mktsegment ORDER BY w.c_mktsegment
+    """,
+    "mom_growth": """
+        WITH monthly AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_c
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue_c,
+               round((revenue_c - lag(revenue_c) OVER (ORDER BY month))
+                     / lag(revenue_c) OVER (ORDER BY month), 6) AS growth
+        FROM monthly ORDER BY month
+    """,
+    "new_vs_returning": """
+        WITH du AS (
+            SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+            FROM events
+        ), fd AS (
+            SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id
+        )
+        SELECT du.day,
+               CAST(sum(CASE WHEN du.day = fd.first_day
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN du.day != fd.first_day
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        FROM du JOIN fd USING (user_id)
+        GROUP BY du.day ORDER BY du.day
+    """,
+}

@@ -405,11 +405,46 @@ def percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build for the probe vocabulary: (term, df,
+    postings) with postings the SORTED doc_id list serialized
+    (comma-joined) -- the retrieval-infrastructure primitive behind
+    bm25_topk, materialized as data so an index consumer can diff it.
+
+    Scale shape: the token stream filters to the literal probe terms
+    MAP-SIDE (no vocabulary join), dedups (doc, term) in one shuffle,
+    and aggregates per term with sort_array(collect_set(...)) -- the
+    postings list is bounded by df, and at 100 TB a per-term posting
+    list is exactly what you'd range-partition by term; the serialized
+    form keeps the oracle comparison order-insensitive-proof.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.expr(th.sp_tokens("text"))).alias("tok")
+    )
+    hits = (
+        toks.select("doc_id", F.lower("tok").alias("term"))
+        .where(F.col("term").isin(*BM25_TERMS))
+        .distinct()
+    )
+    return (
+        hits.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.sort_array(F.collect_set("doc_id")), ","
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
     "bpe_pair_counts": bpe_pair_counts,
     "jaccard_topk_similar": jaccard_topk_similar,
     "percentile_normalize": percentile_normalize,
+    "inverted_postings": inverted_postings,
     "lm_score_bigram": lm_score_bigram,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "cross_split_leakage": cross_split_leakage,
@@ -637,4 +672,16 @@ ORACLES["percentile_normalize"] = """
            CAST((2 * 10000 * rk + n_src) // (2 * n_src) AS BIGINT)
                AS pct_e4
     FROM r ORDER BY doc_id
+"""
+
+ORACLES["inverted_postings"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest({_DK_TOK})) AS term FROM documents
+    ), hits AS (
+        SELECT DISTINCT doc_id, term FROM toks
+        WHERE term IN ('spark', 'table', 'hash', 'merge')
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM hits GROUP BY term ORDER BY term
 """

@@ -1,0 +1,54 @@
+"""Part-7 queries vs the DuckDB oracle, plus robustness properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from abr_etl_spark.plans import analytics7 as a7
+from tests.conftest import SF_ORACLE, assert_matches_oracle
+
+
+@pytest.mark.parametrize("key", sorted(a7.QUERIES))
+def test_analytics7_vs_oracle(spark, ddb, key):
+    df = a7.QUERIES[key](spark, SF_ORACLE)
+    assert_matches_oracle(df, ddb, a7.ORACLES[key], key)
+
+
+def test_new_vs_returning_conserves_users(spark):
+    """Sum of n_new over all days == total distinct users (each user is
+    new exactly once), and daily new+returning == daily actives."""
+    from abr_etl_spark.sources.lake import load_table
+
+    rows = a7.new_vs_returning(spark, SF_ORACLE).collect()
+    e = load_table(spark, SF_ORACLE, "events")
+    assert sum(r["n_new"] for r in rows) == (
+        e.select("user_id").distinct().count()
+    )
+    daily = {
+        r["day"]: r["distinct_users"]
+        for r in e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("distinct_users"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_new"] + r["n_returning"] == daily[r["day"]]
+
+
+def test_anomaly_mad_robust_to_planted_outlier(spark):
+    """Planting one extreme balance must flag at least one more outlier
+    while leaving the median/MAD (robustness!) nearly unchanged."""
+    from abr_etl_spark.sources.lake import load_table
+
+    base = {r["c_mktsegment"]: r for r in a7.anomaly_mad(spark, SF_ORACLE).collect()}
+    c = load_table(spark, SF_ORACLE, "customer")
+    seg = c.select("c_mktsegment").first()["c_mktsegment"]
+    planted = c.select("c_mktsegment", "c_acctbal").unionByName(
+        spark.createDataFrame(
+            [(seg, 10_000_000.0)], "c_mktsegment string, c_acctbal double"
+        )
+    )
+    med = planted.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("med")
+    )
+    row = [r for r in med.collect() if r["c_mktsegment"] == seg][0]
+    assert abs(row["med"] - base[seg]["med"]) < abs(10_000_000.0) * 0.001
