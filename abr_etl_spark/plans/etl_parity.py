@@ -251,7 +251,40 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_delta_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply identity, end-to-end: materialize the previous snapshot
+    with the engine's OWN delta outputs --
+
+        apply(old, delta(old, new)) =
+            (old minus updated/removed keys) + updated + added
+
+    -- and return it. The oracle is simply the NEWEST snapshot derived
+    independently, so the driver's row/schema/hash match PROVES the
+    delta triple is complete and consistent (nothing double-counted,
+    nothing dropped): the weekly-merge correctness property a CDC
+    consumer actually relies on.
+
+    Scale shape: the three delta ops are each one narrow join (16-byte
+    hash rows / anti-joins, see operators/delta.py); the apply is one
+    anti-join on changed keys plus two unions -- no new shuffle class.
+    """
+    new, old = _snapshots(spark, sf_dir)
+    upd = delta.delta_updated(new, old, "o_orderkey")
+    add = delta.delta_added(new, old, "o_orderkey")
+    rem = delta.delta_removed(new, old, "o_orderkey")
+    changed_keys = upd.select("o_orderkey").unionByName(
+        rem.select("o_orderkey")
+    )
+    applied = (
+        old.join(changed_keys, "o_orderkey", "left_anti")
+        .unionByName(upd.select(*old.columns))
+        .unionByName(add.select(*old.columns))
+    )
+    return _fmt_orders(applied)
+
 QUERIES = {
+    "delta_apply_roundtrip": q_delta_apply_roundtrip,
     "delta_updated": q_delta_updated,
     "delta_classify_lake": q_delta_classify_lake,
     "incremental_agg": q_incremental_agg,
@@ -425,3 +458,8 @@ ORACLES = {
         ) WHERE rank <= 2
     """,
 }
+
+ORACLES["delta_apply_roundtrip"] = f"""
+    {_SNAP_CTE}
+    SELECT {_ORDER_OUT} FROM newd
+"""

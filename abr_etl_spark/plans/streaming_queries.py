@@ -217,8 +217,35 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen census: a stateful min(ts) aggregate per
+    user replayed over the multi-file drop (update mode -- each
+    microbatch emits revised minima; arrival order across files is
+    nondeterministic, which is exactly why the state must track MIN
+    event time, not first arrival), folded to the per-day count of
+    first-ever-seen users. The oracle recomputes the same census from
+    the batch min: the streaming state's fixpoint is order-invariant.
+    """
+    stage = _stage_event_drops(spark, sf_dir)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=1)
+    firsts = stream.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    name = f"fs_driver_{next(_rc_names)}"
+    q = run_stream_to_memory(firsts, name, output_mode="update")
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.min("first_ts").alias("first_ts"))
+        .select(F.date_format("first_ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_new"))
+        .orderBy("day")
+    )
+
 QUERIES = {
     "stream_running_counts": q_stream_running_counts,
+    "stream_first_seen": q_stream_first_seen,
     "stream_dedup_exact": q_stream_dedup_exact,
     "stream_window_counts": q_stream_window_counts,
     "stream_sliding_avg": q_stream_sliding_avg,
@@ -323,3 +350,10 @@ ORACLES = {
          AND p.ts < c.ts + INTERVAL 1 HOUR
     """,
 }
+
+ORACLES["stream_first_seen"] = """
+    SELECT day, CAST(count(*) AS BIGINT) AS n_new
+    FROM (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+          FROM events GROUP BY user_id)
+    GROUP BY day ORDER BY day
+"""
