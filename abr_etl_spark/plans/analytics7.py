@@ -150,8 +150,73 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, click_id, purchase_id, gap_s) -- every click within the
+    1h horizon before each same-user purchase (the batch face of the
+    stream-stream interval join, streaming/stream_ops.attribution_join)."""
+    from abr_etl_spark.streaming.stream_ops import attribution_join
+
+    e = load_table(spark, sf_dir, "events")
+    return attribution_join(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+    )
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's 1e4 units of
+    credit split equally across its qualifying clicks (half-up integer
+    per touch), credited to the CLICKING user's census row: (user_id,
+    n_touches, total_credit_e4). The single-touch models (first/last)
+    are the min/max-gap specializations of this same join.
+
+    Scale shape: the interval join is the attribution_join shape (time
+    bound keeps it from being a cross product; on streams the same
+    expression state-expires); per-purchase touch counts come from ONE
+    window over the join output partitioned by purchase_id; the census
+    is one aggregate. Integer credit math replays exactly.
+    """
+    t = _touches(spark, sf_dir)
+    w = Window.partitionBy("purchase_id")
+    credited = t.withColumn("n", F.count("*").over(w)).withColumn(
+        "credit_e4", F.expr("(2 * 10000 + n) DIV (2 * n)")
+    )
+    return (
+        credited.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("credit_e4").alias("total_credit_e4"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase lag distribution under LAST-touch attribution
+    (nearest qualifying click per purchase): one row of
+    (n_conversions, min_s, med_s, p90_s, max_s). Median/p90 are exact
+    percentile_cont (cross-engine parity proven by the percentiles
+    query; approx_percentile swap at 100 TB, histogram_equi_depth
+    precedent).
+
+    Scale shape: interval join -> per-purchase min-gap aggregate ->
+    one global reduction.
+    """
+    t = _touches(spark, sf_dir)
+    last_touch = t.groupBy("purchase_id").agg(F.min("gap_s").alias("lag_s"))
+    return last_touch.agg(
+        F.count("*").alias("n_conversions"),
+        F.min("lag_s").alias("min_s"),
+        F.round(F.expr("percentile(lag_s, 0.5)"), 4).alias("med_s"),
+        F.round(F.expr("percentile(lag_s, 0.9)"), 4).alias("p90_s"),
+        F.max("lag_s").alias("max_s"),
+    )
+
 QUERIES = {
     "anomaly_mad": anomaly_mad,
+    "attribution_linear": attribution_linear,
+    "conversion_lag_stats": conversion_lag_stats,
     "mom_growth": mom_growth,
     "new_vs_returning": new_vs_returning,
 }
@@ -207,3 +272,45 @@ ORACLES = {
         GROUP BY du.day ORDER BY du.day
     """,
 }
+
+_TOUCH_CTE = """
+    WITH c AS (
+        SELECT user_id, ts AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT c.user_id, c.click_id, p.purchase_id,
+               CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+               - CAST(floor(epoch(c.click_ts)) AS BIGINT) AS gap_s
+        FROM c JOIN p ON c.user_id = p.user_id
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts < c.click_ts + INTERVAL 1 HOUR
+    )
+"""
+
+ORACLES["attribution_linear"] = _TOUCH_CTE + """
+    , credited AS (
+        SELECT user_id,
+               count(*) OVER (PARTITION BY purchase_id) AS n
+        FROM t
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum((2 * 10000 + n) // (2 * n)) AS BIGINT)
+               AS total_credit_e4
+    FROM credited GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLES["conversion_lag_stats"] = _TOUCH_CTE + """
+    , lt AS (
+        SELECT purchase_id, min(gap_s) AS lag_s FROM t
+        GROUP BY purchase_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(min(lag_s) AS BIGINT) AS min_s,
+           round(quantile_cont(lag_s, 0.5), 4) AS med_s,
+           round(quantile_cont(lag_s, 0.9), 4) AS p90_s,
+           CAST(max(lag_s) AS BIGINT) AS max_s
+    FROM lt
+"""

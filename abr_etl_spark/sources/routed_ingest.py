@@ -45,7 +45,13 @@ def dataset_column(file_col: Column, routes: dict[str, str] | None = None) -> Co
 
 def importdate_column(file_col: Column, pattern: str = r"VIC([0-9]{6})_ABR_") -> Column:
     """Extract yymmdd from the filename and parse to DATE (load.go:64
-    ``time.ParseInLocation("060102", ...)``)."""
+    ``time.ParseInLocation("060102", ..., Australia/Melbourne)``).
+
+    The reference parses in the Melbourne zone only to build a
+    ``time.Time`` it immediately formats back to a DATE string for the
+    partition key (DataKey, load.go:19-21); a date-only value has no
+    zone component, so the plain ``yyMMdd -> DATE`` parse here yields
+    the identical partition key for every input."""
     raw = F.regexp_extract(file_col, pattern, 1)
     return F.when(raw != "", F.to_date(raw, "yyMMdd")).otherwise(F.lit(None).cast("date"))
 

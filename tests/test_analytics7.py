@@ -52,3 +52,21 @@ def test_anomaly_mad_robust_to_planted_outlier(spark):
     )
     row = [r for r in med.collect() if r["c_mktsegment"] == seg][0]
     assert abs(row["med"] - base[seg]["med"]) < abs(10_000_000.0) * 0.001
+
+
+def test_attribution_credit_conserved_per_purchase(spark):
+    """Each purchase's credit must sum to ~1e4 (within n/2 rounding) and
+    the global credit total must equal ~1e4 * n_attributed_purchases."""
+    from abr_etl_spark.plans.analytics7 import _touches
+
+    t = _touches(spark, SF_ORACLE)
+    per_purchase = (
+        t.groupBy("purchase_id").count().withColumnRenamed("count", "n")
+    )
+    rows = a7.attribution_linear(spark, SF_ORACLE).collect()
+    n_purchases = per_purchase.count()
+    total = sum(r["total_credit_e4"] for r in rows)
+    # each purchase contributes n * round(1e4/n) in [1e4 - n/2, 1e4 + n/2]
+    max_n = per_purchase.agg(F.max("n")).collect()[0][0]
+    assert abs(total - 10000 * n_purchases) <= n_purchases * max_n
+    assert sum(r["n_touches"] for r in rows) == t.count()
