@@ -213,10 +213,67 @@ def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("lag_s").alias("max_s"),
     )
 
+
+#: Knuth multiplicative constant (TAOCP vol 3), as in corpus_mix.
+QS_MULT = 2654435761
+QS_MOD = 2147483647
+#: keep ~2% of rows in the deterministic quantile sample.
+QS_RATE_E4 = 200
+
+
+def quantile_sketch_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate order-price quantiles from a DETERMINISTIC hash
+    sample: (n_sample, p50, p90, p99). Rows survive iff
+    ``(o_orderkey * KNUTH) % P < rate`` -- a partition-count- and
+    cluster-size-independent ~2% sample both engines derive identically,
+    so unlike t-digest/GK sketches the "approximate" result is exactly
+    replayable. Sample-then-exact-percentile is the honest distributed
+    sketch here: the reduction input is bounded at rate * N rows and the
+    error is the standard sampling error (binomial on ranks).
+
+    Scale shape: the hash filter evaluates at the SCAN (map-side, no
+    shuffle survives it); one bounded reduction computes the exact
+    percentiles of the sample.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    kept = o.where(
+        (F.col("o_orderkey") * QS_MULT) % QS_MOD
+        < (QS_MOD * QS_RATE_E4) / 10000
+    )
+    return kept.agg(
+        F.count("*").alias("n_sample"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+def hot_keys_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew diagnostics: the 10 heaviest join keys of the
+    orders⋈lineitem equi-join -- (o_orderkey, n_lineitems) by count
+    desc, key asc. The report an operator reads BEFORE picking between
+    plain shuffle, AQE skew split, and the salted join
+    (operators/joins.salted_join); at 100 TB this is the 30-second
+    query that explains a straggler.
+
+    Scale shape: map-side partial count per key, one exchange, global
+    top-k as TakeOrderedAndProject (per-partition partial top-k, k-row
+    merge).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lineitems"))
+        .orderBy(F.col("n_lineitems").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
 QUERIES = {
     "anomaly_mad": anomaly_mad,
     "attribution_linear": attribution_linear,
     "conversion_lag_stats": conversion_lag_stats,
+    "quantile_sketch_hash": quantile_sketch_hash,
+    "hot_keys_report": hot_keys_report,
     "mom_growth": mom_growth,
     "new_vs_returning": new_vs_returning,
 }
@@ -313,4 +370,23 @@ ORACLES["conversion_lag_stats"] = _TOUCH_CTE + """
            round(quantile_cont(lag_s, 0.9), 4) AS p90_s,
            CAST(max(lag_s) AS BIGINT) AS max_s
     FROM lt
+"""
+
+ORACLES["quantile_sketch_hash"] = f"""
+    WITH kept AS (
+        SELECT o_totalprice FROM orders
+        WHERE (o_orderkey * {QS_MULT}) % {QS_MOD}
+              < ({QS_MOD}::BIGINT * {QS_RATE_E4}) / 10000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sample,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM kept
+"""
+
+ORACLES["hot_keys_report"] = """
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem GROUP BY l_orderkey
+    ORDER BY n_lineitems DESC, l_orderkey ASC LIMIT 10
 """
