@@ -552,10 +552,34 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the supplier co-shipment graph:
+    (degree, n_vertices) -- the 30-second shape check an operator runs
+    before choosing a CC/triangle strategy (hub-heavy graphs want the
+    star contraction; bounded-degree graphs are fine with propagation).
+
+    Scale shape: undirected degrees from the (a < b) edge list via one
+    explode + count per vertex, then a degree-cardinality census --
+    two bounded aggregates, no joins.
+    """
+    e = _supplier_edges(spark, sf_dir)
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+        .orderBy("degree")
+    )
+
 QUERIES = {
     "asof_interpolate": asof_interpolate,
     "time_weighted_avg": time_weighted_avg,
     "triangle_count": triangle_count,
+    "degree_distribution": degree_distribution,
     "reachability_bfs": reachability_bfs,
     "markov_transitions": markov_transitions,
     "decay_weighted_sum": decay_weighted_sum,
@@ -803,3 +827,14 @@ ORACLES = {
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 }
+
+ORACLES["degree_distribution"] = f"""
+    WITH {_EDGES_CTE}
+    , deg AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+        GROUP BY v
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+    FROM deg GROUP BY degree ORDER BY degree
+"""

@@ -268,12 +268,96 @@ def hot_keys_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
 
+
+def _cramer3_sql(pref: str = "") -> dict[str, str]:
+    """Cramer's-rule solve of the 3x3 normal equations, as ONE shared
+    SQL-arithmetic string evaluated verbatim by BOTH engines (Spark SQL
+    and DuckDB) -- identical parenthesization means identical IEEE
+    rounding, so the coefficients hash-match without any integer-unit
+    contortions. Moments are exact integers < 2^53; the determinant
+    products round identically because the operation order is the text.
+    """
+    n, s1, s2 = f"{pref}nd", f"{pref}s1", f"{pref}s2"
+    sy, s11, s12 = f"{pref}sy", f"{pref}s11", f"{pref}s12"
+    s22, s1y, s2y = f"{pref}s22", f"{pref}s1y", f"{pref}s2y"
+    det = (
+        f"({n} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s12} - {s11} * {s2}))"
+    )
+    det0 = (
+        f"({sy} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1y} * {s22} - {s12} * {s2y})"
+        f" + {s2} * ({s1y} * {s12} - {s11} * {s2y}))"
+    )
+    det1 = (
+        f"({n} * ({s1y} * {s22} - {s12} * {s2y})"
+        f" - {sy} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s2y} - {s1y} * {s2}))"
+    )
+    det2 = (
+        f"({n} * ({s11} * {s2y} - {s1y} * {s12})"
+        f" - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+        f" + {sy} * ({s1} * {s12} - {s11} * {s2}))"
+    )
+    return {"det": det, "det0": det0, "det1": det1, "det2": det2}
+
+
+def linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 2-feature OLS by sufficient statistics: fit
+    price_cents ~ b0 + b1*quantity + b2*discount_pct over lineitem via
+    the normal equations -- (n, b0, b1, b2) in one row, coefficients
+    rounded to 6.
+
+    This is how regression actually runs at 100 TB: ONE map-side-combined
+    aggregate collapses the fact table to nine exact integer moments
+    (n, Sx1, Sx2, Sy, Sx1x1, Sx1x2, Sx2x2, Sx1y, Sx2y); the 3x3 solve is
+    driver-free arithmetic on that single row (Cramer's rule, shared
+    formula text => identical IEEE rounding cross-engine). No gradient
+    loop, no per-row Python, no second scan.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("long")
+    x2 = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    m0 = l.agg(
+        F.count("*").alias("n"),
+        F.sum(x1).alias("i1"),
+        F.sum(x2).alias("i2"),
+        F.sum(y).alias("iy"),
+        F.sum(x1 * x1).alias("i11"),
+        F.sum(x1 * x2).alias("i12"),
+        F.sum(x2 * x2).alias("i22"),
+        F.sum(x1 * y).alias("i1y"),
+        F.sum(x2 * y).alias("i2y"),
+    )
+    # the solve runs in doubles: every moment is an exact integer far
+    # below 2^53 (lossless conversion) while determinant PRODUCTS exceed
+    # int64 -- double keeps both engines on the identical IEEE path
+    # (DuckDB would raise on BIGINT overflow, Spark would wrap).
+    m = m0.select(
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        *[
+            F.col(f"i{s}").cast("double").alias(f"s{s}")
+            for s in ("1", "2", "y", "11", "12", "22", "1y", "2y")
+        ],
+    )
+    c = _cramer3_sql()
+    return m.select(
+        "n",
+        F.round(F.expr(f"{c['det0']} / {c['det']}"), 6).alias("b0"),
+        F.round(F.expr(f"{c['det1']} / {c['det']}"), 6).alias("b1"),
+        F.round(F.expr(f"{c['det2']} / {c['det']}"), 6).alias("b2"),
+    )
+
 QUERIES = {
     "anomaly_mad": anomaly_mad,
     "attribution_linear": attribution_linear,
     "conversion_lag_stats": conversion_lag_stats,
     "quantile_sketch_hash": quantile_sketch_hash,
     "hot_keys_report": hot_keys_report,
+    "linreg_normal_eq": linreg_normal_eq,
     "mom_growth": mom_growth,
     "new_vs_returning": new_vs_returning,
 }
@@ -389,4 +473,42 @@ ORACLES["hot_keys_report"] = """
     SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lineitems
     FROM lineitem GROUP BY l_orderkey
     ORDER BY n_lineitems DESC, l_orderkey ASC LIMIT 10
+"""
+
+_C3 = _cramer3_sql()
+ORACLES["linreg_normal_eq"] = f"""
+    WITH mi AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS i1,
+               CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS i2,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS iy,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS i11,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS i12,
+               CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                        * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS i22,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS i1y,
+               CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                        * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS i2y
+        FROM lineitem
+    ), m AS (
+        SELECT n, n::DOUBLE AS nd,
+               i1::DOUBLE AS s1, i2::DOUBLE AS s2, iy::DOUBLE AS sy,
+               i11::DOUBLE AS s11, i12::DOUBLE AS s12,
+               i22::DOUBLE AS s22, i1y::DOUBLE AS s1y, i2y::DOUBLE AS s2y
+        FROM mi
+    )
+    SELECT n,
+           round({_C3['det0']} / {_C3['det']}, 6) AS b0,
+           round({_C3['det1']} / {_C3['det']}, 6) AS b1,
+           round({_C3['det2']} / {_C3['det']}, 6) AS b2
+    FROM m
 """

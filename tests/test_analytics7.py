@@ -70,3 +70,29 @@ def test_attribution_credit_conserved_per_purchase(spark):
     max_n = per_purchase.agg(F.max("n")).collect()[0][0]
     assert abs(total - 10000 * n_purchases) <= n_purchases * max_n
     assert sum(r["n_touches"] for r in rows) == t.count()
+
+
+def test_linreg_matches_numpy_lstsq(spark):
+    """The Cramer's-rule coefficients must match numpy's least-squares
+    solution of the same design matrix to ~1e-6 (validates the algebra
+    independently of the oracle, which shares the formula text)."""
+    import numpy as np
+
+    from abr_etl_spark.sources.lake import load_table
+
+    row = a7.linreg_normal_eq(spark, SF_ORACLE).collect()[0]
+    l = load_table(spark, SF_ORACLE, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    pdf = l.toPandas()
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["x1"].to_numpy(), pdf["x2"].to_numpy()]
+    ).astype(float)
+    beta, *_ = np.linalg.lstsq(X, pdf["y"].to_numpy().astype(float), rcond=None)
+    assert row["n"] == len(pdf)
+    for got, want in zip((row["b0"], row["b1"], row["b2"]), beta):
+        assert abs(got - want) <= max(1e-4, abs(want) * 1e-6), (got, want)
