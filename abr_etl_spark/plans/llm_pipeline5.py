@@ -172,8 +172,10 @@ def lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = train_bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     w1_tot = Window.partitionBy("w1")
     counts = counts.withColumn("c1", F.sum("c").over(w1_tot))
+    # greatest(V,1): an empty training side (no curated sources at some
+    # data slice) must degrade to the uniform prior, not divide by zero
     vocab = counts.agg(
-        F.countDistinct("w2").alias("V"),
+        F.greatest(F.countDistinct("w2"), F.lit(1)).alias("V"),
     )
     doc_bg = _bigrams(d)
     joined = (
@@ -514,7 +516,8 @@ ORACLES = {
                    sum(c) OVER (PARTITION BY w1) AS c1
             FROM train
         ), v AS (
-            SELECT CAST(count(DISTINCT w2) AS BIGINT) AS V FROM train
+            SELECT greatest(CAST(count(DISTINCT w2) AS BIGINT), 1) AS V
+            FROM train
         ), scored AS (
             SELECT b.doc_id,
                    (2 * (10000 * (coalesce(t2.c, 0) + 1))
