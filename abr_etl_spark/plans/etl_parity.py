@@ -283,6 +283,35 @@ def q_delta_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _fmt_orders(applied)
 
+
+#: point-in-time probe date for the SCD2 lookup (between snaps 2 and 3).
+PIT_DATE = "2024-01-10"
+
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup: the warehouse state as of PIT_DATE --
+    the query every SCD2 consumer actually runs (which version of each
+    key was live on date d): valid_from <= d < coalesce(valid_to, inf).
+
+    Scale shape: the interval predicate filters the (already narrow)
+    SCD2 history -- at 100 TB you'd partition history by valid_from
+    range so the filter prunes files; the fold itself is q_scd2's plan.
+    A pytest proves the PIT result ALSO equals the latest
+    snapshot-at-or-before d per key, derived without SCD2 -- the
+    identity that makes type-2 history trustworthy.
+    """
+    series = _snapshot_series(spark, sf_dir)
+    hist = delta.scd2(series, "o_orderkey")
+    d = F.lit(PIT_DATE)
+    return (
+        hist.where(
+            (F.col("valid_from") <= d)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+        )
+        .select("o_orderkey", "totalprice", "valid_from")
+        .orderBy("o_orderkey")
+    )
+
 QUERIES = {
     "delta_apply_roundtrip": q_delta_apply_roundtrip,
     "delta_updated": q_delta_updated,
@@ -296,6 +325,7 @@ QUERIES = {
     "delta_unchanged_count": q_delta_unchanged_count,
     "snapshot_latest": q_snapshot_latest,
     "scd2": q_scd2,
+    "scd2_point_in_time": q_scd2_point_in_time,
     "ingest_routed": q_ingest_routed,
     "lake_partitions": q_lake_partitions,
 }
@@ -462,4 +492,29 @@ ORACLES = {
 ORACLES["delta_apply_roundtrip"] = f"""
     {_SNAP_CTE}
     SELECT {_ORDER_OUT} FROM newd
+"""
+
+ORACLES["scd2_point_in_time"] = _SERIES_CTE + f"""
+    , versions AS (
+        SELECT o_orderkey, totalprice, importdate,
+               lag(totalprice) OVER w AS prev_price
+        FROM snaps
+        WINDOW w AS (PARTITION BY o_orderkey ORDER BY importdate ASC)
+    ), changed AS (
+        SELECT o_orderkey, totalprice, importdate
+        FROM versions
+        WHERE prev_price IS NULL OR prev_price IS DISTINCT FROM totalprice
+    ), hist AS (
+        SELECT o_orderkey, totalprice,
+               importdate AS valid_from,
+               lead(importdate) OVER (
+                   PARTITION BY o_orderkey ORDER BY importdate ASC)
+                   AS valid_to
+        FROM changed
+    )
+    SELECT o_orderkey, totalprice, valid_from
+    FROM hist
+    WHERE valid_from <= '{PIT_DATE}'
+      AND (valid_to IS NULL OR valid_to > '{PIT_DATE}')
+    ORDER BY o_orderkey
 """

@@ -138,3 +138,39 @@ def test_ingest_malformed_row_policies(spark, tmp_path):
         spark, str(drop), "Funds", schema=schema, mode="DROPMALFORMED"
     )
     assert {r["pid"] for r in df2.collect()} == {"p1", "p3"}
+
+
+def test_scd2_pit_equals_latest_snapshot_at_date(spark):
+    """The PIT lookup must equal the latest snapshot at-or-before the
+    probe date per key, derived WITHOUT SCD2 -- the identity that makes
+    type-2 history trustworthy."""
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.plans.etl_parity import (
+        PIT_DATE,
+        _snapshot_series,
+        q_scd2_point_in_time,
+    )
+    from tests.conftest import SF_ORACLE
+
+    got = {
+        (r["o_orderkey"], r["totalprice"])
+        for r in q_scd2_point_in_time(spark, SF_ORACLE).collect()
+    }
+    series = _snapshot_series(spark, SF_ORACLE)
+    latest = (
+        series.where(F.col("importdate") <= PIT_DATE)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("o_orderkey")
+                .orderBy(F.col("importdate").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    want = {
+        (r["o_orderkey"], r["totalprice"]) for r in latest.collect()
+    }
+    assert got == want
