@@ -351,6 +351,108 @@ def linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(f"{c['det2']} / {c['det']}"), 6).alias("b2"),
     )
 
+
+BASKET_TOP = 20
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-{BASKET_TOP} part pairs
+    bought together in the same order -- (part_a, part_b, n_orders),
+    pair stored once as (a < b), count desc / pair asc. The
+    bought-together primitive behind recommendations.
+
+    Scale shape: a within-order self-join (a < b) generates pairs;
+    fanout is quadratic IN BASKET SIZE only (TPC-H baskets are <= 7
+    lines, so <= 21 pairs/order; retail baskets are similarly bounded
+    -- a df-cap on pathological mega-baskets is the hot-shingle
+    analogue if one ever appears). Pairs collapse map-side into the
+    co-occurrence vocabulary; top-k is TakeOrderedAndProject.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = l.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(
+            F.col("n_orders").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(BASKET_TOP)
+    )
+
+
+#: systematic weighted sample: target size and prefix-sum bucket width.
+WS_K = 100
+WS_BUCKET = 4096
+
+
+def weighted_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT pow/log: systematic
+    sampling over cumulative weight space. Lay orders head-to-tail in
+    o_orderkey order, each spanning [cum_lo, cum_hi) of total weight W
+    (weight = totalprice cents); a grid of WS_K equally spaced marks
+    selects every order a mark lands in:
+
+        n_picks = (cum_hi * K) DIV W - (cum_lo * K) DIV W
+
+    Exactly K picks in total, inclusion probability proportional to weight,
+    heavy items can be picked multiple times (reported) -- and unlike
+    A-ES / exponential-race sampling there is no u^(1/w), so both
+    engines replay the sample from pure integer arithmetic.
+
+    Scale shape: per-order cumulative weights come from the
+    sequence_pack two-level prefix sum (bucket window + tiny per-bucket
+    prefix broadcast), one narrow shuffle; selection is a map-side
+    filter. Output (o_orderkey, cents, n_picks), ~K rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") / F.lit(WS_BUCKET)).cast("long").alias("__b"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = w.withColumn(
+        "__run", F.sum("cents").over(w_in) - F.col("cents")
+    )
+    btot = w.groupBy("__b").agg(F.sum("cents").alias("__t"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = btot.select(
+        "__b", F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__pre")
+    )
+    total = btot.agg(F.sum("__t").alias("W"))
+    cum = (
+        within.join(F.broadcast(prefix), "__b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_orderkey",
+            "cents",
+            (F.col("__pre") + F.col("__run")).alias("cum_lo"),
+            (F.col("__pre") + F.col("__run") + F.col("cents")).alias(
+                "cum_hi"
+            ),
+            "W",
+        )
+    )
+    picks = F.expr(
+        f"(cum_hi * {WS_K}) DIV W - (cum_lo * {WS_K}) DIV W"
+    )
+    return (
+        cum.select("o_orderkey", "cents", picks.alias("n_picks"))
+        .where(F.col("n_picks") > 0)
+        .orderBy("o_orderkey")
+    )
+
 QUERIES = {
     "anomaly_mad": anomaly_mad,
     "attribution_linear": attribution_linear,
@@ -358,6 +460,8 @@ QUERIES = {
     "quantile_sketch_hash": quantile_sketch_hash,
     "hot_keys_report": hot_keys_report,
     "linreg_normal_eq": linreg_normal_eq,
+    "basket_pairs": basket_pairs,
+    "weighted_sample_systematic": weighted_sample_systematic,
     "mom_growth": mom_growth,
     "new_vs_returning": new_vs_returning,
 }
@@ -511,4 +615,39 @@ ORACLES["linreg_normal_eq"] = f"""
            round({_C3['det1']} / {_C3['det']}, 6) AS b1,
            round({_C3['det2']} / {_C3['det']}, 6) AS b2
     FROM m
+"""
+
+ORACLES["basket_pairs"] = f"""
+    WITH lp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+     AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT {BASKET_TOP}
+"""
+
+ORACLES["weighted_sample_systematic"] = f"""
+    WITH w AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ), c AS (
+        SELECT o_orderkey, cents,
+               CAST(sum(cents) OVER (ORDER BY o_orderkey) - cents
+                    AS BIGINT) AS cum_lo,
+               CAST(sum(cents) OVER (ORDER BY o_orderkey) AS BIGINT)
+                   AS cum_hi,
+               CAST(sum(cents) OVER () AS BIGINT) AS W
+        FROM w
+    )
+    SELECT o_orderkey, cents,
+           CAST((cum_hi * {WS_K}) // W - (cum_lo * {WS_K}) // W
+                AS BIGINT) AS n_picks
+    FROM c
+    WHERE (cum_hi * {WS_K}) // W - (cum_lo * {WS_K}) // W > 0
+    ORDER BY o_orderkey
 """

@@ -96,3 +96,43 @@ def test_linreg_matches_numpy_lstsq(spark):
     assert row["n"] == len(pdf)
     for got, want in zip((row["b0"], row["b1"], row["b2"]), beta):
         assert abs(got - want) <= max(1e-4, abs(want) * 1e-6), (got, want)
+
+
+def test_weighted_sample_exactly_k_and_weight_biased(spark):
+    """Systematic sampling must pick exactly WS_K units in total, and
+    the sampled mean weight must exceed the population mean (heavier
+    items are more likely in a weight-proportional sample)."""
+    from abr_etl_spark.plans.analytics7 import WS_K, weighted_sample_systematic
+    from abr_etl_spark.sources.lake import load_table
+
+    rows = weighted_sample_systematic(spark, SF_ORACLE).collect()
+    assert sum(r["n_picks"] for r in rows) == WS_K
+    pop_mean = (
+        load_table(spark, SF_ORACLE, "orders")
+        .agg(F.avg(F.floor(F.col("o_totalprice") * 100 + 0.5)))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r["cents"] * r["n_picks"] for r in rows) / WS_K
+    assert sample_mean > pop_mean
+
+
+def test_basket_pairs_counts_symmetric_and_bounded(spark):
+    """Every reported pair count is bounded by each part's own order
+    count (a pair can't co-occur more often than either member
+    appears)."""
+    from abr_etl_spark.plans.analytics7 import basket_pairs
+    from abr_etl_spark.sources.lake import load_table
+
+    rows = basket_pairs(spark, SF_ORACLE).collect()
+    assert rows and all(r["part_a"] < r["part_b"] for r in rows)
+    per_part = {
+        r["l_partkey"]: r["n"]
+        for r in load_table(spark, SF_ORACLE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_orders"] <= min(per_part[r["part_a"]], per_part[r["part_b"]])
