@@ -441,12 +441,118 @@ def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: embedding dimensionality and power-iteration count.
+EIG_D = 64
+EIG_ITERS = 6
+
+
+def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal direction of the embedding corpus: top eigenvector of
+    the CENTERED scatter matrix C = n*S2 - S1*S1' by EIG_ITERS power
+    iterations -- (dim, weight), unit norm. The distributed-PCA
+    primitive (corpus drift monitoring, whitening, low-rank probes).
+
+    Exactness story: embeddings quantize to 1e-4 integers, so S1 (per
+    dim) and S2 (per dim pair) are EXACT integer sums and C is exact
+    int64 (magnitudes ~1e13 < 2^53). The iterations are double math
+    whose operation ORDER is pinned: every reduction folds a
+    j-sorted struct array sequentially (Spark aggregate(array_sort(
+    collect_list(...))) == DuckDB list_reduce(list_sort(list(...)))),
+    and sqrt is IEEE-correctly-rounded -- so both engines produce
+    bit-identical vectors and the oracle replays all three iterations.
+
+    Scale shape: the ONLY corpus-scale work is the scatter accumulation
+    -- per-row outer products collapse map-side into the D^2 = 4096
+    cells before the one exchange (the CMS pattern); the iterations run
+    on 4096-row/64-row frames (broadcast-joined, localCheckpointed once
+    so three iterations don't re-aggregate the corpus).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(floor(cast(x as double) * 10000 + 0.5) as bigint))"
+        ).alias("q")
+    )
+    n_row = q.agg(F.count("*").alias("n"))
+    s1 = (
+        q.select(F.posexplode("q").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s1"))
+    )
+    pair_expr = (
+        f"flatten(transform(sequence(0, {EIG_D - 1}), i -> "
+        f"transform(sequence(0, {EIG_D - 1}), j -> "
+        f"struct(i, j, element_at(q, i + 1) * element_at(q, j + 1) AS p))))"
+    )
+    s2 = (
+        q.select(F.explode(F.expr(pair_expr)).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s2"))
+    )
+    cmat = (
+        s2.join(F.broadcast(s1.select(F.col("i"), F.col("s1").alias("s1_i"))), "i")
+        .join(
+            F.broadcast(
+                s1.select(F.col("i").alias("j"), F.col("s1").alias("s1_j"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s2") - F.col("s1_i") * F.col("s1_j")).alias(
+                "c"
+            ),
+        )
+        # EAGER: the 6 iterations reference this 4096-row frame twelve
+        # times -- a lazy barrier would re-derive the corpus-scale
+        # scatter per reference (measured: 64 scans in the audited plan)
+        .localCheckpoint(eager=True)
+        # 4096 rows: single-partition iterations avoid 6x32-task
+        # scheduling overhead on frames that fit one task trivially
+        .coalesce(1)
+    )
+    _sorted_fold = (
+        "aggregate(array_sort(collect_list(s)), cast(0 as double), "
+        "(acc, x) -> acc + x.t)"
+    )
+    v = spark.range(EIG_D).select(
+        F.col("id").cast("int").alias("j"),
+        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(0.0).alias("vj"),
+    )
+    for _ in range(EIG_ITERS):
+        m = (
+            cmat.join(v, "j")
+            .select(
+                "i",
+                F.struct(
+                    F.col("j"), (F.col("c") * F.col("vj")).alias("t")
+                ).alias("s"),
+            )
+            .groupBy("i")
+            .agg(F.expr(_sorted_fold).alias("m"))
+        )
+        norm2 = m.select(
+            F.struct(F.col("i").alias("j"), (F.col("m") * F.col("m")).alias("t")).alias("s")
+        ).agg(F.expr(_sorted_fold).alias("n2"))
+        v = m.crossJoin(F.broadcast(norm2)).select(
+            F.col("i").alias("j"), (F.col("m") / F.sqrt("n2")).alias("vj")
+        )
+    return v.select(
+        F.col("j").alias("dim"), F.round("vj", 6).alias("weight")
+    ).orderBy("dim")
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
     "bpe_pair_counts": bpe_pair_counts,
     "jaccard_topk_similar": jaccard_topk_similar,
     "percentile_normalize": percentile_normalize,
     "inverted_postings": inverted_postings,
+    "embedding_top_eigvec": embedding_top_eigvec,
     "lm_score_bigram": lm_score_bigram,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "cross_split_leakage": cross_split_leakage,
@@ -687,4 +793,95 @@ ORACLES["inverted_postings"] = f"""
     SELECT term, CAST(count(*) AS BIGINT) AS df,
            array_to_string(list_sort(list(doc_id)), ',') AS postings
     FROM hits GROUP BY term ORDER BY term
+"""
+
+ORACLES["embedding_top_eigvec"] = """
+    WITH q AS (
+        SELECT list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 10000
+                                              + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ), nr AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM q
+    ), s1 AS (
+        SELECT i, CAST(sum(q[i + 1]) AS BIGINT) AS s1
+        FROM q, generate_series(0, 63) g(i) GROUP BY i
+    ), s2 AS (
+        SELECT i, j, CAST(sum(q[i + 1] * q[j + 1]) AS BIGINT) AS s2
+        FROM q, generate_series(0, 63) g1(i),
+                generate_series(0, 63) g2(j)
+        GROUP BY i, j
+    ), C AS (
+        SELECT s2.i, s2.j,
+               CAST(nr.n * s2.s2 - a.s1 * b.s1 AS BIGINT) AS c
+        FROM s2, nr
+        JOIN s1 a ON a.i = s2.i
+        JOIN s1 b ON b.i = s2.j
+    ), v0 AS (
+        SELECT i AS j,
+               CASE WHEN i = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS vj
+        FROM s1
+    )
+    , it1m AS (
+        SELECT C.i,
+               list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort(list(struct_pack(j := C.j, t := C.c * v0.vj))), x -> x['t'])), (a, b) -> a + b) AS m
+        FROM C JOIN v0 ON v0.j = C.j
+        GROUP BY C.i
+    ), it1n AS (
+        SELECT list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort(list(struct_pack(j := i, t := m * m))), x -> x['t'])), (a, b) -> a + b) AS n2 FROM it1m
+    ), it1 AS (
+        SELECT i AS j, m / sqrt(n2) AS vj FROM it1m, it1n
+    )
+    , it2m AS (
+        SELECT C.i,
+               list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort(list(struct_pack(j := C.j, t := C.c * it1.vj))), x -> x['t'])), (a, b) -> a + b) AS m
+        FROM C JOIN it1 ON it1.j = C.j
+        GROUP BY C.i
+    ), it2n AS (
+        SELECT list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort(list(struct_pack(j := i, t := m * m))), x -> x['t'])), (a, b) -> a + b) AS n2 FROM it2m
+    ), it2 AS (
+        SELECT i AS j, m / sqrt(n2) AS vj FROM it2m, it2n
+    )
+    , it3m AS (
+        SELECT C.i,
+               list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort(list(struct_pack(j := C.j, t := C.c * it2.vj))), x -> x['t'])), (a, b) -> a + b) AS m
+        FROM C JOIN it2 ON it2.j = C.j
+        GROUP BY C.i
+    ), it3n AS (
+        SELECT list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort(list(struct_pack(j := i, t := m * m))), x -> x['t'])), (a, b) -> a + b) AS n2 FROM it3m
+    ), it3 AS (
+        SELECT i AS j, m / sqrt(n2) AS vj FROM it3m, it3n
+    )
+    , it4m AS (
+        SELECT C.i,
+               list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort(list(struct_pack(j := C.j, t := C.c * it3.vj))), x -> x['t'])), (a, b) -> a + b) AS m
+        FROM C JOIN it3 ON it3.j = C.j
+        GROUP BY C.i
+    ), it4n AS (
+        SELECT list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort(list(struct_pack(j := i, t := m * m))), x -> x['t'])), (a, b) -> a + b) AS n2 FROM it4m
+    ), it4 AS (
+        SELECT i AS j, m / sqrt(n2) AS vj FROM it4m, it4n
+    )
+    , it5m AS (
+        SELECT C.i,
+               list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort(list(struct_pack(j := C.j, t := C.c * it4.vj))), x -> x['t'])), (a, b) -> a + b) AS m
+        FROM C JOIN it4 ON it4.j = C.j
+        GROUP BY C.i
+    ), it5n AS (
+        SELECT list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort(list(struct_pack(j := i, t := m * m))), x -> x['t'])), (a, b) -> a + b) AS n2 FROM it5m
+    ), it5 AS (
+        SELECT i AS j, m / sqrt(n2) AS vj FROM it5m, it5n
+    )
+    , it6m AS (
+        SELECT C.i,
+               list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort(list(struct_pack(j := C.j, t := C.c * it5.vj))), x -> x['t'])), (a, b) -> a + b) AS m
+        FROM C JOIN it5 ON it5.j = C.j
+        GROUP BY C.i
+    ), it6n AS (
+        SELECT list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_sort(list(struct_pack(j := i, t := m * m))), x -> x['t'])), (a, b) -> a + b) AS n2 FROM it6m
+    ), it6 AS (
+        SELECT i AS j, m / sqrt(n2) AS vj FROM it6m, it6n
+    )
+    SELECT CAST(j AS INTEGER) AS dim, round(vj, 6) AS weight
+    FROM it6 ORDER BY dim
 """

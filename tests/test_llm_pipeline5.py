@@ -107,3 +107,27 @@ def test_time_weighted_avg_within_value_bounds(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_eigvec_unit_norm_and_near_principal(spark):
+    """The returned vector must be unit-norm and capture most of the
+    true principal variance: Rayleigh(v) >= 0.9 * lambda_max of the
+    exact centered scatter (numpy eigh as independent ground truth)."""
+    import numpy as np
+
+    from abr_etl_spark.sources.lake import load_table
+
+    rows = lp5.embedding_top_eigvec(spark, SF_ORACLE).collect()
+    v = np.array([r["weight"] for r in sorted(rows, key=lambda r: r["dim"])])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    emb = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select("embedding")
+        .toPandas()["embedding"]
+    )
+    X = np.floor(np.stack(emb.to_numpy()).astype(np.float64) * 10000 + 0.5)
+    n = X.shape[0]
+    C = n * (X.T @ X) - np.outer(X.sum(0), X.sum(0))
+    lam, vecs = np.linalg.eigh(C)
+    rayleigh = float(v @ C @ v)
+    assert rayleigh >= 0.9 * lam[-1], (rayleigh, lam[-1])
