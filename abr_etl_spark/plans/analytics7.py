@@ -453,6 +453,67 @@ def weighted_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
     )
 
+
+def daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily value-distribution bands over the purchase stream:
+    (day, n, p50, p90) -- the metrics-over-time percentile query every
+    monitoring dashboard runs. Exact percentile_cont per day (parity
+    proven by the percentiles query; approx_percentile at 100 TB, the
+    histogram_equi_depth precedent). One day-partitioned aggregate.
+    """
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("day")
+    )
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: cumulative purchase value per first-seen
+    cohort day over activity days, in exact 1e-4 units -- the revenue
+    companion to cohort_retention: (cohort_day, day, day_value_e4,
+    cum_value_e4).
+
+    Scale shape: first-day reduction + one (cohort, day) aggregate
+    sharing the user shuffle, then a running sum windowed PER COHORT
+    (cohort-cardinality partitions, never global).
+    """
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    base = e.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("v_e4"),
+    )
+    first = base.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    daily = (
+        base.join(first, "user_id")
+        .groupBy("cohort_day", "day")
+        .agg(F.sum("v_e4").alias("day_value_e4"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "cohort_day",
+        "day",
+        "day_value_e4",
+        F.sum("day_value_e4").over(w).alias("cum_value_e4"),
+    ).orderBy("cohort_day", "day")
+
 QUERIES = {
     "anomaly_mad": anomaly_mad,
     "attribution_linear": attribution_linear,
@@ -462,6 +523,8 @@ QUERIES = {
     "linreg_normal_eq": linreg_normal_eq,
     "basket_pairs": basket_pairs,
     "weighted_sample_systematic": weighted_sample_systematic,
+    "daily_value_bands": daily_value_bands,
+    "cohort_ltv": cohort_ltv,
     "mom_growth": mom_growth,
     "new_vs_returning": new_vs_returning,
 }
@@ -650,4 +713,34 @@ ORACLES["weighted_sample_systematic"] = f"""
     FROM c
     WHERE (cum_hi * {WS_K}) // W - (cum_lo * {WS_K}) // W > 0
     ORDER BY o_orderkey
+"""
+
+ORACLES["daily_value_bands"] = """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY day
+"""
+
+ORACLES["cohort_ltv"] = """
+    WITH base AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
+        FROM events WHERE event_type = 'purchase'
+    ), first AS (
+        SELECT user_id, min(day) AS cohort_day FROM base GROUP BY user_id
+    ), daily AS (
+        SELECT f.cohort_day, b.day,
+               CAST(sum(b.v_e4) AS BIGINT) AS day_value_e4
+        FROM base b JOIN first f USING (user_id)
+        GROUP BY f.cohort_day, b.day
+    )
+    SELECT cohort_day, day, day_value_e4,
+           CAST(sum(day_value_e4) OVER (
+               PARTITION BY cohort_day ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_value_e4
+    FROM daily ORDER BY cohort_day, day
 """

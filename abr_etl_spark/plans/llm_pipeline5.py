@@ -546,6 +546,37 @@ def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble agreement report across two structurally different
+    near-dup families: verified Jaccard pairs (shingle-set overlap,
+    tau=0.9) vs SimHash pairs (48-bit sketch, hamming <= 3) -- census
+    (in_jaccard, in_simhash, n_pairs). The disagreement cells are the
+    operational answer to "which dedup family should I trust": pairs
+    only one family finds are where sketch geometry and set overlap
+    genuinely diverge (SimHash weights frequent shingles differently).
+
+    Scale shape: reuses both families' MATERIALIZED pair caches; the
+    full-outer join runs on pair-graph-cardinality 16-byte rows; one
+    tiny census aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    jac = dedup.ngram_jaccard_pairs(d, threshold=LEAK_TAU).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_jaccard")
+    )
+    sim = dedup.simhash_pairs(d, max_hamming=3).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_simhash")
+    )
+    both = jac.join(sim, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_jaccard", F.lit(0)).alias("in_jaccard"),
+        F.coalesce("in_simhash", F.lit(0)).alias("in_simhash"),
+    )
+    return (
+        both.groupBy("in_jaccard", "in_simhash")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("in_jaccard", "in_simhash")
+    )
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
     "bpe_pair_counts": bpe_pair_counts,
@@ -553,6 +584,7 @@ QUERIES = {
     "percentile_normalize": percentile_normalize,
     "inverted_postings": inverted_postings,
     "embedding_top_eigvec": embedding_top_eigvec,
+    "dedup_family_agreement": dedup_family_agreement,
     "lm_score_bigram": lm_score_bigram,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "cross_split_leakage": cross_split_leakage,
@@ -885,3 +917,43 @@ ORACLES["embedding_top_eigvec"] = """
     SELECT CAST(j AS INTEGER) AS dim, round(vj, 6) AS weight
     FROM it6 ORDER BY dim
 """
+
+ORACLES["dedup_family_agreement"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_DK_SH} AS sh FROM documents
+    ), ex AS (
+        SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b,
+               count(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), jac AS (
+        SELECT doc_a, doc_b FROM common
+        WHERE c::DOUBLE / (n_a + n_b - c) >= {LEAK_TAU}
+    ), f AS (
+        SELECT doc_id,
+               {{SIMHASH}} AS simhash
+        FROM documents
+    ), sim AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ), u AS (
+        SELECT coalesce(j.doc_a, s.doc_a) AS doc_a,
+               CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END
+                   AS in_jaccard,
+               CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END
+                   AS in_simhash
+        FROM jac j FULL OUTER JOIN sim s
+          ON j.doc_a = s.doc_a AND j.doc_b = s.doc_b
+    )
+    SELECT CAST(in_jaccard AS INTEGER) AS in_jaccard,
+           CAST(in_simhash AS INTEGER) AS in_simhash,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM u GROUP BY 1, 2 ORDER BY in_jaccard, in_simhash
+"""
+ORACLES["dedup_family_agreement"] = ORACLES["dedup_family_agreement"].replace(
+    "{SIMHASH}", th.dk_simhash(th.dk_token_hashes(_DK_TOK))
+)
