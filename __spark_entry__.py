@@ -43,16 +43,36 @@ _R7_PRIORITY: list[str] = [
     "q11_important_stock",
     "q20_dominant_suppliers",
     "q13_order_distribution",
-    # --- 2. new / changed this round ---
+    # --- 2. BRAND-NEW keys this round (no driver row exists yet) ---
+    "bm25_topk",
+    "lm_score_bigram",
+    "dedup_cluster_sizes",
+    "cross_split_leakage",
     "asof_interpolate",
     "time_weighted_avg",
     "bpe_pair_counts",
     "jaccard_topk_similar",
     "percentile_normalize",
-    "bm25_topk",
-    "lm_score_bigram",
-    "dedup_cluster_sizes",
-    "cross_split_leakage",
+    "inverted_postings",
+    "anomaly_mad",
+    "mom_growth",
+    "new_vs_returning",
+    "delta_apply_roundtrip",
+    "stream_first_seen",
+    "attribution_linear",
+    "conversion_lag_stats",
+    "quantile_sketch_hash",
+    "hot_keys_report",
+    "degree_distribution",
+    "linreg_normal_eq",
+    "basket_pairs",
+    "weighted_sample_systematic",
+    "scd2_point_in_time",
+    "daily_value_bands",
+    "cohort_ltv",
+    "embedding_top_eigvec",
+    "dedup_family_agreement",
+    # --- 3. changed-plan keys this round (older green rows exist) ---
     "rfm_segments",
     "heavy_hitters_cms",
     "dedup_embedding",
@@ -60,7 +80,7 @@ _R7_PRIORITY: list[str] = [
     "bucketed_join_revenue",
     "stream_window_counts",
     "stream_dedup_exact",
-    # --- 3. r4-stale driver rows ---
+    # --- 4. r4-stale driver rows ---
     "window_funcs",
     "map_funcs",
     "json_nested_extract",
