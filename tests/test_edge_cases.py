@@ -150,3 +150,72 @@ def test_result_cache_lifecycle(spark):
     assert not pairs.storageLevel.useMemory, "release must unpersist"
     # the DataFrame itself must stay usable post-release (lineage intact)
     assert pairs.count() >= 0
+
+
+def test_ntile_distributed_degenerate_inputs(spark):
+    """Distributed ntile on n < tiles and on an all-equal metric must
+    still produce valid tiles (ties split purely by the key)."""
+    from abr_etl_spark.plans.analytics5 import _ntile_distributed
+
+    tiny = spark.createDataFrame(
+        [(1, 5), (2, 5)], "o_custkey long, m long"
+    )
+    got = {
+        r["o_custkey"]: r["__tile"]
+        for r in _ntile_distributed(tiny, "m", ascending=True).collect()
+    }
+    assert got == {1: 1, 2: 2}
+    flat = spark.createDataFrame(
+        [(i, 7) for i in range(8)], "o_custkey long, m long"
+    )
+    tiles = [
+        r["__tile"]
+        for r in _ntile_distributed(flat, "m", ascending=False)
+        .orderBy("o_custkey")
+        .collect()
+    ]
+    assert tiles == [1, 1, 2, 2, 3, 3, 4, 4]
+
+
+def test_time_weighted_avg_constant_value_user(spark, monkeypatch):
+    """A user whose value never changes must report exactly that value
+    (trapezoids of a constant)."""
+    from abr_etl_spark.plans import analytics6 as a6
+
+    df = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 00:00:00", 2.5),
+            (2, 100, "2024-01-01 01:00:00", 2.5),
+            (3, 100, "2024-01-01 05:00:00", 2.5),
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    monkeypatch.setattr(a6, "load_table", lambda s, d, t: df)
+    rows = a6.time_weighted_avg(spark, "ignored").collect()
+    assert len(rows) == 1 and rows[0]["twa_e4"] == 25000
+
+
+def test_unzip_drop_empty_zip(tmp_path):
+    """An empty weekly zip extracts to an empty drop, not an error."""
+    import zipfile
+
+    from abr_etl_spark import pipeline
+
+    zp = tmp_path / "empty.zip"
+    zipfile.ZipFile(zp, "w").close()
+    assert pipeline.unzip_drop(str(zp), str(tmp_path / "out")) == []
+
+
+def test_weighted_sample_single_heavy_item(spark, monkeypatch):
+    """One item holding nearly all weight must be picked ~K times."""
+    from abr_etl_spark.plans import analytics7 as a7
+
+    df = spark.createDataFrame(
+        [(1, 1000000.0)] + [(i, 0.01) for i in range(2, 12)],
+        "o_orderkey long, o_totalprice double",
+    )
+    monkeypatch.setattr(a7, "load_table", lambda s, d, t: df)
+    rows = a7.weighted_sample_systematic(spark, "ignored").collect()
+    total = sum(r["n_picks"] for r in rows)
+    heavy = {r["o_orderkey"]: r["n_picks"] for r in rows}[1]
+    assert total == a7.WS_K and heavy >= a7.WS_K - 1
