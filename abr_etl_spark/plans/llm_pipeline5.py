@@ -407,18 +407,26 @@ def percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hard bound on a single term's materialized posting list -- a hot
+#: term at corpus scale shards its postings instead of building one
+#: giant array (a df ~ 1e9 collect_set is an executor OOM).
+POSTINGS_CAP = 10000
+
+
 def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build for the probe vocabulary: (term, df,
-    postings) with postings the SORTED doc_id list serialized
-    (comma-joined) -- the retrieval-infrastructure primitive behind
-    bm25_topk, materialized as data so an index consumer can diff it.
+    postings) with ``df`` the full document frequency and ``postings``
+    the first POSTINGS_CAP sorted doc_ids serialized (comma-joined) --
+    the retrieval-infrastructure primitive behind bm25_topk,
+    materialized as data so an index consumer can diff it.
 
     Scale shape: the token stream filters to the literal probe terms
     MAP-SIDE (no vocabulary join), dedups (doc, term) in one shuffle,
-    and aggregates per term with sort_array(collect_set(...)) -- the
-    postings list is bounded by df, and at 100 TB a per-term posting
-    list is exactly what you'd range-partition by term; the serialized
-    form keeps the oracle comparison order-insensitive-proof.
+    and aggregates per term. The materialized array is CAPPED at
+    POSTINGS_CAP (df stays exact): an uncapped collect_set of a hot
+    term's ~1e9 doc ids is an executor OOM -- a real index shards
+    postings by (term, chunk), and the cap is the single-row stand-in
+    for that layout.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -434,7 +442,12 @@ def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("df"),
             F.array_join(
-                F.sort_array(F.collect_set("doc_id")), ","
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")),
+                    1,
+                    POSTINGS_CAP,
+                ),
+                ",",
             ).alias("postings"),
         )
         .orderBy("term")
@@ -823,7 +836,8 @@ ORACLES["inverted_postings"] = f"""
         WHERE term IN ('spark', 'table', 'hash', 'merge')
     )
     SELECT term, CAST(count(*) AS BIGINT) AS df,
-           array_to_string(list_sort(list(doc_id)), ',') AS postings
+           array_to_string(
+               list_sort(list(doc_id))[1:10000], ',') AS postings
     FROM hits GROUP BY term ORDER BY term
 """
 
