@@ -232,8 +232,12 @@ def quantile_sketch_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     error is the standard sampling error (binomial on ranks).
 
     Scale shape: the hash filter evaluates at the SCAN (map-side, no
-    shuffle survives it); one bounded reduction computes the exact
-    percentiles of the sample.
+    shuffle survives it); one reduction computes the exact percentiles
+    of the sample. QS_RATE_E4 is a parameter of the DATA SIZE, not a
+    constant: at 100 TB you lower the rate so the sample stays
+    ~10^5-10^6 rows (the HIST_DEPTH_SAMPLE_MOD contract) -- rank error
+    is binomial in the SAMPLE size, so a fixed-size sample keeps both
+    the reducer memory and the error bound constant as N grows.
     """
     o = load_table(spark, sf_dir, "orders")
     kept = o.where(
