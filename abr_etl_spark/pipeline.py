@@ -62,7 +62,9 @@ def unzip_drop(
     path starts after extraction, when Spark scans the routed text files.
     Guards: entry count and total declared uncompressed size are capped,
     entries are extracted FLAT by basename (zip-slip: absolute paths and
-    ``..`` components in archive names never touch the filesystem).
+    ``..`` components in archive names never touch the filesystem), and
+    two entries flattening to the SAME basename raise instead of silently
+    overwriting each other (a dataset file lost with no error).
 
     Returns the extracted file paths.
     """
@@ -82,10 +84,17 @@ def unzip_drop(
                 f"{zip_path}: declared uncompressed size {total} "
                 f"> max_bytes={max_bytes}"
             )
+        seen: set[str] = set()
         for info in infos:
             base = os.path.basename(info.filename.replace("\\", "/"))
             if not base:
                 continue
+            if base in seen:
+                raise ValueError(
+                    f"{zip_path}: duplicate basename {base!r} after "
+                    "flattening -- entries would overwrite each other"
+                )
+            seen.add(base)
             target = os.path.join(dest_dir, base)
             with zf.open(info) as src, open(target, "wb") as dst:
                 while chunk := src.read(1 << 20):

@@ -502,7 +502,12 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         twa_e4 = 1e4-units of value = (area * 50) / span   [half-up]
 
     (area/(2*span) cents = area*50/span 1e-4-units). Users with a single
-    event have no span and are excluded on both engines.
+    event have no span and are excluded on both engines. The rounding
+    division is a SIGN-SAFE floor (pmod-based on the Spark side, // on
+    DuckDB): Spark's DIV truncates toward zero while DuckDB's // floors,
+    and the two diverge on negative numerators -- harmless while
+    events.value is non-negative (true of the generated data) but the
+    operator must not silently depend on that.
 
     Scale shape: one lag window and one aggregate over the SAME
     (user_id)-partitioning -- Catalyst plans a single Exchange+Sort; no
@@ -544,9 +549,14 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_events",
             "span_s",
-            F.expr("(2 * area2 * 50 + span_s) DIV (2 * span_s)").alias(
-                "twa_e4"
-            ),
+            # floor((2*area2*50 + span)/(2*span)) sign-safely: subtract
+            # the non-negative pmod remainder first so DIV's truncation
+            # equals DuckDB //'s floor even for negative areas
+            F.expr(
+                "((2 * area2 * 50 + span_s)"
+                " - pmod(2 * area2 * 50 + span_s, 2 * span_s))"
+                " DIV (2 * span_s)"
+            ).alias("twa_e4"),
         )
         .orderBy("user_id")
     )

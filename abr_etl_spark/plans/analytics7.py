@@ -35,15 +35,38 @@ from abr_etl_spark.sources.lake import load_table
 #: MAD ≈ 0.674 sigma; kept integer so the threshold math is exact).
 MAD_K = 3
 
+#: approx_percentile accuracy for the documented 100 TB swap: rank error
+#: is bounded by n/accuracy per group (Greenwald-Khanna bound), so 1e4
+#: keeps the p50/p90 estimates within 0.01% of the true rank while the
+#: per-group state is O(accuracy * log n) instead of O(n) raw rows.
+PCT_ACCURACY = 10_000
 
-def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _pct(col: str, q: float, exact: bool) -> F.Column:
+    """percentile_cont when ``exact`` (the oracle-checked default),
+    approx_percentile at the documented accuracy otherwise -- the
+    toggleable 100 TB swap the histogram_equi_depth docstring
+    prescribes. Cast to double so the output schema is mode-invariant
+    (approx_percentile returns the input type, an actual element)."""
+    if exact:
+        return F.expr(f"percentile({col}, {q})")
+    return F.expr(f"approx_percentile({col}, {q}, {PCT_ACCURACY})").cast(
+        "double"
+    )
+
+
+def anomaly_mad(
+    spark: SparkSession, sf_dir: str, *, exact: bool = True
+) -> DataFrame:
     """Robust outlier report per market segment over customer balances:
     (segment, n, med, mad, n_outliers) where an outlier is
-    |x - median| > MAD_K * MAD. Medians are exact percentile_cont
+    |x - median| > MAD_K * MAD. Medians default to exact percentile_cont
     (cross-engine parity proven by the percentiles query); at 100 TB
-    swap both to approx_percentile exactly as histogram_equi_depth's
-    docstring prescribes -- the plan shape (tiny broadcast per segment)
-    is unchanged.
+    pass ``exact=False`` and both medians run as approx_percentile at
+    PCT_ACCURACY (the histogram_equi_depth swap, now implemented, not
+    just documented -- rank-error bound asserted in
+    tests/test_approx_percentile_swap.py). The plan shape (tiny
+    broadcast per segment) is mode-invariant.
 
     Scale shape: three column-pruned scans; each reduction broadcasts a
     segment-cardinality (5-row) aggregate; no row-level joins shuffle.
@@ -52,7 +75,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment", "c_acctbal"
     )
     med = c.groupBy("c_mktsegment").agg(
-        F.expr("percentile(c_acctbal, 0.5)").alias("med")
+        _pct("c_acctbal", 0.5, exact).alias("med")
     )
     with_med = c.join(F.broadcast(med), "c_mktsegment")
     mad = (
@@ -60,7 +83,7 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment", F.abs(F.col("c_acctbal") - F.col("med")).alias("dev")
         )
         .groupBy("c_mktsegment")
-        .agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+        .agg(_pct("dev", 0.5, exact).alias("mad"))
     )
     return (
         with_med.join(F.broadcast(mad), "c_mktsegment")
@@ -82,11 +105,11 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Month-over-month revenue growth: (month, revenue_c, growth_e6)
-    with revenue in exact cents and growth = (rev - prev)/prev rounded
-    to 6 (one double division -- identical IEEE both engines; integer
-    DIV is avoided because Spark truncates and DuckDB floors on
-    NEGATIVE growth months). First month reports NULL growth.
+    """Month-over-month revenue growth: (month, revenue_c, growth)
+    with revenue in exact cents and growth = (rev - prev)/prev, a
+    DOUBLE rounded to 6 (one double division -- identical IEEE both
+    engines; integer DIV is avoided because Spark truncates and DuckDB
+    floors on NEGATIVE growth months). First month reports NULL growth.
 
     Scale shape: the order scan collapses to one row per month before
     the lag window touches anything -- the global window runs over tens
@@ -192,13 +215,16 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conversion_lag_stats(
+    spark: SparkSession, sf_dir: str, *, exact: bool = True
+) -> DataFrame:
     """Click-to-purchase lag distribution under LAST-touch attribution
     (nearest qualifying click per purchase): one row of
-    (n_conversions, min_s, med_s, p90_s, max_s). Median/p90 are exact
-    percentile_cont (cross-engine parity proven by the percentiles
-    query; approx_percentile swap at 100 TB, histogram_equi_depth
-    precedent).
+    (n_conversions, min_s, med_s, p90_s, max_s). Median/p90 default to
+    exact percentile_cont (cross-engine parity proven by the
+    percentiles query); ``exact=False`` runs both as approx_percentile
+    at PCT_ACCURACY -- the implemented 100 TB swap (rank-error pytest:
+    tests/test_approx_percentile_swap.py).
 
     Scale shape: interval join -> per-purchase min-gap aggregate ->
     one global reduction.
@@ -208,8 +234,8 @@ def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_touch.agg(
         F.count("*").alias("n_conversions"),
         F.min("lag_s").alias("min_s"),
-        F.round(F.expr("percentile(lag_s, 0.5)"), 4).alias("med_s"),
-        F.round(F.expr("percentile(lag_s, 0.9)"), 4).alias("p90_s"),
+        F.round(_pct("lag_s", 0.5, exact), 4).alias("med_s"),
+        F.round(_pct("lag_s", 0.9, exact), 4).alias("p90_s"),
         F.max("lag_s").alias("max_s"),
     )
 
@@ -224,12 +250,18 @@ QS_RATE_E4 = 200
 def quantile_sketch_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate order-price quantiles from a DETERMINISTIC hash
     sample: (n_sample, p50, p90, p99). Rows survive iff
-    ``(o_orderkey * KNUTH) % P < rate`` -- a partition-count- and
-    cluster-size-independent ~2% sample both engines derive identically,
-    so unlike t-digest/GK sketches the "approximate" result is exactly
-    replayable. Sample-then-exact-percentile is the honest distributed
-    sketch here: the reduction input is bounded at rate * N rows and the
-    error is the standard sampling error (binomial on ranks).
+    ``(pmod(o_orderkey, P) * KNUTH) % P < rate`` -- a partition-count-
+    and cluster-size-independent ~2% sample both engines derive
+    identically, so unlike t-digest/GK sketches the "approximate" result
+    is exactly replayable. Sample-then-exact-percentile is the honest
+    distributed sketch here: the reduction input is bounded at rate * N
+    rows and the error is the standard sampling error (binomial on
+    ranks). The key is FOLDED into [0, P) before the Knuth multiply so
+    the product stays < P * KNUTH ~ 5.7e18 < 2^63 for ANY key domain:
+    the unfolded ``o_orderkey * KNUTH`` silently wraps negative in Spark
+    at keys >~ 3.5e9 (keeping extra rows) while DuckDB raises -- exactly
+    the 100 TB key range this sketch targets. Folding is a no-op below
+    P = 2^31-1, so small-sf results are unchanged.
 
     Scale shape: the hash filter evaluates at the SCAN (map-side, no
     shuffle survives it); one reduction computes the exact percentiles
@@ -241,7 +273,7 @@ def quantile_sketch_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     kept = o.where(
-        (F.col("o_orderkey") * QS_MULT) % QS_MOD
+        (F.expr(f"pmod(o_orderkey, {QS_MOD})") * QS_MULT) % QS_MOD
         < (QS_MOD * QS_RATE_E4) / 10000
     )
     return kept.agg(
@@ -458,12 +490,18 @@ def weighted_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def daily_value_bands(
+    spark: SparkSession, sf_dir: str, *, exact: bool = True
+) -> DataFrame:
     """Daily value-distribution bands over the purchase stream:
     (day, n, p50, p90) -- the metrics-over-time percentile query every
-    monitoring dashboard runs. Exact percentile_cont per day (parity
-    proven by the percentiles query; approx_percentile at 100 TB, the
-    histogram_equi_depth precedent). One day-partitioned aggregate.
+    monitoring dashboard runs. Percentiles default to exact
+    percentile_cont (parity proven by the percentiles query);
+    ``exact=False`` swaps both to approx_percentile at PCT_ACCURACY --
+    the implemented 100 TB path (rank-error pytest:
+    tests/test_approx_percentile_swap.py); per-day GK state is
+    O(accuracy) instead of the day's raw rows. One day-partitioned
+    aggregate either way.
     """
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
@@ -475,8 +513,8 @@ def daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(_pct("value", 0.5, exact), 4).alias("p50"),
+            F.round(_pct("value", 0.9, exact), 4).alias("p90"),
         )
         .orderBy("day")
     )
@@ -630,7 +668,7 @@ ORACLES["conversion_lag_stats"] = _TOUCH_CTE + """
 ORACLES["quantile_sketch_hash"] = f"""
     WITH kept AS (
         SELECT o_totalprice FROM orders
-        WHERE (o_orderkey * {QS_MULT}) % {QS_MOD}
+        WHERE ((o_orderkey % {QS_MOD}) * {QS_MULT}) % {QS_MOD}
               < ({QS_MOD}::BIGINT * {QS_RATE_E4}) / 10000
     )
     SELECT CAST(count(*) AS BIGINT) AS n_sample,

@@ -253,8 +253,8 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_delta_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC apply identity, end-to-end: materialize the previous snapshot
-    with the engine's OWN delta outputs --
+    """CDC apply identity, end-to-end: reconstruct the NEWEST snapshot
+    from the previous one and the engine's OWN delta outputs --
 
         apply(old, delta(old, new)) =
             (old minus updated/removed keys) + updated + added
