@@ -49,6 +49,51 @@ BM25_TERMS = ("spark", "table", "hash", "merge")
 BM25_TOPK = 10
 
 
+def _bm25_term_sql(i: int, *, engine: str) -> str:
+    """Per-term BM25 score in half-up 1e-4 units over columns
+    (N, T, dl, tf_i, df_i) -- ONE formula text emitted for both engines
+    so the integer arithmetic replays identically.
+
+        idf_e6 = 1e6-units of (2N - 2df + 1)/(2df + 1)      [half-up]
+        tfp_e6 = 1e6-units of 44*T*tf / (20*T*tf + 6*T + 18*dl*N)
+        term_e4 = 1e4-units of idf_e6 * tfp_e6 / 1e12       [half-up]
+
+    Overflow discipline (the r7 verdict's ~1e6-doc int64 bound, lifted):
+    on the SPARK side the three products that outgrow int64 at corpus
+    scale -- the tfp numerator/denominator (T ~ 1e13 tokens at 100 TB,
+    tf up to dl) and the idf_e6 * tfp_e6 product (~1.5e21 at N ~ 1e9)
+    -- are carried in DECIMAL(38,0) (headroom to ~1e38; Spark's DIV on
+    decimals returns BIGINT, so every division lands back in longs,
+    truncation == floor for these positive values). The idf factors
+    stay int64 (2e17 at N = 1e11 docs). The DuckDB oracle keeps plain
+    BIGINT -- it only ever replays small-sf data, and DuckDB raises
+    (not wraps) on overflow, so a too-big oracle input fails loudly.
+    Values are bit-identical across engines wherever both are in range;
+    the boundary pytest (tests/test_bm25_decimal.py) proves the decimal
+    path matches exact big-int arithmetic past the old wrap point.
+    """
+    if engine == "spark":
+        div, t, dl = " DIV ", "CAST(T AS DECIMAL(38,0))", "CAST(dl AS DECIMAL(38,0))"
+        widen = lambda s: f"CAST({s} AS DECIMAL(38,0))"  # noqa: E731
+    else:
+        div, t, dl = " // ", "T", "dl"
+        widen = lambda s: s  # noqa: E731
+    idf = (
+        f"(((2 * (1000000 * (2*N - 2*df_{i} + 1)) + (2*df_{i} + 1))"
+        f"{div}(2 * (2*df_{i} + 1))))"
+    )
+    tfp_den = f"(20 * {t} * tf_{i} + 6 * {t} + 18 * {dl} * N)"
+    tfp = (
+        f"(((2 * (1000000 * 44 * {t} * tf_{i}) + {tfp_den})"
+        f"{div}(2 * {tfp_den})))"
+    )
+    return (
+        f"(CASE WHEN tf_{i} > 0 THEN "
+        f"(2 * ({widen(idf)} * {widen(tfp)}) + 100000000)"
+        f"{div}200000000 ELSE 0 END)"
+    )
+
+
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{BM25_TOPK} docs by BM25-style score for the fixed query
     ``BM25_TERMS``: (doc_id, n_hit_terms, score_e4).
@@ -64,8 +109,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 1e-4 units per term, summed. Rational idf is a monotone transform
     of the classic log idf per term -- a legitimate BM25 variant that
     stays libm-free so the oracle replays it EXACTLY (the repo's q7/q8
-    integer-units pattern). 64-bit safe to ~1e6 docs at these constants;
-    beyond that cast the two 1e-6 factors to DECIMAL(38,0).
+    integer-units pattern). The scale-critical products run in
+    DECIMAL(38,0) on the Spark side (see _bm25_term_sql), lifting the
+    old ~1e6-doc int64 bound to ~1e38 headroom.
 
     Scale shape: ONE doc-keyed shuffle (tokens collapse map-side to
     per-doc (dl, tf_0..tf_3) conditional aggregates -- query terms are
@@ -102,17 +148,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(len(BM25_TERMS)):
         tf = F.col(f"tf_{i}")
         # half-up integer 1e-6-unit idf and tf factors, combined to one
-        # 1e-4-unit term score -- DIV keeps everything in longs
-        term_scores.append(
-            F.when(
-                tf > 0,
-                F.expr(
-                    f"(2 * (((2 * (1000000 * (2*N - 2*df_{i} + 1)) + (2*df_{i} + 1)) DIV (2 * (2*df_{i} + 1)))"
-                    f" * ((2 * (1000000 * 44 * T * tf_{i}) + (20*T*tf_{i} + 6*T + 18*dl*N)) DIV (2 * (20*T*tf_{i} + 6*T + 18*dl*N)))"
-                    f") + 100000000) DIV 200000000"
-                ),
-            ).otherwise(F.lit(0))
-        )
+        # 1e-4-unit term score; the overflow-prone products run in
+        # DECIMAL(38,0) and every DIV lands back in BIGINT
+        term_scores.append(F.expr(_bm25_term_sql(i, engine="spark")))
         hit_flags.append(F.when(tf > 0, 1).otherwise(0))
     out = scored.select(
         "doc_id",
@@ -407,26 +445,34 @@ def percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: hard bound on a single term's materialized posting list -- a hot
-#: term at corpus scale shards its postings instead of building one
-#: giant array (a df ~ 1e9 collect_set is an executor OOM).
+#: per-chunk bound on a materialized posting list -- a hot term at
+#: corpus scale SHARDS its postings across (term, chunk) rows instead
+#: of building one giant array (a df ~ 1e9 collect_set is an executor
+#: OOM; each chunk array is bounded at this many ids).
 POSTINGS_CAP = 10000
 
 
-def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index build for the probe vocabulary: (term, df,
-    postings) with ``df`` the full document frequency and ``postings``
-    the first POSTINGS_CAP sorted doc_ids serialized (comma-joined) --
-    the retrieval-infrastructure primitive behind bm25_topk,
-    materialized as data so an index consumer can diff it.
+def inverted_postings(
+    spark: SparkSession, sf_dir: str, *, cap: int = POSTINGS_CAP
+) -> DataFrame:
+    """Inverted-index build for the probe vocabulary, SHARDED by
+    (term, chunk): (term, chunk, df, n_in_chunk, postings) -- ``df``
+    the exact full document frequency, ``chunk`` a 0-based shard index
+    in global doc_id order, ``postings`` that chunk's <= ``cap`` sorted
+    doc_ids serialized (comma-joined). The retrieval-infrastructure
+    primitive behind bm25_topk, materialized as data so an index
+    consumer can diff it -- and the real sharded layout (r7 verdict
+    item 4), replacing the first-CAP-only stand-in: chunks PARTITION
+    the full posting set (invariant pytest:
+    tests/test_llm_pipeline5.py), so no posting is dropped however hot
+    the term.
 
     Scale shape: the token stream filters to the literal probe terms
-    MAP-SIDE (no vocabulary join), dedups (doc, term) in one shuffle,
-    and aggregates per term. The materialized array is CAPPED at
-    POSTINGS_CAP (df stays exact): an uncapped collect_set of a hot
-    term's ~1e9 doc ids is an executor OOM -- a real index shards
-    postings by (term, chunk), and the cap is the single-row stand-in
-    for that layout.
+    MAP-SIDE (no vocabulary join), dedups (doc, term) in one shuffle;
+    chunk assignment is a row_number + count over ONE (term)
+    partitioning (a single Exchange+Sort; the sort-based window
+    streams + spills a hot term's postings, never holds them in one
+    array), and each chunk's collect_list is bounded at ``cap`` rows.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
@@ -437,20 +483,27 @@ def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term").isin(*BM25_TERMS))
         .distinct()
     )
+    w_rank = Window.partitionBy("term").orderBy("doc_id")
+    w_term = Window.partitionBy("term")
+    ranked = hits.select(
+        "term",
+        "doc_id",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_term).alias("df"),
+    )
     return (
-        hits.groupBy("term")
-        .agg(
-            F.count("*").alias("df"),
-            F.array_join(
-                F.slice(
-                    F.sort_array(F.collect_set("doc_id")),
-                    1,
-                    POSTINGS_CAP,
-                ),
-                ",",
-            ).alias("postings"),
+        ranked.withColumn(
+            "chunk", F.expr(f"(rn - 1) DIV {cap}").cast("int")
         )
-        .orderBy("term")
+        .groupBy("term", "chunk")
+        .agg(
+            F.first("df").alias("df"),
+            F.count("*").alias("n_in_chunk"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+        .orderBy("term", "chunk")
     )
 
 
@@ -615,11 +668,7 @@ _DF_COLS = ", ".join(
     for i in range(len(BM25_TERMS))
 )
 _TERM_E4 = " + ".join(
-    f"(CASE WHEN tf_{i} > 0 THEN "
-    f"(2 * (((2 * (1000000 * (2*N - 2*df_{i} + 1)) + (2*df_{i} + 1)) // (2 * (2*df_{i} + 1)))"
-    f" * ((2 * (1000000 * 44 * T * tf_{i}) + (20*T*tf_{i} + 6*T + 18*dl*N)) // (2 * (20*T*tf_{i} + 6*T + 18*dl*N)))"
-    f") + 100000000) // 200000000 ELSE 0 END)"
-    for i in range(len(BM25_TERMS))
+    _bm25_term_sql(i, engine="duckdb") for i in range(len(BM25_TERMS))
 )
 _HITS = " + ".join(
     f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
@@ -834,11 +883,19 @@ ORACLES["inverted_postings"] = f"""
     ), hits AS (
         SELECT DISTINCT doc_id, term FROM toks
         WHERE term IN ('spark', 'table', 'hash', 'merge')
+    ), r AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                   AS rn,
+               count(*) OVER (PARTITION BY term) AS df
+        FROM hits
     )
-    SELECT term, CAST(count(*) AS BIGINT) AS df,
-           array_to_string(
-               list_sort(list(doc_id))[1:10000], ',') AS postings
-    FROM hits GROUP BY term ORDER BY term
+    SELECT term, CAST((rn - 1) // {POSTINGS_CAP} AS INTEGER) AS chunk,
+           CAST(any_value(df) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS n_in_chunk,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM r GROUP BY term, (rn - 1) // {POSTINGS_CAP}
+    ORDER BY term, chunk
 """
 
 ORACLES["embedding_top_eigvec"] = """
