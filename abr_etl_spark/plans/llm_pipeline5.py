@@ -510,29 +510,27 @@ def inverted_postings(
 #: embedding dimensionality and power-iteration count.
 EIG_D = 64
 EIG_ITERS = 6
+#: components for the deflation PCA (embedding_pca_topk).
+EIG_K = 2
+
+#: deterministic double reduction: fold a j-sorted struct array
+#: sequentially -- Spark aggregate(array_sort(collect_list(...))) ==
+#: DuckDB list_reduce(list_sort(list(...))), pinning IEEE op order.
+_SORTED_FOLD = (
+    "aggregate(array_sort(collect_list(s)), cast(0 as double), "
+    "(acc, x) -> acc + x.t)"
+)
 
 
-def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Principal direction of the embedding corpus: top eigenvector of
-    the CENTERED scatter matrix C = n*S2 - S1*S1' by EIG_ITERS power
-    iterations -- (dim, weight), unit norm. The distributed-PCA
-    primitive (corpus drift monitoring, whitening, low-rank probes).
-
-    Exactness story: embeddings quantize to 1e-4 integers, so S1 (per
-    dim) and S2 (per dim pair) are EXACT integer sums and C is exact
-    int64 (magnitudes ~1e13 < 2^53). The iterations are double math
-    whose operation ORDER is pinned: every reduction folds a
-    j-sorted struct array sequentially (Spark aggregate(array_sort(
-    collect_list(...))) == DuckDB list_reduce(list_sort(list(...)))),
-    and sqrt is IEEE-correctly-rounded -- so both engines produce
-    bit-identical vectors and the oracle replays all three iterations.
-
-    Scale shape: the ONLY corpus-scale work is the scatter accumulation
-    -- per-row outer products collapse map-side into the D^2 = 4096
-    cells before the one exchange (the CMS pattern); the iterations run
-    on 4096-row/64-row frames (broadcast-joined, localCheckpointed once
-    so three iterations don't re-aggregate the corpus).
-    """
+def _scatter_cmat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered scatter matrix C = n*S2 - S1*S1' of the quantized
+    embedding corpus as (i, j, c) -- exact int64 cells (magnitudes
+    ~1e13 < 2^53), eagerly checkpointed so downstream iterations never
+    re-derive the corpus-scale aggregation, coalesced to one partition
+    (4096 rows; single-task iterations beat 32-task scheduling
+    overhead). The ONLY corpus-scale work in the PCA family: per-row
+    outer products collapse map-side into the D^2 cells before the one
+    exchange (the CMS pattern)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         F.expr(
@@ -557,7 +555,7 @@ def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("p").alias("s2"))
     )
-    cmat = (
+    return (
         s2.join(F.broadcast(s1.select(F.col("i"), F.col("s1").alias("s1_i"))), "i")
         .join(
             F.broadcast(
@@ -573,23 +571,16 @@ def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c"
             ),
         )
-        # EAGER: the 6 iterations reference this 4096-row frame twelve
-        # times -- a lazy barrier would re-derive the corpus-scale
-        # scatter per reference (measured: 64 scans in the audited plan)
         .localCheckpoint(eager=True)
-        # 4096 rows: single-partition iterations avoid 6x32-task
-        # scheduling overhead on frames that fit one task trivially
         .coalesce(1)
     )
-    _sorted_fold = (
-        "aggregate(array_sort(collect_list(s)), cast(0 as double), "
-        "(acc, x) -> acc + x.t)"
-    )
-    v = spark.range(EIG_D).select(
-        F.col("id").cast("int").alias("j"),
-        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(0.0).alias("vj"),
-    )
-    for _ in range(EIG_ITERS):
+
+
+def _power_loop(cmat: DataFrame, v: DataFrame, iters: int) -> DataFrame:
+    """``iters`` power iterations v <- C v / ||C v|| with every double
+    reduction order-pinned (_SORTED_FOLD); returns the final unit
+    vector as (j, vj)."""
+    for _ in range(iters):
         m = (
             cmat.join(v, "j")
             .select(
@@ -599,17 +590,142 @@ def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s"),
             )
             .groupBy("i")
-            .agg(F.expr(_sorted_fold).alias("m"))
+            .agg(F.expr(_SORTED_FOLD).alias("m"))
         )
         norm2 = m.select(
-            F.struct(F.col("i").alias("j"), (F.col("m") * F.col("m")).alias("t")).alias("s")
-        ).agg(F.expr(_sorted_fold).alias("n2"))
+            F.struct(
+                F.col("i").alias("j"), (F.col("m") * F.col("m")).alias("t")
+            ).alias("s")
+        ).agg(F.expr(_SORTED_FOLD).alias("n2"))
         v = m.crossJoin(F.broadcast(norm2)).select(
             F.col("i").alias("j"), (F.col("m") / F.sqrt("n2")).alias("vj")
         )
+    return v
+
+
+def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal direction of the embedding corpus: top eigenvector of
+    the CENTERED scatter matrix C = n*S2 - S1*S1' by EIG_ITERS power
+    iterations -- (dim, weight), unit norm. The distributed-PCA
+    primitive (corpus drift monitoring, whitening, low-rank probes).
+
+    Exactness story: embeddings quantize to 1e-4 integers, so S1 (per
+    dim) and S2 (per dim pair) are EXACT integer sums and C is exact
+    int64 (magnitudes ~1e13 < 2^53). The iterations are double math
+    whose operation ORDER is pinned: every reduction folds a
+    j-sorted struct array sequentially (Spark aggregate(array_sort(
+    collect_list(...))) == DuckDB list_reduce(list_sort(list(...)))),
+    and sqrt is IEEE-correctly-rounded -- so both engines produce
+    bit-identical vectors and the oracle replays all three iterations.
+
+    Scale shape: the ONLY corpus-scale work is the scatter accumulation
+    -- per-row outer products collapse map-side into the D^2 = 4096
+    cells before the one exchange (the CMS pattern); the iterations run
+    on 4096-row/64-row frames (broadcast-joined, localCheckpointed once
+    so three iterations don't re-aggregate the corpus).
+    """
+    cmat = _scatter_cmat(spark, sf_dir)
+    v = spark.range(EIG_D).select(
+        F.col("id").cast("int").alias("j"),
+        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(0.0).alias("vj"),
+    )
+    v = _power_loop(cmat, v, EIG_ITERS)
     return v.select(
         F.col("j").alias("dim"), F.round("vj", 6).alias("weight")
     ).orderBy("dim")
+
+
+def embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{EIG_K} eigenvectors of the centered embedding scatter by
+    power iteration + DEFLATION (r7 verdict item 6): (component, dim,
+    weight), each component unit-norm. After component k converges,
+    its Rayleigh eigenvalue lambda_k = v'Cv is removed
+    (C <- C - lambda_k v v') and the next power loop runs on the
+    deflated matrix -- the PCA-whitening / low-rank-drift primitive
+    that needs more than the principal direction.
+
+    Exactness story: identical to embedding_top_eigvec -- the scatter
+    is exact int64 (cast once to double, lossless < 2^53); every
+    double reduction (matvec, norm, Rayleigh fold) pins its operation
+    order via the sorted-struct fold, and the deflation update is one
+    fixed-parenthesization multiply-subtract per cell -- so the DuckDB
+    oracle (generated by the same loop, _pca_oracle_sql) replays every
+    component bit-for-bit.
+
+    Scale shape: the corpus-scale scatter is built ONCE (shared
+    _scatter_cmat shape); each component adds EIG_ITERS joins plus one
+    deflation pass over the D^2 = 4096-row frame, re-checkpointed per
+    component so lineage stays flat. Orthogonality + Rayleigh-ordering
+    quality is pytest-asserted against numpy
+    (tests/test_llm_pipeline5.py).
+    """
+    cmat = _scatter_cmat(spark, sf_dir).select(
+        "i", "j", F.col("c").cast("double").alias("c")
+    )
+    out = []
+    for k in range(EIG_K):
+        v0 = spark.range(EIG_D).select(
+            F.col("id").cast("int").alias("j"),
+            F.when(F.col("id") == k, F.lit(1.0)).otherwise(0.0).alias("vj"),
+        )
+        v = _power_loop(cmat, v0, EIG_ITERS)
+        out.append(
+            v.select(
+                F.lit(k).cast("int").alias("component"),
+                F.col("j").alias("dim"),
+                F.round("vj", 6).alias("weight"),
+            )
+        )
+        if k == EIG_K - 1:
+            break
+        m2 = (
+            cmat.join(v, "j")
+            .select(
+                "i",
+                F.struct(
+                    F.col("j"), (F.col("c") * F.col("vj")).alias("t")
+                ).alias("s"),
+            )
+            .groupBy("i")
+            .agg(F.expr(_SORTED_FOLD).alias("m2"))
+        )
+        lam = (
+            m2.join(
+                v.select(F.col("j").alias("i"), F.col("vj").alias("vi")), "i"
+            )
+            .select(
+                F.struct(
+                    F.col("i").alias("j"),
+                    (F.col("vi") * F.col("m2")).alias("t"),
+                ).alias("s")
+            )
+            .agg(F.expr(_SORTED_FOLD).alias("lam"))
+        )
+        cmat = (
+            cmat.join(
+                F.broadcast(
+                    v.select(F.col("j").alias("i"), F.col("vj").alias("vi"))
+                ),
+                "i",
+            )
+            .join(
+                F.broadcast(v.select("j", F.col("vj").alias("vjd"))), "j"
+            )
+            .crossJoin(F.broadcast(lam))
+            .select(
+                "i",
+                "j",
+                (
+                    F.col("c") - (F.col("lam") * F.col("vi")) * F.col("vjd")
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=True)
+            .coalesce(1)
+        )
+    res = out[0]
+    for extra in out[1:]:
+        res = res.unionByName(extra)
+    return res.orderBy("component", "dim")
 
 
 def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,8 +759,91 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dk_fold(struct_sql: str) -> str:
+    """DuckDB twin of _SORTED_FOLD: left-fold the j-sorted struct list's
+    t fields from 0.0 -- the identical addition sequence."""
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, list_transform("
+        f"list_sort(list({struct_sql})), x -> x['t'])), (a, b) -> a + b)"
+    )
+
+
+def _pca_oracle_sql(k_comps: int, iters: int) -> str:
+    """Generate the DuckDB replay of embedding_pca_topk with the SAME
+    loop that builds the Spark plan: per component, ``iters`` power
+    iterations on the (deflated) scatter, then Rayleigh lambda and the
+    deflation update. Every double reduction uses the sorted-struct
+    fold and every deflation cell the fixed parenthesization
+    (c - ((lam * v_i) * v_j)), so the SQL is bit-identical to Spark."""
+    parts = [
+        """
+    WITH q AS MATERIALIZED (
+        SELECT list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 10000
+                                              + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ), nr AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM q
+    ), s1 AS MATERIALIZED (
+        SELECT i, CAST(sum(q[i + 1]) AS BIGINT) AS s1
+        FROM q, generate_series(0, 63) g(i) GROUP BY i
+    ), s2 AS MATERIALIZED (
+        SELECT i, j, CAST(sum(q[i + 1] * q[j + 1]) AS BIGINT) AS s2
+        FROM q, generate_series(0, 63) g1(i),
+                generate_series(0, 63) g2(j)
+        GROUP BY i, j
+    ), C0 AS MATERIALIZED (
+        SELECT s2.i, s2.j,
+               CAST(nr.n * s2.s2 - a.s1 * b.s1 AS DOUBLE) AS c
+        FROM s2, nr
+        JOIN s1 a ON a.i = s2.i
+        JOIN s1 b ON b.i = s2.j
+    )"""
+    ]
+    for k in range(k_comps):
+        cm = f"C{k}"
+        parts.append(
+            f", c{k}v0 AS MATERIALIZED (SELECT i AS j, CASE WHEN i = {k} THEN "
+            "1.0::DOUBLE ELSE 0.0::DOUBLE END AS vj FROM s1)"
+        )
+        prev = f"c{k}v0"
+        for t in range(1, iters + 1):
+            mv = _dk_fold("struct_pack(j := C.j, t := C.c * V.vj)")
+            nn = _dk_fold("struct_pack(j := i, t := m * m)")
+            parts.append(
+                f", c{k}it{t}m AS MATERIALIZED (SELECT C.i, {mv} AS m FROM {cm} C "
+                f"JOIN {prev} V ON V.j = C.j GROUP BY C.i)"
+                f", c{k}it{t}n AS MATERIALIZED (SELECT {nn} AS n2 FROM c{k}it{t}m)"
+                f", c{k}it{t} AS MATERIALIZED (SELECT i AS j, m / sqrt(n2) AS vj "
+                f"FROM c{k}it{t}m, c{k}it{t}n)"
+            )
+            prev = f"c{k}it{t}"
+        if k < k_comps - 1:
+            mv = _dk_fold("struct_pack(j := C.j, t := C.c * V.vj)")
+            ry = _dk_fold("struct_pack(j := m2.i, t := V.vj * m2.m2)")
+            parts.append(
+                f", m2x{k} AS MATERIALIZED (SELECT C.i, {mv} AS m2 FROM {cm} C "
+                f"JOIN {prev} V ON V.j = C.j GROUP BY C.i)"
+                f", lam{k} AS MATERIALIZED (SELECT {ry} AS lam FROM m2x{k} m2 "
+                f"JOIN {prev} V ON V.j = m2.i)"
+                f", C{k + 1} AS MATERIALIZED (SELECT C.i, C.j, "
+                f"(C.c - ((l.lam * vi.vj) * vjd.vj)) AS c FROM {cm} C "
+                f"JOIN {prev} vi ON vi.j = C.i "
+                f"JOIN {prev} vjd ON vjd.j = C.j, lam{k} l)"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS component, CAST(j AS INTEGER) AS dim, "
+        f"round(vj, 6) AS weight FROM c{k}it{iters}"
+        for k in range(k_comps)
+    )
+    parts.append(f" SELECT component, dim, weight FROM ({sel}) "
+                 "ORDER BY component, dim")
+    return "".join(parts)
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
+    "embedding_pca_topk": embedding_pca_topk,
     "bpe_pair_counts": bpe_pair_counts,
     "jaccard_topk_similar": jaccard_topk_similar,
     "percentile_normalize": percentile_normalize,
@@ -1028,3 +1227,5 @@ ORACLES["dedup_family_agreement"] = f"""
 ORACLES["dedup_family_agreement"] = ORACLES["dedup_family_agreement"].replace(
     "{SIMHASH}", th.dk_simhash(th.dk_token_hashes(_DK_TOK))
 )
+
+ORACLES["embedding_pca_topk"] = _pca_oracle_sql(EIG_K, EIG_ITERS)

