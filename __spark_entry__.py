@@ -20,92 +20,95 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-7 priority head, ordered by how badly each key needs a fresh
-# CORRECTNESS row under the driver's ~50-row budget (r6 verdict item 3):
-# 1. the 13 keys whose latest driver row still dates to round 2 (they did
-#    not fit r6's budget);
+# Round-8 priority head, ordered by how badly each key needs a fresh
+# CORRECTNESS row under the driver's ~50-row budget (r7 verdict item 1):
+# 1. the 23 keys whose latest driver row still dates to round 4 (they
+#    did not fit r7's budget) -- after r8 no key's newest row is older
+#    than r5;
 # 2. keys that are brand new or whose plan changed this round;
-# 3. the 25 keys whose latest driver row dates to round 4.
+# 3. the 47 keys whose latest driver row dates to round 5 (the budget
+#    remainder starts rotating them; the rest lead r9).
 # Everything after the budget line keeps module order; all keys pass the
-# local 136-query gate regardless.
-_R7_PRIORITY: list[str] = [
-    # --- 1. r2-stale driver rows (rotate first, r6 verdict item 3) ---
-    "stream_session_windows",
-    "multimodal_features",
-    "repetition_score",
-    "embedding_quantize",
-    "quality_filter_pipeline",
-    "pagerank_suppliers",
-    "knn_classify",
-    "corpus_pipeline",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q11_important_stock",
-    "q20_dominant_suppliers",
-    "q13_order_distribution",
-    # --- 2. BRAND-NEW keys this round (no driver row exists yet) ---
-    "bm25_topk",
-    "lm_score_bigram",
-    "dedup_cluster_sizes",
-    "cross_split_leakage",
-    "asof_interpolate",
-    "time_weighted_avg",
-    "bpe_pair_counts",
-    "jaccard_topk_similar",
-    "percentile_normalize",
-    "inverted_postings",
-    "anomaly_mad",
-    "mom_growth",
-    "new_vs_returning",
-    "delta_apply_roundtrip",
-    "stream_first_seen",
-    "attribution_linear",
-    "conversion_lag_stats",
-    "quantile_sketch_hash",
-    "hot_keys_report",
-    "degree_distribution",
-    "linreg_normal_eq",
-    "basket_pairs",
-    "weighted_sample_systematic",
-    "scd2_point_in_time",
-    "daily_value_bands",
-    "cohort_ltv",
-    "embedding_top_eigvec",
-    "dedup_family_agreement",
-    # --- 3. changed-plan keys this round (older green rows exist) ---
-    "rfm_segments",
-    "heavy_hitters_cms",
-    "dedup_embedding",
-    "lake_partitions",
-    "bucketed_join_revenue",
-    "stream_window_counts",
-    "stream_dedup_exact",
-    # --- 4. r4-stale driver rows ---
-    "window_funcs",
-    "map_funcs",
-    "json_nested_extract",
-    "array_funcs",
-    "dedup_canonical_star",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "late_shipment_suppliers",
-    "train_test_split",
-    "histogram_equi_width",
-    "histogram_equi_depth",
-    "gap_fill_ffill",
-    "correlated_subqueries",
-    "salted_join_revenue",
-    "grouping_sets_agg",
-    "unpivot_melt",
-    "triangle_count",
-    "reachability_bfs",
-    "markov_transitions",
-    "skyline_pareto",
-    "mode_per_group",
+# local full-registry gate regardless.
+_R8_PRIORITY: list[str] = [
+    # --- 1. r4-stale driver rows (rotate first, r7 verdict item 1) ---
     "ann_ivf_kmeans",
-    "decontaminate_ngram",
+    "array_funcs",
     "bigram_lm",
     "containment_pairs",
+    "correlated_subqueries",
+    "decontaminate_ngram",
+    "dedup_canonical_star",
+    "gap_fill_ffill",
+    "grouping_sets_agg",
+    "histogram_equi_depth",
+    "histogram_equi_width",
+    "json_nested_extract",
+    "late_shipment_suppliers",
+    "markov_transitions",
+    "mode_per_group",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "reachability_bfs",
+    "salted_join_revenue",
+    "skyline_pareto",
+    "train_test_split",
+    "triangle_count",
+    "unpivot_melt",
+    # --- 2. BRAND-NEW or changed-plan keys this round ---
+    "embedding_pca_topk",
+    "bm25_topk",
+    "inverted_postings",
+    "time_weighted_avg",
+    "quantile_sketch_hash",
+    # --- 3. r5-stale driver rows (budget remainder; rest lead r9) ---
+    "delta_updated",
+    "delta_added",
+    "delta_removed",
+    "delta_unchanged_count",
+    "delta_classify_lake",
+    "snapshot_latest",
+    "scd2",
+    "incremental_agg",
+    "dq_referential",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_shipping_buckets",
+    "q14_promo_revenue",
+    "q16_supplier_diversity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q22_idle_customers",
+    "profit_by_nation_year",
+    "min_price_supplier_per_part",
+    "top_n_per_group",
+    "window_running",
+    "rollup_agg",
+    "pivot_table",
+    "percentiles",
+    "sessionize",
+    "spark_sql_interface",
+    "cohort_retention",
+    "cube_agg",
+    "decay_weighted_sum",
+    "distinct_users_daily",
+    "funnel_counts",
+    "fuzzy_match_blocked",
+    "interval_coverage",
+    "kmv_distinct",
+    "ohlc_bars",
+    "outlier_filter",
+    "range_join_buckets",
+    "regr_slope_per_user",
+    "trailing_range_window",
+    "asof_purchase_view",
+    "stream_attribution_join",
+    "stream_attribution_outer",
+    "sequence_pack",
 ]
 
 
@@ -180,8 +183,8 @@ def _registry() -> tuple[dict, dict]:
 
     # Priority ordering: the driver checks queries in registry order under a
     # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
-    # first (see _R7_PRIORITY), then everything else in module order.
-    ordered = {k: queries[k] for k in _R7_PRIORITY if k in queries}
+    # first (see _R8_PRIORITY), then everything else in module order.
+    ordered = {k: queries[k] for k in _R8_PRIORITY if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
     return ordered, oracles
 

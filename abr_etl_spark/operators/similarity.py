@@ -24,6 +24,11 @@ from abr_etl_spark.functions.cache import materialize_result
 # Deterministic hyperplane seeds (inlined into both engines' expressions).
 HYPERPLANE_BITS = 8
 
+#: corpus size where the Arrow-vectorized kernels overtake the codegen'd
+#: expression plan end-to-end (measured A/B: tools/bench_arrow_crossover
+#: -- expr wins at 10k, ~even at 30k, arrow 2.8x at 100k vectors).
+ARROW_MIN_VECTORS = 50_000
+
 
 def _hyperplane_sign(bit: int, dim_expr: str) -> str:
     """Pseudo-random +-1 for (hyperplane bit, dimension) -- an LCG on the
@@ -502,7 +507,7 @@ def embedding_dup_pairs(
     bits: int = HYPERPLANE_BITS,
     n_bands: int = 2,
     method: str = "lsh",
-    use_arrow: bool = False,
+    use_arrow: bool | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs with cosine >= threshold.
 
@@ -524,14 +529,21 @@ def embedding_dup_pairs(
     ``use_arrow``: signatures/norms and the per-candidate dot products
     run as Arrow-vectorized batches with the SAME float64 operation
     order as the SQL expressions, so results are bit-identical
-    (pytest-asserted). MEASURED at sf0.1 (2k vectors x 64 dims) the
-    default stays False: the test-scale cold time is fixed-overhead
-    bound (~3 s of either expression first-compile or Python worker
-    spawn) and the Arrow path additionally serializes every candidate
-    pair's vectors (344k pairs here), netting SLOWER end-to-end. The
-    crossover favors Arrow once per-element compute dominates --
-    O(100k+) vectors or higher dims -- which is why the kernels stay
-    first-class and parity-tested rather than default.
+    (pytest-asserted) and the choice is purely a throughput knob.
+    Default "auto" picks by corpus size at the MEASURED crossover
+    (tools/bench_arrow_crossover.py, local[32], 64 dims, 2-rep
+    medians/warm):
+
+        n=10k:   expr 6.2 s  vs arrow 14.8 s (warm 5.9 s)  -> expr
+        n=30k:   expr 30.6 s vs arrow 41.6 s (warm 15.0 s) -> ~even
+        n=100k:  expr 197 s  vs arrow 70.6 s (warm 56.6 s) -> arrow 2.8x
+
+    Below ARROW_MIN_VECTORS the fixed Python-worker spawn (~3.5 s)
+    plus per-candidate vector shipping dominates and the codegen'd
+    expression plan wins; above it the per-element interpreted
+    aggregate loses to vectorized batch math and Arrow wins outright.
+    The auto probe is one column-pruned count() (parquet row-group
+    metadata at scale). Pass an explicit bool to pin either path.
     """
     a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
@@ -543,6 +555,8 @@ def embedding_dup_pairs(
             .where(F.col("cos") >= threshold)
             .select("doc_a", "doc_b", "cos")
         )
+    if use_arrow == "auto":
+        use_arrow = df.count() >= ARROW_MIN_VECTORS
     width = bits // n_bands
     mask = (1 << width) - 1
     # Candidate generation and verification shuffle DIFFERENT payloads:

@@ -87,6 +87,19 @@ HEADLINERS = [
     "lm_score_bigram",
     "asof_interpolate",
     "rfm_segments",
+    # r8 additions (R1_SUBSET untouched so the round-over-round
+    # subtraction stays stable). The dedup census/agreement keys sit
+    # AFTER dedup_canonical on purpose: all three reuse the one
+    # materialized verified-pair cache (functions/cache.py contract), so
+    # their medians price the report aggregations, not a rebuilt pair
+    # graph -- the max-sample "cold" field still shows any rep that paid
+    # a build.
+    "dedup_cluster_sizes",
+    "dedup_family_agreement",
+    "mom_growth",
+    "bpe_pair_counts",
+    "inverted_postings",
+    "embedding_pca_topk",
 ]
 
 
