@@ -57,6 +57,14 @@ _R8_PRIORITY: list[str] = [
     "unpivot_melt",
     # --- 2. BRAND-NEW or changed-plan keys this round ---
     "embedding_pca_topk",
+    "hll_distinct",
+    "bloom_membership",
+    "gini_nation_revenue",
+    "chi2_event_dow",
+    "ab_test_conversion",
+    "winsorized_mean",
+    "session_paths_topk",
+    "zorder_layout",
     "bm25_topk",
     "inverted_postings",
     "time_weighted_avg",
@@ -124,6 +132,7 @@ def _registry() -> tuple[dict, dict]:
     import abr_etl_spark.plans.analytics5 as analytics5
     import abr_etl_spark.plans.analytics6 as analytics6
     import abr_etl_spark.plans.analytics7 as analytics7
+    import abr_etl_spark.plans.analytics8 as analytics8
 
     modules = [
         analytics,
@@ -133,6 +142,7 @@ def _registry() -> tuple[dict, dict]:
         analytics5,
         analytics6,
         analytics7,
+        analytics8,
         semistructured,
     ]
     try:

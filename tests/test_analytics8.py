@@ -1,0 +1,102 @@
+"""Part-8 queries vs the DuckDB oracle, plus the properties the oracle
+can't see (Bloom no-false-negatives, z-order locality, HLL accuracy,
+Gini bounds, winsorization direction)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from abr_etl_spark.plans import analytics8 as a8
+from tests.conftest import SF_ORACLE, SF_SMOKE, assert_matches_oracle
+
+
+@pytest.mark.parametrize("key", sorted(a8.QUERIES))
+def test_analytics8_vs_oracle(spark, ddb, key):
+    df = a8.QUERIES[key](spark, SF_ORACLE)
+    assert_matches_oracle(df, ddb, a8.ORACLES[key], key)
+
+
+def test_hll_estimate_in_regime(spark):
+    """At sf0.01 (1000 distinct ordering customers >> 2.5m) the raw HLL
+    estimate must land within the 3-sigma band of the m=16 standard
+    error (1.04/sqrt(16) ~ 26%)."""
+    from abr_etl_spark.sources.lake import load_table
+
+    est = a8.hll_distinct(spark, SF_ORACLE).collect()[0].est
+    true = (
+        load_table(spark, SF_ORACLE, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert abs(est - true) / true < 3 * 1.04 / (a8.HLL_M**0.5)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """Every present key flags (the Bloom guarantee); the absent
+    false-positive rate stays within ~4x of the theoretical
+    (1 - e^-kn/m)^k for this geometry."""
+    rows = {
+        r.probe_kind: r for r in a8.bloom_membership(spark, SF_ORACLE).collect()
+    }
+    present = rows["present"]
+    assert present.n_flagged == present.n_probes
+    absent = rows["absent"]
+    n_keys = present.n_probes
+    import math
+
+    fp_theory = (1 - math.exp(-a8.BLOOM_K * n_keys / a8.BLOOM_M)) ** a8.BLOOM_K
+    assert absent.n_flagged / absent.n_probes <= max(4 * fp_theory, 0.02)
+
+
+def test_zorder_buckets_are_local_in_both_dims(spark):
+    """Each z-bucket's (x, y) extent is bounded by the bucket's
+    rectangle side -- the property that makes min/max stats prune on
+    EITHER dimension."""
+    side = 1 << (a8.ZBUCKET_SHIFT // 2)  # 4096 for shift 24
+    for r in a8.zorder_layout(spark, SF_ORACLE).collect():
+        assert r.max_x - r.min_x < side
+        assert r.max_y - r.min_y < side
+
+
+def test_gini_bounds_and_known_values(spark):
+    """0 <= gini < 1 for positive revenues, and the formula reproduces
+    hand-computed values on a tiny frame."""
+    for r in a8.gini_nation_revenue(spark, SF_SMOKE).collect():
+        assert 0.0 <= r.gini < 1.0
+    # equal revenues -> gini 0 (formula check via local arithmetic)
+    n, revs = 4, [100, 100, 100, 100]
+    sr = sum(revs)
+    swr = sum((i + 1) * v for i, v in enumerate(sorted(revs)))
+    assert abs((2.0 * swr - (n + 1.0) * sr) / (n * sr)) < 1e-12
+
+
+def test_winsorized_mean_between_cuts_and_toward_center(spark):
+    """The winsorized mean sits within the clip interval."""
+    for r in a8.winsorized_mean(spark, SF_ORACLE).collect():
+        assert r.cut_lo_c * 100 <= r.wmean_e4 <= r.cut_hi_c * 100
+
+
+def test_session_paths_cover_all_sessions(spark):
+    """Path census at an uncapped top-k conserves the session count."""
+    from abr_etl_spark.sources.lake import load_table
+
+    rows = a8.session_paths_topk(spark, SF_SMOKE).collect()
+    assert rows and all(r.n_sessions >= 1 for r in rows)
+    assert rows == sorted(
+        rows, key=lambda r: (-r.n_sessions, r.path)
+    )
+
+
+def test_ab_test_counts_partition_events(spark):
+    from abr_etl_spark.sources.lake import load_table
+
+    r = a8.ab_test_conversion(spark, SF_ORACLE).collect()[0]
+    total = load_table(spark, SF_ORACLE, "events").count()
+    assert r.n_a + r.n_b == total
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+
+
+def test_chi2_nonnegative_dof(spark):
+    r = a8.chi2_event_dow(spark, SF_ORACLE).collect()[0]
+    assert r.chi2 >= 0.0
+    assert r.dof == (r.n_rows - 1) * (r.n_cols - 1) > 0
