@@ -57,6 +57,9 @@ _R8_PRIORITY: list[str] = [
     "unpivot_melt",
     # --- 2. BRAND-NEW or changed-plan keys this round ---
     "embedding_pca_topk",
+    "simpson_diversity",
+    "source_divergence_tv",
+    "recall_at_k_eval",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",
@@ -185,6 +188,12 @@ def _registry() -> tuple[dict, dict]:
         import abr_etl_spark.plans.llm_pipeline5 as llm_pipeline5
 
         modules.append(llm_pipeline5)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline6 as llm_pipeline6
+
+        modules.append(llm_pipeline6)
     except ImportError:
         pass
     for m in modules:

@@ -1,0 +1,280 @@
+"""LLM-training-data pipeline, part 6 (round 8).
+
+- ``simpson_diversity``: per-document lexical diversity as the
+  Gini-Simpson index 1 - sum(p_i^2) -- the libm-free stand-in for
+  token entropy (exact rational in 1e-6 units, so both engines agree
+  bit-for-bit where a log-based entropy could drift in the last ulp).
+  The repetition/diversity axis of quality filtering.
+- ``source_divergence_tv``: per-source unigram distribution drift vs
+  the whole corpus as TOTAL-VARIATION distance -- the corpus-mix
+  monitoring metric (KL needs log; TV is exact integer arithmetic and
+  bounds KL via Pinsker). Absent-token mass is folded in arithmetically
+  (t * (T - sum of present corpus counts)), so no vocab x source join.
+- ``recall_at_k_eval``: the ANN evaluation harness -- recall@k of the
+  LSH index against the brute-force ground truth, per probe. The
+  eval-loop query every index deployment runs before trusting a
+  sketch; both sides are the engine's own ann operators, and the
+  oracle recomputes both pipelines independently.
+
+Reference parity: the reference (abr-etl, Go) has no corpus tooling;
+these extend SURVEY.md §2.C.
+
+Scale notes: diversity and divergence collapse token streams map-side
+into (doc, token) / (source, token) count tables -- one narrow shuffle
+each, bounded second aggregates; the recall harness reuses the ANN
+operators' broadcast-query shapes (probe side is a literal handful of
+vectors) and joins two k-row-per-probe frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from abr_etl_spark.functions import texthash as th
+from abr_etl_spark.plans.llm_pipeline import (
+    ANN_K,
+    N_QUERY_VECS,
+    ORACLES as _LP1_ORACLES,
+)
+from abr_etl_spark.sources.lake import load_table
+
+
+def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gini-Simpson token diversity: (doc_id, n_tokens,
+    n_distinct, simpson_e6) with
+
+        simpson_e6 = 1e6 * (1 - sum c_i^2 / n^2)   [half-up integer]
+
+    0 for a one-token-type doc, -> 1 for all-distinct. Exact rational:
+    numerator/denominator are int64 to n ~ 3e4 tokens/doc at 1e6 units
+    (n^2 * 1e6 < 2^63); longer docs would carry the bm25 DECIMAL(38,0)
+    pattern.
+
+    Scale shape: tokens collapse map-side into per-(doc, token) counts
+    (one shuffle), then one doc-keyed aggregate -- the same two-level
+    shape as every token statistic here; nothing is O(vocab x docs).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "doc_id", F.explode(F.expr(th.sp_tokens("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.expr(
+                "(2 * (1000000 * (n_tokens * n_tokens - s2)) "
+                "+ n_tokens * n_tokens) DIV (2 * n_tokens * n_tokens)"
+            ).alias("simpson_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram drift vs the corpus: (source, n_tokens,
+    tv_e6) where TV = 0.5 * sum_i |p_i - q_i| over the UNION vocabulary
+    (p = source distribution, q = corpus), in half-up 1e-6 units:
+
+        tv_e6 = 1e6 * sum_i |c_i*T - C_i*t| / (2*t*T)
+
+    Tokens absent from a source contribute C_i*t each; their total is
+    folded in arithmetically as t * (T - sum of present-token corpus
+    counts) -- an identity, not an approximation -- so the plan never
+    builds the vocab x source cross product.
+
+    Scale shape: one (source, token) count shuffle; corpus totals per
+    token come from a window over the SAME token key; per-source
+    reduction is bounded by source count. Products c_i*T stay int64 to
+    ~4e5-count tokens at T ~ 2e13 (100 TB); the bm25 DECIMAL swap is
+    the documented relief valve.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source", F.explode(F.expr(th.sp_tokens("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    # src_t / corpus_t, not t / T: Spark resolves column names
+    # case-insensitively, so t and T would be ambiguous after the join
+    tagged = st.withColumn(
+        "ct", F.sum("c").over(Window.partitionBy("tok"))
+    ).withColumn("src_t", F.sum("c").over(Window.partitionBy("source")))
+    tot = st.agg(F.sum("c").alias("corpus_t"))
+    dev = (
+        tagged.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.first("src_t").alias("src_t"),
+            F.first("corpus_t").alias("corpus_t"),
+            F.sum(
+                F.abs(
+                    F.col("c") * F.col("corpus_t")
+                    - F.col("ct") * F.col("src_t")
+                )
+            ).alias("present_dev"),
+            F.sum(F.col("ct")).alias("present_ct"),
+        )
+    )
+    return dev.select(
+        "source",
+        F.col("src_t").alias("n_tokens"),
+        F.expr(
+            "(2 * (1000000 * (present_dev + src_t * (corpus_t"
+            " - present_ct))) + (2 * src_t * corpus_t))"
+            " DIV (2 * (2 * src_t * corpus_t))"
+        ).alias("tv_e6"),
+    ).orderBy("source")
+
+
+def recall_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation: recall@{ANN_K} of the single-probe LSH
+    index vs brute-force cosine ground truth, per probe vector:
+    (query_id, n_true, n_ann, n_common, recall_e4). The harness an
+    index rollout gates on -- and because both rankings and the recall
+    arithmetic are deterministic, the whole EVALUATION replays
+    bit-for-bit cross-engine (try that with a random-projection
+    library index).
+
+    Scale shape: both ANN operators broadcast the literal probe set and
+    stream the corpus once each (their own audited shapes); the eval
+    joins two <= k-rows-per-probe frames and aggregates per probe.
+    """
+    from abr_etl_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERY_VECS)
+    bf = similarity.cosine_topk(e, q, k=ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = similarity.lsh_ann_topk(e, q, k=ANN_K).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    common = (
+        bf.join(
+            lsh,
+            (bf.query_id == lsh.query_id)
+            & (bf.neighbor_id == lsh.ann_neighbor),
+        )
+        .groupBy(bf.query_id)
+        .agg(F.count("*").alias("n_common"))
+    )
+    n_true = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    n_ann = lsh.groupBy("query_id").agg(F.count("*").alias("n_ann"))
+    return (
+        n_true.join(n_ann, "query_id", "left")
+        .join(common, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("n_ann", F.lit(0)).alias("n_ann"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.expr(
+                "(2 * 10000 * coalesce(n_common, 0) + n_true)"
+                " DIV (2 * n_true)"
+            ).alias("recall_e4"),
+        )
+        .orderBy("query_id")
+    )
+
+
+QUERIES = {
+    "simpson_diversity": simpson_diversity,
+    "source_divergence_tv": source_divergence_tv,
+    "recall_at_k_eval": recall_at_k_eval,
+}
+
+_DK_TOK = th.dk_tokens("text")
+
+ORACLES = {
+    "simpson_diversity": f"""
+        WITH counts AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest({_DK_TOK}) AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok
+        ), agg AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(c * c) AS BIGINT) AS s2
+            FROM counts GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               CAST((2 * (1000000 * (n_tokens * n_tokens - s2))
+                     + n_tokens * n_tokens)
+                    // (2 * n_tokens * n_tokens) AS BIGINT)
+                   AS simpson_e6
+        FROM agg ORDER BY doc_id
+    """,
+    "source_divergence_tv": f"""
+        WITH st AS (
+            SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT source, unnest({_DK_TOK}) AS tok
+                  FROM documents)
+            GROUP BY source, tok
+        ), tagged AS (
+            SELECT source, tok, c,
+                   CAST(sum(c) OVER (PARTITION BY tok) AS BIGINT) AS ct,
+                   CAST(sum(c) OVER (PARTITION BY source) AS BIGINT)
+                       AS src_t
+            FROM st
+        ), tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS corpus_t FROM st
+        ), dev AS (
+            SELECT source,
+                   CAST(any_value(src_t) AS BIGINT) AS src_t,
+                   CAST(any_value(tot.corpus_t) AS BIGINT) AS corpus_t,
+                   CAST(sum(abs(c * tot.corpus_t - ct * src_t))
+                        AS BIGINT) AS present_dev,
+                   CAST(sum(ct) AS BIGINT) AS present_ct
+            FROM tagged, tot
+            GROUP BY source
+        )
+        SELECT source, src_t AS n_tokens,
+               CAST((2 * (1000000 * (present_dev + src_t * (corpus_t
+                     - present_ct))) + (2 * src_t * corpus_t))
+                    // (2 * (2 * src_t * corpus_t)) AS BIGINT)
+                   AS tv_e6
+        FROM dev ORDER BY source
+    """,
+}
+
+ORACLES["recall_at_k_eval"] = f"""
+    WITH bf AS ({_LP1_ORACLES["ann_bruteforce"]}),
+    lsh AS ({_LP1_ORACLES["ann_lsh"]}),
+    common AS (
+        SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_common
+        FROM bf JOIN lsh ON bf.query_id = lsh.query_id
+         AND bf.neighbor_id = lsh.neighbor_id
+        GROUP BY bf.query_id
+    ), nt AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_true
+        FROM bf GROUP BY query_id
+    ), na AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_ann
+        FROM lsh GROUP BY query_id
+    )
+    SELECT nt.query_id, nt.n_true,
+           CAST(coalesce(na.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+           CAST((2 * 10000 * coalesce(c.n_common, 0) + nt.n_true)
+                // (2 * nt.n_true) AS BIGINT) AS recall_e4
+    FROM nt
+    LEFT JOIN na ON na.query_id = nt.query_id
+    LEFT JOIN common c ON c.query_id = nt.query_id
+    ORDER BY nt.query_id
+"""

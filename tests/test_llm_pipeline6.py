@@ -1,0 +1,75 @@
+"""Part-6 LLM-pipeline queries vs the DuckDB oracle, plus the
+properties the oracle can't see (diversity bounds, TV identity vs a
+brute-force vocab join, recall sanity against the ANN operators)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from abr_etl_spark.plans import llm_pipeline6 as lp6
+from tests.conftest import SF_ORACLE, SF_SMOKE, assert_matches_oracle
+
+
+@pytest.mark.parametrize("key", sorted(lp6.QUERIES))
+def test_llm_pipeline6_vs_oracle(spark, ddb, key):
+    df = lp6.QUERIES[key](spark, SF_ORACLE)
+    assert_matches_oracle(df, ddb, lp6.ORACLES[key], key)
+
+
+def test_simpson_bounds_and_extremes(spark):
+    """0 <= simpson_e6 < 1e6; all-distinct docs hit the exact
+    (n-1)/n bound; the index recomputes from raw token counts."""
+    rows = lp6.simpson_diversity(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.simpson_e6 < 1_000_000
+        assert r.n_distinct <= r.n_tokens
+        if r.n_distinct == r.n_tokens:
+            n = r.n_tokens
+            want = (2 * (10**6 * (n * n - n)) + n * n) // (2 * n * n)
+            assert r.simpson_e6 == want
+
+
+def test_tv_matches_bruteforce_vocab_join(spark):
+    """The absent-mass identity t*(T - present_ct) must equal the naive
+    full vocab x source computation."""
+    from abr_etl_spark.functions import texthash as th
+    from abr_etl_spark.sources.lake import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    toks = [
+        (r.source, r.tok)
+        for r in d.select(
+            "source", F.explode(F.expr(th.sp_tokens("text"))).alias("tok")
+        ).collect()
+    ]
+    from collections import Counter
+
+    per_src: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for s, t in toks:
+        per_src.setdefault(s, Counter())[t] += 1
+        corpus[t] += 1
+    T = sum(corpus.values())
+    want = {}
+    for s, cnt in per_src.items():
+        t = sum(cnt.values())
+        dev = sum(
+            abs(cnt.get(tok, 0) * T - C * t) for tok, C in corpus.items()
+        )
+        want[s] = (2 * (10**6 * dev) + (2 * t * T)) // (2 * (2 * t * T))
+    got = {
+        r.source: r.tv_e6
+        for r in lp6.source_divergence_tv(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_recall_bounds_and_consistency(spark):
+    """recall_e4 in [0, 1e4], n_common <= min(n_true, n_ann), and the
+    single-probe LSH recall is nontrivial (>0 somewhere) on this data."""
+    rows = lp6.recall_at_k_eval(spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    assert any(r.n_common > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.recall_e4 <= 10_000
+        assert r.n_common <= min(r.n_true, r.n_ann)
