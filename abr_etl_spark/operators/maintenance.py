@@ -87,3 +87,55 @@ def location_transform(df: DataFrame) -> DataFrame:
             "postcode", F.lpad(F.regexp_replace("postcode", "[^0-9]", ""), 4, "0")
         )
     return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    *,
+    bits: int = 16,
+    n_files: int = 8,
+) -> int:
+    """Write ``df`` as parquet clustered on the z-order (Morton)
+    interleave of two non-negative integer SQL expressions -- the
+    layout that gives every output file a bounded rectangle in BOTH
+    dimensions, so per-file min/max column stats prune scans filtered
+    on either one (the reason lakehouse tables z-order instead of
+    sorting by a single key; plans/analytics8.zorder_layout is the
+    read-side locality report over the same formula).
+
+    Mechanics: repartitionByRange on the z-key (range-sampled
+    boundaries -> balanced files regardless of key skew) +
+    sortWithinPartitions, then the helper column is projected away
+    before the write. Pure map-side arithmetic plus the ONE range
+    exchange any clustering write needs. Returns the output file count
+    (<= n_files; the range partitioner may emit fewer for tiny
+    inputs). Locality contract is pytest-asserted against a
+    single-column sort baseline (tests/test_maintenance.py).
+    """
+    import glob
+    import os
+
+    from abr_etl_spark.functions.zorder import zkey_sql
+
+    zk = zkey_sql(
+        f"pmod({x}, {1 << bits})", f"pmod({y}, {1 << bits})", " DIV ",
+        bits=bits,
+    )
+    (
+        df.withColumn("__zkey", F.expr(zk))
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, "part-*"))
+            if os.path.isfile(f) and not f.endswith(".crc")
+        ]
+    )

@@ -539,23 +539,11 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- zorder_layout
 
-ZORDER_BITS = 16
+from abr_etl_spark.functions.zorder import ZORDER_BITS, zkey_sql as _zkey_sql
+
 #: report granularity: top 8 interleaved bits = 256 z-buckets, each
 #: covering a 4096 x 4096 rectangle of (x, y) space.
 ZBUCKET_SHIFT = 24
-
-
-def _zkey_sql(x: str, y: str, div: str) -> str:
-    """Morton interleave of two {ZORDER_BITS}-bit non-negative ints as
-    one shared formula text (bit i of x lands at 2i, of y at 2i+1);
-    unrolled with literal powers of two so neither engine needs
-    variable shifts. ``div`` is ' DIV ' (Spark) or ' // ' (DuckDB) --
-    identical on non-negative values."""
-    terms = []
-    for i in range(ZORDER_BITS):
-        terms.append(f"((({x}){div}{1 << i}) % 2) * {1 << (2 * i)}")
-        terms.append(f"((({y}){div}{1 << i}) % 2) * {1 << (2 * i + 1)}")
-    return "(" + " + ".join(terms) + ")"
 
 
 def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,3 +38,74 @@ def test_transform_registry_applies_location_rules(spark):
 def test_transform_registry_passthrough_unknown_dataset(spark):
     df = spark.createDataFrame([("x",)], "pid string")
     assert maintenance.apply_transform("Funds", df) is df
+
+
+def test_write_zordered_locality_beats_single_sort(spark, tmp_path):
+    """The z-ordered layout bounds per-file extent in BOTH dimensions;
+    a single-column sort bounds only its own. Compare mean normalized
+    per-file extents on a deterministic 2-D grid."""
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.operators import maintenance
+
+    side = 64
+    df = (
+        spark.range(side * side)
+        .select(
+            (F.col("id") % side).alias("a"),
+            (F.col("id") / side).cast("long").alias("b"),
+        )
+    )
+
+    def mean_extents(path):
+        got = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("a") - F.min("a")).alias("ea"),
+                (F.max("b") - F.min("b")).alias("eb"),
+            )
+            .collect()
+        )
+        n = len(got)
+        return (
+            sum(r.ea for r in got) / n / (side - 1),
+            sum(r.eb for r in got) / n / (side - 1),
+        )
+
+    zpath = str(tmp_path / "zorder")
+    n_files = maintenance.write_zordered(df, zpath, "a", "b", n_files=16)
+    assert 1 < n_files <= 16
+    za, zb = mean_extents(zpath)
+
+    spath = str(tmp_path / "singlesort")
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    sa, sb = mean_extents(spath)
+
+    # single-column sort: a tightly bounded, b spans ~everything
+    assert sa < 0.2 and sb > 0.9
+    # z-order: BOTH dims bounded well below the full range
+    assert za < 0.6 and zb < 0.6
+    # and the z layout's worse dim beats the single-sort's worse dim
+    assert max(za, zb) < sb
+
+
+def test_write_zordered_roundtrip_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.operators import maintenance
+
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 1000).alias("b")
+    )
+    path = str(tmp_path / "z2")
+    maintenance.write_zordered(df, path, "a", "b", n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("a")).collect()[0][0] == 999 * 1000 // 2
