@@ -60,6 +60,8 @@ _R8_PRIORITY: list[str] = [
     "simpson_diversity",
     "source_divergence_tv",
     "recall_at_k_eval",
+    "embedding_outlier_report",
+    "kmv_set_ops",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",

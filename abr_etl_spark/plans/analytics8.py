@@ -585,8 +585,91 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- kmv_set_ops
+
+#: KMV sketch size for the set-operation estimates. Small enough that
+#: the testdata regime exercises BOTH branches of the degenerate guard
+#: (purchase-user sets near |B| ~ k), large enough for a real estimate.
+KMV_SET_K = 64
+
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra from KMV sketches: estimate |A|, |B|,
+    |A ∪ B| and |A ∩ B| for A = click users, B = purchase users, from
+    three k-row sketches -- one row (k_a, k_b, k_u, est_a, est_b,
+    est_union, est_intersection). The set-overlap question every
+    audience/cohort tool answers WITHOUT shuffling the raw sets.
+
+    Mechanics (all deterministic, shared squared-affine hash):
+    each set's sketch is its k smallest distinct hashes; the union
+    sketch is the k smallest of the two sketches' union (correct
+    because h_k(U) <= h_k(A), so every union-sketch member's A/B
+    membership is decided by the A/B sketches alone -- the standard
+    KMV theorem); jaccard_hat = |S_u ∩ skA ∩ skB| / |S_u|;
+    est_intersection = jaccard_hat * est_union. A set with fewer than
+    k distinct members is counted EXACTLY (the sketch saw everything
+    -- guard applied identically in both engines).
+
+    Scale shape: two map-side-filtered distinct + TakeOrdered(k)
+    reductions (the kmv_distinct O(k)-exchange shape), then arithmetic
+    on <= 3k rows. Nothing scales with |users|.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def sketch(event_type: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == event_type)
+            .select(F.expr(_hll_hash_sql("user_id")).alias("h"))
+            .distinct()
+            .orderBy(F.col("h").asc())
+            .limit(KMV_SET_K)
+        )
+
+    ska = sketch("click").localCheckpoint(eager=False)
+    skb = sketch("purchase").localCheckpoint(eager=False)
+    sku = (
+        ska.unionByName(skb)
+        .distinct()
+        .orderBy(F.col("h").asc())
+        .limit(KMV_SET_K)
+    )
+    in_both = sku.join(ska, "h", "left_semi").join(skb, "h", "left_semi")
+    stats = (
+        ska.agg(F.count("*").alias("k_a"), F.max("h").alias("kth_a"))
+        .crossJoin(
+            skb.agg(F.count("*").alias("k_b"), F.max("h").alias("kth_b"))
+        )
+        .crossJoin(
+            sku.agg(F.count("*").alias("k_u"), F.max("h").alias("kth_u"))
+        )
+        .crossJoin(in_both.agg(F.count("*").alias("n_both")))
+    )
+    est = (
+        f"CASE WHEN {{k}} < {KMV_SET_K} THEN CAST({{k}} AS DOUBLE) "
+        f"ELSE ({KMV_SET_K - 1} * {HLL_P}.0) / {{kth}} END"
+    )
+    return stats.select(
+        "k_a",
+        "k_b",
+        "k_u",
+        F.round(F.expr(est.format(k="k_a", kth="kth_a")), 4).alias("est_a"),
+        F.round(F.expr(est.format(k="k_b", kth="kth_b")), 4).alias("est_b"),
+        F.round(F.expr(est.format(k="k_u", kth="kth_u")), 4).alias(
+            "est_union"
+        ),
+        F.round(
+            F.expr(
+                f"(CAST(n_both AS DOUBLE) / k_u) * "
+                f"({est.format(k='k_u', kth='kth_u')})"
+            ),
+            4,
+        ).alias("est_intersection"),
+    )
+
+
 QUERIES = {
     "hll_distinct": hll_distinct,
+    "kmv_set_ops": kmv_set_ops,
     "bloom_membership": bloom_membership,
     "gini_nation_revenue": gini_nation_revenue,
     "chi2_event_dow": chi2_event_dow,
@@ -598,7 +681,50 @@ QUERIES = {
 
 # ------------------------------------------------------------------ oracles
 
+_KMV_EST = (
+    f"CASE WHEN {{k}} < {KMV_SET_K} THEN CAST({{k}} AS DOUBLE) "
+    f"ELSE ({KMV_SET_K - 1} * {HLL_P}.0) / {{kth}} END"
+)
+
 ORACLES = {
+    "kmv_set_ops": f"""
+        WITH ska AS (
+            SELECT DISTINCT {_hll_hash_sql('user_id', engine='duckdb')}
+                       AS h
+            FROM events WHERE event_type = 'click'
+            ORDER BY h ASC LIMIT {KMV_SET_K}
+        ), skb AS (
+            SELECT DISTINCT {_hll_hash_sql('user_id', engine='duckdb')}
+                       AS h
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY h ASC LIMIT {KMV_SET_K}
+        ), sku AS (
+            SELECT DISTINCT h FROM (
+                SELECT h FROM ska UNION ALL SELECT h FROM skb
+            ) ORDER BY h ASC LIMIT {KMV_SET_K}
+        ), nb AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_both FROM sku
+            WHERE h IN (SELECT h FROM ska)
+              AND h IN (SELECT h FROM skb)
+        ), stats AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM ska) AS k_a,
+                   (SELECT max(h) FROM ska) AS kth_a,
+                   (SELECT CAST(count(*) AS BIGINT) FROM skb) AS k_b,
+                   (SELECT max(h) FROM skb) AS kth_b,
+                   (SELECT CAST(count(*) AS BIGINT) FROM sku) AS k_u,
+                   (SELECT max(h) FROM sku) AS kth_u,
+                   (SELECT n_both FROM nb) AS n_both
+        )
+        SELECT k_a, k_b, k_u,
+               round({_KMV_EST.format(k='k_a', kth='kth_a')}, 4) AS est_a,
+               round({_KMV_EST.format(k='k_b', kth='kth_b')}, 4) AS est_b,
+               round({_KMV_EST.format(k='k_u', kth='kth_u')}, 4)
+                   AS est_union,
+               round((CAST(n_both AS DOUBLE) / k_u)
+                     * ({_KMV_EST.format(k='k_u', kth='kth_u')}), 4)
+                   AS est_intersection
+        FROM stats
+    """,
     "hll_distinct": f"""
         WITH regs AS (
             SELECT ({_hll_hash_sql('o_custkey', engine='duckdb')})

@@ -192,10 +192,64 @@ def recall_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: outlier report depth.
+OUTLIER_K = 20
+
+
+def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outliers for corpus curation: the {OUTLIER_K}
+    vectors LEAST aligned with the corpus centroid -- (vec_id,
+    cos_centroid), ascending. Corrupted/anomalous documents sit far
+    from the bulk direction; this is the embedding-side quality filter
+    (the geometric sibling of quality_score's lexical heuristics).
+
+    Exactness: embeddings quantize to 1e-4 integers; the centroid
+    direction is the exact integer SUM vector (cosine is
+    scale-invariant, so cos(v, sum) == cos(v, mean) with zero division
+    noise); the cosine itself is the shared sequential-order double
+    expression (sp_cosine/dk_cosine) -- bit-identical cross-engine.
+
+    Scale shape: per-dim sums collapse map-side (64 cells, one
+    exchange); the 1-row centroid array broadcasts; scoring is one
+    map-side expression per vector and the report is
+    TakeOrderedAndProject.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(floor(cast(x as double) * 10000 + 0.5) as bigint))"
+        ).alias("q"),
+    )
+    s = (
+        q.select(F.posexplode("q").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+    )
+    cent = s.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, s))), x -> x.s)"
+        ).alias("cent")
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.round(F.expr(th.sp_cosine("q", "cent")), 6).alias(
+                "cos_centroid"
+            ),
+        )
+        .orderBy(F.col("cos_centroid").asc(), F.col("vec_id").asc())
+        .limit(OUTLIER_K)
+    )
+
+
 QUERIES = {
     "simpson_diversity": simpson_diversity,
     "source_divergence_tv": source_divergence_tv,
     "recall_at_k_eval": recall_at_k_eval,
+    "embedding_outlier_report": embedding_outlier_report,
 }
 
 _DK_TOK = th.dk_tokens("text")
@@ -252,6 +306,27 @@ ORACLES = {
         FROM dev ORDER BY source
     """,
 }
+
+ORACLES["embedding_outlier_report"] = f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 10000
+                                              + 0.5) AS BIGINT)) AS q
+        FROM embeddings
+    ), sdim AS MATERIALIZED (
+        SELECT i, CAST(sum(q[i + 1]) AS BIGINT) AS s
+        FROM q, generate_series(0, 63) g(i) GROUP BY i
+    ), cent AS MATERIALIZED (
+        SELECT list_transform(list_sort(list(struct_pack(i := i,
+                   s := s))), x -> x['s']) AS cent
+        FROM sdim
+    )
+    SELECT vec_id, round({th.dk_cosine('q', 'cent')}, 6)
+               AS cos_centroid
+    FROM q, cent
+    ORDER BY cos_centroid ASC, vec_id ASC LIMIT {OUTLIER_K}
+"""
 
 ORACLES["recall_at_k_eval"] = f"""
     WITH bf AS ({_LP1_ORACLES["ann_bruteforce"]}),

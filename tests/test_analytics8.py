@@ -100,3 +100,54 @@ def test_chi2_nonnegative_dof(spark):
     r = a8.chi2_event_dow(spark, SF_ORACLE).collect()[0]
     assert r.chi2 >= 0.0
     assert r.dof == (r.n_rows - 1) * (r.n_cols - 1) > 0
+
+
+def test_kmv_set_ops_estimates_near_truth(spark):
+    """At sf0.01 both user sets exceed k, so every estimate is a real
+    sketch estimate; KMV with k=64 has ~12.6% sigma -- assert 4-sigma
+    bands against exact set algebra."""
+    from abr_etl_spark.sources.lake import load_table
+
+    r = a8.kmv_set_ops(spark, SF_ORACLE).collect()[0]
+    e = load_table(spark, SF_ORACLE, "events")
+    clicks = {
+        x.user_id
+        for x in e.where(F.col("event_type") == "click")
+        .select("user_id").distinct().collect()
+    }
+    buys = {
+        x.user_id
+        for x in e.where(F.col("event_type") == "purchase")
+        .select("user_id").distinct().collect()
+    }
+    sigma = 4 * 1.0 / (a8.KMV_SET_K**0.5)
+    for est, true in [
+        (r.est_a, len(clicks)),
+        (r.est_b, len(buys)),
+        (r.est_union, len(clicks | buys)),
+        (r.est_intersection, len(clicks & buys)),
+    ]:
+        assert abs(est - true) / max(true, 1) < max(sigma, 0.5), (est, true)
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    """At sf0.001 the sets are tiny (15 users) -- the degenerate guard
+    must return EXACT counts."""
+    from abr_etl_spark.sources.lake import load_table
+
+    r = a8.kmv_set_ops(spark, SF_SMOKE).collect()[0]
+    e = load_table(spark, SF_SMOKE, "events")
+    clicks = {
+        x.user_id
+        for x in e.where(F.col("event_type") == "click")
+        .select("user_id").distinct().collect()
+    }
+    buys = {
+        x.user_id
+        for x in e.where(F.col("event_type") == "purchase")
+        .select("user_id").distinct().collect()
+    }
+    assert r.est_a == float(len(clicks))
+    assert r.est_b == float(len(buys))
+    assert r.est_union == float(len(clicks | buys))
+    assert abs(r.est_intersection - len(clicks & buys)) < 1e-6

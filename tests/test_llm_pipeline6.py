@@ -73,3 +73,30 @@ def test_recall_bounds_and_consistency(spark):
     for r in rows:
         assert 0 <= r.recall_e4 <= 10_000
         assert r.n_common <= min(r.n_true, r.n_ann)
+
+
+def test_embedding_outliers_are_global_minima(spark):
+    """The report's k scores are exactly the k smallest cos-to-centroid
+    values over the whole corpus (recomputed in numpy)."""
+    import numpy as np
+
+    rows = lp6.embedding_outlier_report(spark, SF_SMOKE).collect()
+    emb = np.array(
+        [
+            r.q
+            for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+            .selectExpr(
+                "transform(embedding, x -> cast(floor(cast(x as double)"
+                " * 10000 + 0.5) as bigint)) AS q"
+            )
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cent = emb.sum(axis=0)
+    cos = emb @ cent / (
+        np.linalg.norm(emb, axis=1) * np.linalg.norm(cent)
+    )
+    want = np.sort(cos)[: lp6.OUTLIER_K]
+    got = np.array([r.cos_centroid for r in rows])
+    assert np.allclose(np.sort(got), want, atol=1e-5)
