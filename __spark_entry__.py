@@ -62,6 +62,7 @@ _R8_PRIORITY: list[str] = [
     "recall_at_k_eval",
     "embedding_outlier_report",
     "kmv_set_ops",
+    "stream_hll_distinct",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",

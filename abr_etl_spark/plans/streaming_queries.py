@@ -243,8 +243,60 @@ def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
     )
 
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality sketch: HyperLogLog registers as a NATIVE
+    streaming aggregation -- (m, n_filled, est) for distinct users over
+    the multi-file replay. The register update max(rank) per bucket is
+    order-invariant and monotone, so it runs as a plain update-mode
+    groupBy (O(m) state, no arbitrary-state API needed) and the final
+    registers equal the batch registers regardless of microbatch
+    arrival order; the oracle recomputes the identical deterministic
+    sketch (analytics8's squared-affine hash) over the batch table.
+    The streaming face of hll_distinct: the same 16 rows of state would
+    track a year of Kafka arrivals.
+    """
+    from abr_etl_spark.plans.analytics8 import (
+        HLL_ALPHA_M2,
+        HLL_M,
+        _hll_hash_sql,
+        _hll_rank_sql,
+        _HLL_W_BITS,
+    )
+
+    stage = _stage_event_drops(spark, sf_dir)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=1)
+    h = f"({_hll_hash_sql('user_id')})"
+    regs = (
+        stream.select(
+            F.expr(f"{h} % {HLL_M}").alias("bucket"),
+            F.expr(_hll_rank_sql(f"{h} DIV {HLL_M}")).alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    name = f"hll_driver_{next(_rc_names)}"
+    q = run_stream_to_memory(regs, name, output_mode="update")
+    q.stop()
+    final = spark.table(name).groupBy("bucket").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+    return final.agg(
+        F.lit(HLL_M).cast("int").alias("m"),
+        F.count("*").cast("long").alias("n_filled"),
+        F.round(
+            F.lit(HLL_ALPHA_M2)
+            / (
+                (HLL_M - F.count("*"))
+                + F.sum(F.expr("power(2.0, -max_rank)"))
+            ),
+            4,
+        ).alias("est"),
+    )
+
+
 QUERIES = {
     "stream_running_counts": q_stream_running_counts,
+    "stream_hll_distinct": q_stream_hll_distinct,
     "stream_first_seen": q_stream_first_seen,
     "stream_dedup_exact": q_stream_dedup_exact,
     "stream_window_counts": q_stream_window_counts,
@@ -255,6 +307,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    # The streaming registers' fixpoint equals the batch sketch.
+    "stream_hll_distinct": None,  # filled below (needs analytics8 texts)
     # The stateful stream's final per-key state IS the batch aggregate.
     "stream_running_counts": """
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events_total
@@ -357,3 +411,33 @@ ORACLES["stream_first_seen"] = """
           FROM events GROUP BY user_id)
     GROUP BY day ORDER BY day
 """
+
+
+def _hll_stream_oracle() -> str:
+    from abr_etl_spark.plans.analytics8 import (
+        HLL_ALPHA_M2,
+        HLL_M,
+        _hll_hash_sql,
+        _hll_rank_sql,
+        _HLL_W_BITS,
+    )
+
+    h = f"({_hll_hash_sql('user_id', engine='duckdb')})"
+    rank = (
+        f"(CASE WHEN {h} // {HLL_M} = 0 THEN {_HLL_W_BITS + 1} "
+        f"ELSE {_HLL_W_BITS + 1} - length(bin({h} // {HLL_M})) END)"
+    )
+    return f'''
+        WITH regs AS (
+            SELECT {h} % {HLL_M} AS bucket, max({rank}) AS max_rank
+            FROM events GROUP BY 1
+        )
+        SELECT CAST({HLL_M} AS INTEGER) AS m,
+               CAST(count(*) AS BIGINT) AS n_filled,
+               round({HLL_ALPHA_M2!r} / (({HLL_M} - count(*))
+                     + sum(power(2.0, -max_rank))), 4) AS est
+        FROM regs
+    '''
+
+
+ORACLES["stream_hll_distinct"] = _hll_stream_oracle()

@@ -32,3 +32,34 @@ def test_stage_restages_on_source_fingerprint_change(spark, tmp_path):
         os.utime(p, (time.time() + 5, time.time() + 5))
     sq._stage_event_drops(spark, str(src))
     assert marker.read_text() != fp1, "fingerprint must change -> restaged"
+
+
+def test_stream_hll_matches_batch_sketch(spark):
+    """The streaming registers' fixpoint equals the batch sketch built
+    from the same deterministic hash -- order-invariance of max(rank)
+    across microbatches."""
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.plans import streaming_queries as sq
+    from abr_etl_spark.plans.analytics8 import (
+        HLL_M,
+        _hll_hash_sql,
+        _hll_rank_sql,
+    )
+    from abr_etl_spark.sources.lake import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = sq.q_stream_hll_distinct(spark, SF_SMOKE).collect()[0]
+    h = f"({_hll_hash_sql('user_id')})"
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            F.expr(f"{h} % {HLL_M}").alias("bucket"),
+            F.expr(_hll_rank_sql(f"{h} DIV {HLL_M}")).alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+        .collect()
+    )
+    assert got.n_filled == len(batch)
+    assert got.m == HLL_M
