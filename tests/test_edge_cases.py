@@ -219,3 +219,169 @@ def test_weighted_sample_single_heavy_item(spark, monkeypatch):
     total = sum(r["n_picks"] for r in rows)
     heavy = {r["o_orderkey"]: r["n_picks"] for r in rows}[1]
     assert total == a7.WS_K and heavy >= a7.WS_K - 1
+
+
+# ---------------------------------------------------------------- round 8
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_session_gap_boundary_exact(spark, tmp_path):
+    """gap == SESSION_GAP_S stays ONE session; gap+1 splits -- the
+    boundary must agree with the oracle's strict > rule."""
+    import datetime as dt
+
+    from abr_etl_spark.plans import analytics8 as a8
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    gap = a8.SESSION_GAP_S
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, t0, 7, "view", 0.0, "{}"),
+            (2, t0 + dt.timedelta(seconds=gap), 7, "click", 0.0, "{}"),
+            (3, t0 + dt.timedelta(seconds=2 * gap + 1), 7, "purchase", 0.0, "{}"),
+        ],
+    )
+    paths = {
+        r.path: r.n_sessions
+        for r in a8.session_paths_topk(spark, sf).collect()
+    }
+    assert paths == {"view>click": 1, "purchase": 1}
+
+
+def test_source_divergence_single_source_is_zero(spark, tmp_path):
+    from abr_etl_spark.plans import llm_pipeline6 as lp6
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "a b c", "en", "web", 5), (2, "c d", "en", "web", 3)],
+    )
+    rows = lp6.source_divergence_tv(spark, sf).collect()
+    assert len(rows) == 1 and rows[0].tv_e6 == 0
+
+
+def test_simpson_degenerate_docs(spark, tmp_path):
+    from abr_etl_spark.plans import llm_pipeline6 as lp6
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "word", "en", "s", 4),        # single token -> 0
+            (2, "x x x x", "en", "s", 7),      # one type -> 0
+            (3, "a b", "en", "s", 3),          # two distinct -> 1/2
+        ],
+    )
+    got = {
+        r.doc_id: r.simpson_e6
+        for r in lp6.simpson_diversity(spark, sf).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 500_000}
+
+
+def test_zorder_interleave_roundtrip(spark):
+    """zkey_sql agrees with a bit-level Python reference (decode by
+    de-interleaving) on awkward values: 0, max, alternating bits."""
+    from abr_etl_spark.functions.zorder import zkey_sql
+
+    def py_zkey(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (65535, 0), (0, 65535), (21845, 43690), (1, 2), (12345, 54321)]
+    rows = spark.createDataFrame(cases, "x long, y long").selectExpr(
+        "x", "y", f"{zkey_sql('x', 'y', ' DIV ')} AS z"
+    ).collect()
+    for r in rows:
+        assert r.z == py_zkey(r.x, r.y), (r.x, r.y)
+
+
+def test_hll_rank_extremes(spark):
+    from abr_etl_spark.plans.analytics8 import _HLL_W_BITS, _hll_rank_sql
+
+    got = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"{_hll_rank_sql(str(w))} AS r{i}"
+            for i, w in enumerate([0, 1, 2, 1 << (_HLL_W_BITS - 1)])
+        )
+    ).collect()[0]
+    assert got.r0 == _HLL_W_BITS + 1      # w = 0 -> max rank
+    assert got.r1 == _HLL_W_BITS          # w = 1
+    assert got.r2 == _HLL_W_BITS - 1      # w = 2
+    assert got.r3 == 1                    # top bit set -> rank 1
+
+
+def test_bloom_positions_in_range(spark):
+    from abr_etl_spark.plans.analytics8 import BLOOM_K, BLOOM_M, _bloom_pos_sql
+
+    exprs = ", ".join(
+        f"{_bloom_pos_sql(str(key), i)} AS p_{key}_{i}"
+        for key in (0, 1, 2**40, 2**62)
+        for i in range(BLOOM_K)
+    )
+    row = spark.sql(f"SELECT {exprs}").collect()[0]
+    assert all(0 <= v < BLOOM_M for v in row)
+
+
+def test_winsor_floor_negative_sum_parity(spark):
+    """The sign-safe pmod floor equals Python's // (floor) for negative
+    numerators -- the DIV-vs-// class the advice flagged."""
+    rows = spark.createDataFrame(
+        [(-123, 7), (-1, 4), (123, 7), (-700, 7)], "sw long, n long"
+    ).selectExpr(
+        "sw", "n",
+        "((2 * sw * 100 + n) - pmod(2 * sw * 100 + n, 2 * n))"
+        " DIV (2 * n) AS w"
+    ).collect()
+    for r in rows:
+        assert r.w == (2 * r.sw * 100 + r.n) // (2 * r.n), r
+
+
+def test_recall_handles_probe_with_empty_bucket(spark, tmp_path):
+    """A probe alone in its LSH bucket yields n_ann = 0 and recall 0 --
+    the left-join path must keep the row."""
+    from abr_etl_spark.plans import llm_pipeline6 as lp6
+
+    base = [0.1 * ((i * 7) % 13 - 6) for i in range(64)]
+    neg = [-v for v in base]
+    rows = [(0, [float(v) for v in base], 0)] + [
+        (i, [float(v) for v in neg], 0) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {r.query_id: r for r in
+           lp6.recall_at_k_eval(spark, str(tmp_path)).collect()}
+    assert 0 in out
+    r = out[0]
+    assert r.n_ann == 0 and r.n_common == 0 and r.recall_e4 == 0
+    assert r.n_true > 0
