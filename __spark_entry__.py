@@ -57,6 +57,7 @@ _R8_PRIORITY: list[str] = [
     "unpivot_melt",
     # --- 2. BRAND-NEW or changed-plan keys this round ---
     "embedding_pca_topk",
+    "delta_changed_columns",
     "simpson_diversity",
     "source_divergence_tv",
     "recall_at_k_eval",

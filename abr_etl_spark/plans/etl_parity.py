@@ -312,8 +312,42 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
     )
 
+def q_delta_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column change census between the two snapshots -- the ops
+    report behind the reference's 34-column OR predicate
+    (agencyChangeSQL, agency-delta.go:126): WHICH columns drive the
+    weekly updates, one row of (n_common, n_changed_rows,
+    chg_<payload column>...). The hash-based delta engine decides IF a
+    row changed without ever comparing columns; this report is the
+    one-off full-width diff an operator runs when the update volume
+    looks wrong.
+
+    Scale shape: one equi-join of the common keys with NULL-SAFE
+    per-column comparison flags evaluated map-side and collapsed by a
+    single aggregate -- no per-column shuffles, no row explosion; at
+    100 TB this is the same one-join cost as delta_updated with wide
+    payloads (you run it on demand, not weekly).
+    """
+    new, old = _snapshots(spark, sf_dir)
+    payload = [c for c in old.columns if c != "o_orderkey"]
+    j = new.alias("n").join(old.alias("o"), "o_orderkey")
+    flags = j.select(
+        *[
+            F.when(~F.expr(f"n.{c} <=> o.{c}"), 1).otherwise(0).alias(f"f_{c}")
+            for c in payload
+        ]
+    )
+    any_flag = F.greatest(*[F.col(f"f_{c}") for c in payload])
+    return flags.agg(
+        F.count("*").alias("n_common"),
+        F.sum(any_flag).alias("n_changed_rows"),
+        *[F.sum(f"f_{c}").alias(f"chg_{c.removeprefix('o_')}") for c in payload],
+    )
+
+
 QUERIES = {
     "delta_apply_roundtrip": q_delta_apply_roundtrip,
+    "delta_changed_columns": q_delta_changed_columns,
     "delta_updated": q_delta_updated,
     "delta_classify_lake": q_delta_classify_lake,
     "incremental_agg": q_incremental_agg,
@@ -517,4 +551,18 @@ ORACLES["scd2_point_in_time"] = _SERIES_CTE + f"""
     WHERE valid_from <= '{PIT_DATE}'
       AND (valid_to IS NULL OR valid_to > '{PIT_DATE}')
     ORDER BY o_orderkey
+"""
+
+_CHG_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+             "o_orderpriority"]
+ORACLES["delta_changed_columns"] = _SNAP_CTE + f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(greatest({", ".join(
+               f"CASE WHEN n.{c} IS DISTINCT FROM o.{c} THEN 1 ELSE 0 END"
+               for c in _CHG_COLS)})) AS BIGINT) AS n_changed_rows,
+           {", ".join(
+               f"CAST(sum(CASE WHEN n.{c} IS DISTINCT FROM o.{c} "
+               f"THEN 1 ELSE 0 END) AS BIGINT) AS chg_{c[2:]}"
+               for c in _CHG_COLS)}
+    FROM newd n JOIN oldd o USING (o_orderkey)
 """

@@ -174,3 +174,23 @@ def test_scd2_pit_equals_latest_snapshot_at_date(spark):
         (r["o_orderkey"], r["totalprice"]) for r in latest.collect()
     }
     assert got == want
+
+
+def test_delta_changed_columns_only_totalprice_moves(spark):
+    """The synthetic drift touches ONLY o_totalprice (keys % 3 == 0);
+    every other column census must be zero and n_changed_rows must
+    equal the %3 count of the common keys."""
+    from abr_etl_spark.plans import etl_parity as ep
+    from tests.conftest import SF_SMOKE
+
+    r = ep.q_delta_changed_columns(spark, SF_SMOKE).collect()[0]
+    assert r.chg_custkey == r.chg_orderstatus == 0
+    assert r.chg_orderdate == r.chg_orderpriority == 0
+    assert r.chg_totalprice == r.n_changed_rows > 0
+    new, old = ep._snapshots(spark, SF_SMOKE)
+    common_pct3 = (
+        new.join(old.select("o_orderkey"), "o_orderkey")
+        .where(F.col("o_orderkey") % 3 == 0)
+        .count()
+    )
+    assert r.n_changed_rows == common_pct3
