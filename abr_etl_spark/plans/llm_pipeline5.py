@@ -525,12 +525,18 @@ _SORTED_FOLD = (
 def _scatter_cmat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centered scatter matrix C = n*S2 - S1*S1' of the quantized
     embedding corpus as (i, j, c) -- exact int64 cells (magnitudes
-    ~1e13 < 2^53), eagerly checkpointed so downstream iterations never
-    re-derive the corpus-scale aggregation, coalesced to one partition
-    (4096 rows; single-task iterations beat 32-task scheduling
+    ~1e13 < 2^53), PERSISTED through the result-cache registry
+    (functions/cache.py): the canonical plan is identical across
+    invocations AND across the two PCA keys (top_eigvec / pca_topk), so
+    CacheManager dedups to one 4096-row JVM cache and the corpus-scale
+    aggregation runs once per process (the dedup pair-cache lesson --
+    a localCheckpoint here would make every plan unique and rebuild the
+    scatter per call; measured 5-6 s/invocation at sf0.1). Coalesced to
+    one partition (single-task iterations beat 32-task scheduling
     overhead). The ONLY corpus-scale work in the PCA family: per-row
     outer products collapse map-side into the D^2 cells before the one
     exchange (the CMS pattern)."""
+    from abr_etl_spark.functions.cache import materialize_result
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         F.expr(
@@ -555,7 +561,7 @@ def _scatter_cmat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("p").alias("s2"))
     )
-    return (
+    cm = (
         s2.join(F.broadcast(s1.select(F.col("i"), F.col("s1").alias("s1_i"))), "i")
         .join(
             F.broadcast(
@@ -571,15 +577,22 @@ def _scatter_cmat(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c"
             ),
         )
-        .localCheckpoint(eager=True)
-        .coalesce(1)
     )
+    return materialize_result(cm).coalesce(1)
 
 
 def _power_loop(cmat: DataFrame, v: DataFrame, iters: int) -> DataFrame:
     """``iters`` power iterations v <- C v / ||C v|| with every double
     reduction order-pinned (_SORTED_FOLD); returns the final unit
-    vector as (j, vj)."""
+    vector as (j, vj).
+
+    Each iteration EAGERLY checkpoints the 64-row vector: v_t is
+    referenced twice by iteration t+1 (the matvec and, through m, the
+    norm), so a lazy lineage doubles per iteration -- 2^iters copies of
+    the whole join chain by the end (measured: the k=2 deflation key ran
+    17.7 s warm at sf0.1 on plan explosion alone; checkpointed vectors
+    cut it to sequential 64-row jobs). Values are unchanged -- only the
+    lineage is truncated."""
     for _ in range(iters):
         m = (
             cmat.join(v, "j")
@@ -591,6 +604,7 @@ def _power_loop(cmat: DataFrame, v: DataFrame, iters: int) -> DataFrame:
             )
             .groupBy("i")
             .agg(F.expr(_SORTED_FOLD).alias("m"))
+            .localCheckpoint(eager=True)
         )
         norm2 = m.select(
             F.struct(
