@@ -64,6 +64,8 @@ _R8_PRIORITY: list[str] = [
     "embedding_outlier_report",
     "kmv_set_ops",
     "stream_hll_distinct",
+    "hll_sliding_distinct",
+    "term_lift_topk",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",

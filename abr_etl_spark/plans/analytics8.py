@@ -667,8 +667,80 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- hll_sliding_distinct
+
+#: trailing window width (days) for the sliding distinct estimate.
+HLL_WINDOW_DAYS = 7
+
+
+def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{HLL_WINDOW_DAYS}-day distinct-user estimate per day
+    from PRE-AGGREGATED daily HLL registers: (day, n_days, est_7d).
+    The reason sketches exist at 100 TB: the raw stream collapses ONCE
+    into (day, bucket, max_rank) daily registers, and ANY trailing
+    window is then a register-level max-merge -- no per-window rescan
+    of raw events, state O(days x m). HLL registers merge by max, so
+    the window union is exact sketch algebra (not an approximation of
+    the sketch).
+
+    Plan: one map-side-combined daily-register aggregate; a dense
+    (day x bucket) grid from two tiny frames; one bucket-partitioned
+    RANGE window (6 preceding); one per-day reduction. Dyadic 2^-rank
+    sums stay exact doubles -- bit-replayable cross-engine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = f"({_hll_hash_sql('user_id')})"
+    daily = (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.expr(f"{h} % {HLL_M}").alias("bucket"),
+            F.expr(_hll_rank_sql(f"{h} DIV {HLL_M}")).alias("rank"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    days = daily.select("day").distinct()
+    buckets = spark.range(HLL_M).select(F.col("id").cast("long").alias("bucket"))
+    grid = days.crossJoin(F.broadcast(buckets)).join(
+        daily, ["day", "bucket"], "left"
+    ).select(
+        "day",
+        "bucket",
+        F.expr("datediff(CAST(day AS DATE), DATE '1992-01-06')").alias(
+            "day_idx"
+        ),
+        "max_rank",
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("day_idx")
+        .rangeBetween(-(HLL_WINDOW_DAYS - 1), 0)
+    )
+    w_days = Window.orderBy("day_idx").rangeBetween(
+        -(HLL_WINDOW_DAYS - 1), 0
+    )
+    merged = grid.select(
+        "day",
+        "day_idx",
+        "bucket",
+        F.max("max_rank").over(w).alias("mr"),
+    )
+    per_day = merged.groupBy("day", "day_idx").agg(
+        F.sum(F.coalesce(F.expr("power(2.0, -mr)"), F.lit(1.0))).alias("S")
+    )
+    return (
+        per_day.select(
+            "day",
+            F.count("*").over(w_days).cast("long").alias("n_days"),
+            F.round(F.lit(HLL_ALPHA_M2) / F.col("S"), 4).alias("est_7d"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "hll_distinct": hll_distinct,
+    "hll_sliding_distinct": hll_sliding_distinct,
     "kmv_set_ops": kmv_set_ops,
     "bloom_membership": bloom_membership,
     "gini_nation_revenue": gini_nation_revenue,
@@ -687,6 +759,53 @@ _KMV_EST = (
 )
 
 ORACLES = {
+    "hll_sliding_distinct": f"""
+        WITH daily AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   ({_hll_hash_sql('user_id', engine='duckdb')})
+                       % {HLL_M} AS bucket,
+                   max(CASE WHEN ({_hll_hash_sql('user_id',
+                                                 engine='duckdb')})
+                                 // {HLL_M} = 0
+                            THEN {_HLL_W_BITS + 1}
+                            ELSE {_HLL_W_BITS + 1} - length(bin(
+                                ({_hll_hash_sql('user_id',
+                                                engine='duckdb')})
+                                // {HLL_M}))
+                       END) AS max_rank
+            FROM events GROUP BY 1, 2
+        ), days AS (
+            SELECT DISTINCT day,
+                   CAST(CAST(day AS DATE) - DATE '1992-01-06' AS BIGINT)
+                       AS day_idx
+            FROM daily
+        ), grid AS (
+            SELECT d.day, d.day_idx, b.bucket, daily.max_rank
+            FROM days d
+            CROSS JOIN (SELECT unnest(generate_series(0,
+                {HLL_M - 1}))::BIGINT AS bucket) b
+            LEFT JOIN daily ON daily.day = d.day
+                           AND daily.bucket = b.bucket
+        ), merged AS (
+            SELECT day, day_idx, bucket,
+                   max(max_rank) OVER (
+                       PARTITION BY bucket ORDER BY day_idx
+                       RANGE BETWEEN {HLL_WINDOW_DAYS - 1} PRECEDING
+                             AND CURRENT ROW) AS mr
+            FROM grid
+        ), per_day AS (
+            SELECT day, day_idx,
+                   sum(coalesce(power(2.0, -mr), 1.0)) AS S
+            FROM merged GROUP BY day, day_idx
+        )
+        SELECT day,
+               CAST(count(*) OVER (
+                   ORDER BY day_idx
+                   RANGE BETWEEN {HLL_WINDOW_DAYS - 1} PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS n_days,
+               round({HLL_ALPHA_M2!r} / S, 4) AS est_7d
+        FROM per_day ORDER BY day
+    """,
     "kmv_set_ops": f"""
         WITH ska AS (
             SELECT DISTINCT {_hll_hash_sql('user_id', engine='duckdb')}

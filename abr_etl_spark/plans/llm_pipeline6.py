@@ -245,8 +245,84 @@ def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: co-occurrence lift: vocabulary cap, min pair support, report depth.
+LIFT_VOCAB = 30
+LIFT_MIN_SUPPORT = 5
+LIFT_TOP = 20
+
+
+def term_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LIFT_TOP} co-occurring term pairs by LIFT over the
+    {LIFT_VOCAB}-term head vocabulary: (term_a, term_b, n_ab, lift_e4)
+    with lift = P(a,b)/(P(a)P(b)) = n_ab*N / (df_a*df_b) in half-up
+    1e-4 units -- the libm-free PMI surrogate (PMI = log lift, so lift
+    ranks identically) behind collocation discovery and topic seeding.
+    Pairs need support >= {LIFT_MIN_SUPPORT}; ordering (lift desc,
+    pair asc) is fully deterministic.
+
+    Scale shape: the vocabulary is a TakeOrdered({LIFT_VOCAB}) head
+    broadcast to the (doc, term) stream, so the within-doc self-join
+    fans out at most C({LIFT_VOCAB},2) pairs per doc -- bounded by the
+    vocab, not the corpus; pair counts collapse map-side. The
+    n_ab*N product documents the bm25 DECIMAL(38,0) swap for
+    billion-doc corpora.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    doc_tok = (
+        d.select(
+            "doc_id", F.explode(F.expr(th.sp_tokens("text"))).alias("tok")
+        )
+        .select("doc_id", F.lower("tok").alias("term"))
+        .distinct()
+    )
+    n_docs = d.agg(F.count("*").alias("N"))
+    vocab = (
+        doc_tok.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(LIFT_VOCAB)
+    )
+    dv = doc_tok.join(F.broadcast(vocab), "term")
+    a = dv.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = dv.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.count("*").alias("n_ab"),
+            F.first("df_a").alias("df_a"),
+            F.first("df_b").alias("df_b"),
+        )
+        .where(F.col("n_ab") >= LIFT_MIN_SUPPORT)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    return (
+        pairs.select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            F.expr(
+                "(2 * 10000 * n_ab * N + df_a * df_b)"
+                " DIV (2 * df_a * df_b)"
+            ).alias("lift_e4"),
+        )
+        .orderBy(
+            F.col("lift_e4").desc(),
+            F.col("term_a").asc(),
+            F.col("term_b").asc(),
+        )
+        .limit(LIFT_TOP)
+    )
+
+
 QUERIES = {
     "simpson_diversity": simpson_diversity,
+    "term_lift_topk": term_lift_topk,
     "source_divergence_tv": source_divergence_tv,
     "recall_at_k_eval": recall_at_k_eval,
     "embedding_outlier_report": embedding_outlier_report,
@@ -306,6 +382,37 @@ ORACLES = {
         FROM dev ORDER BY source
     """,
 }
+
+ORACLES["term_lift_topk"] = f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, lower(tok) AS term
+        FROM (SELECT doc_id, unnest({_DK_TOK}) AS tok FROM documents)
+    ), nd AS (
+        SELECT CAST(count(*) AS BIGINT) AS N FROM documents
+    ), vocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM dt GROUP BY term
+        ORDER BY df DESC, term ASC LIMIT {LIFT_VOCAB}
+    ), dv AS (
+        SELECT dt.doc_id, dt.term, vocab.df
+        FROM dt JOIN vocab USING (term)
+    ), pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               CAST(count(*) AS BIGINT) AS n_ab,
+               CAST(any_value(a.df) AS BIGINT) AS df_a,
+               CAST(any_value(b.df) AS BIGINT) AS df_b
+        FROM dv a JOIN dv b ON a.doc_id = b.doc_id
+         AND a.term < b.term
+        GROUP BY a.term, b.term
+        HAVING count(*) >= {LIFT_MIN_SUPPORT}
+    )
+    SELECT term_a, term_b, n_ab,
+           CAST((2 * 10000 * n_ab * nd.N + df_a * df_b)
+                // (2 * df_a * df_b) AS BIGINT) AS lift_e4
+    FROM pairs, nd
+    ORDER BY lift_e4 DESC, term_a ASC, term_b ASC
+    LIMIT {LIFT_TOP}
+"""
 
 ORACLES["embedding_outlier_report"] = f"""
     WITH q AS MATERIALIZED (

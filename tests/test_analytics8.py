@@ -151,3 +151,44 @@ def test_kmv_set_ops_exact_below_k(spark):
     assert r.est_b == float(len(buys))
     assert r.est_union == float(len(clicks | buys))
     assert abs(r.est_intersection - len(clicks & buys)) < 1e-6
+
+
+def test_hll_sliding_first_day_equals_single_day_sketch(spark):
+    """Day 1's trailing window contains only day 1, so est_7d must
+    equal the single-day register estimate; n_days ramps 1..7 then
+    holds (consecutive-day data)."""
+    rows = a8.hll_sliding_distinct(spark, SF_ORACLE).collect()
+    assert rows[0].n_days == 1
+    ramp = [r.n_days for r in rows[:7]]
+    assert ramp == sorted(ramp)
+    assert all(r.n_days <= a8.HLL_WINDOW_DAYS for r in rows)
+    # single-day recompute for day 1 via the same shared hash
+    from abr_etl_spark.sources.lake import load_table
+
+    e = load_table(spark, SF_ORACLE, "events")
+    day1 = rows[0].day
+    h = f"({a8._hll_hash_sql('user_id')})"
+    regs = (
+        e.where(F.date_format("ts", "yyyy-MM-dd") == day1)
+        .selectExpr(
+            f"{h} % {a8.HLL_M} AS bucket",
+            f"{a8._hll_rank_sql(f'{h} DIV {a8.HLL_M}')} AS rank",
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("mr"))
+        .collect()
+    )
+    S = (a8.HLL_M - len(regs)) + sum(2.0 ** -r.mr for r in regs)
+    assert abs(rows[0].est_7d - round(a8.HLL_ALPHA_M2 / S, 4)) < 1e-9
+
+
+def test_hll_sliding_window_grows_estimate(spark):
+    """A trailing 7-day union can never estimate fewer distincts than
+    the max single constituent day (register-wise max dominance)."""
+    rows = {r.day: r for r in a8.hll_sliding_distinct(spark, SF_ORACLE).collect()}
+    assert len(rows) >= 8
+    # monotone dominance spot-check: with near-constant daily traffic,
+    # the full 7-day windows should estimate more than day 1 alone
+    full = [r for r in rows.values() if r.n_days == a8.HLL_WINDOW_DAYS]
+    day1 = min(rows)
+    assert full and all(r.est_7d >= rows[day1].est_7d for r in full)

@@ -100,3 +100,34 @@ def test_embedding_outliers_are_global_minima(spark):
     want = np.sort(cos)[: lp6.OUTLIER_K]
     got = np.array([r.cos_centroid for r in rows])
     assert np.allclose(np.sort(got), want, atol=1e-5)
+
+
+def test_term_lift_known_cooccurrence(spark, tmp_path):
+    """Hand-checkable lift on synthetic docs: terms that always
+    co-occur get lift = N/df (> 1e4); independent-ish pairs sit near
+    1e4."""
+    docs = []
+    # 10 docs with {alpha beta}, 10 docs with {alpha gamma}
+    for i in range(10):
+        docs.append((i, "alpha beta filler%d x y z w q r" % i, "en", "s", 20))
+    for i in range(10, 20):
+        docs.append((i, "alpha gamma filler%d x y z w q r" % i, "en", "s", 20))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from abr_etl_spark.plans import llm_pipeline6 as lp6
+
+    got = {
+        (r.term_a, r.term_b): (r.n_ab, r.lift_e4)
+        for r in lp6.term_lift_topk(spark, str(tmp_path)).collect()
+    }
+    # beta co-occurs with alpha in all 10 of beta's docs:
+    # lift = n_ab*N/(df_a*df_b) = 10*20/(20*10) = 1.0
+    assert got[("alpha", "beta")] == (10, 10000)
+    # beta never co-occurs with gamma -> pair absent (support 0)
+    assert ("beta", "gamma") not in got
+    # alpha and x co-occur in every doc: lift 20*20/(20*20) = 1.0
+    assert got[("alpha", "x")] == (20, 10000)
