@@ -66,6 +66,7 @@ _R8_PRIORITY: list[str] = [
     "stream_hll_distinct",
     "hll_sliding_distinct",
     "term_lift_topk",
+    "funnel_time_bounded",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",

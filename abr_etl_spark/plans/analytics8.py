@@ -738,9 +738,80 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- funnel_time_bounded
+
+FUNNEL_STEP_S = 3600
+
+
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded sequence funnel (the MATCH_RECOGNIZE shape):
+    one row of (n_users, n_users_qualified, n_qualifying_clicks) where
+    a click QUALIFIES iff some view happened at most {FUNNEL_STEP_S}s
+    before it AND some purchase happens at most {FUNNEL_STEP_S}s after
+    it (same user) -- i.e. the user ran view -> click -> purchase with
+    each step inside the bound. Unlike funnel_counts (first-event
+    ordering), this detects ANY qualifying chain.
+
+    Plan: per-user event stream sorted once; a running conditional MAX
+    (latest view so far) looks backward and a reversed running
+    conditional MIN (next purchase) looks forward -- two frames over
+    the SAME (user, ts, event_id) sort, so Catalyst plans ONE
+    Exchange+Sort and zero self-joins (the naive 3-way event self-join
+    is quadratic in per-user activity).
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tagged = base.select(
+        "user_id",
+        "event_type",
+        "ts_s",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("ts_s"))
+        ).over(w_back).alias("last_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_s"))
+        ).over(w_fwd).alias("next_purchase"),
+    )
+    quals = tagged.where(
+        (F.col("event_type") == "click")
+        & (F.col("ts_s") - F.col("last_view") <= FUNNEL_STEP_S)
+        & (F.col("next_purchase") - F.col("ts_s") <= FUNNEL_STEP_S)
+    )
+    per_user = quals.groupBy("user_id").agg(
+        F.count("*").alias("n_clicks")
+    )
+    totals = load_table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return totals.crossJoin(
+        per_user.agg(
+            F.count("*").alias("n_users_qualified"),
+            F.coalesce(F.sum("n_clicks"), F.lit(0)).alias(
+                "n_qualifying_clicks"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "hll_distinct": hll_distinct,
     "hll_sliding_distinct": hll_sliding_distinct,
+    "funnel_time_bounded": funnel_time_bounded,
     "kmv_set_ops": kmv_set_ops,
     "bloom_membership": bloom_membership,
     "gini_nation_revenue": gini_nation_revenue,
@@ -759,6 +830,41 @@ _KMV_EST = (
 )
 
 ORACLES = {
+    "funnel_time_bounded": f"""
+        WITH base AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+            FROM events
+        ), tagged AS (
+            SELECT user_id, event_type, ts_s,
+                   max(CASE WHEN event_type = 'view' THEN ts_s END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts_s, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS last_view,
+                   min(CASE WHEN event_type = 'purchase' THEN ts_s END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts_s, event_id
+                             ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING)
+                       AS next_purchase
+            FROM base
+        ), quals AS (
+            SELECT user_id FROM tagged
+            WHERE event_type = 'click'
+              AND ts_s - last_view <= {FUNNEL_STEP_S}
+              AND next_purchase - ts_s <= {FUNNEL_STEP_S}
+        ), pu AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+            FROM quals GROUP BY user_id
+        )
+        SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                FROM events) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_users_qualified,
+               CAST(coalesce(sum(n_clicks), 0) AS BIGINT)
+                   AS n_qualifying_clicks
+        FROM pu
+    """,
     "hll_sliding_distinct": f"""
         WITH daily AS (
             SELECT strftime(ts, '%Y-%m-%d') AS day,

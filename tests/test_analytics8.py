@@ -192,3 +192,34 @@ def test_hll_sliding_window_grows_estimate(spark):
     full = [r for r in rows.values() if r.n_days == a8.HLL_WINDOW_DAYS]
     day1 = min(rows)
     assert full and all(r.est_7d >= rows[day1].est_7d for r in full)
+
+
+def test_funnel_time_bounded_vs_bruteforce_triples(spark):
+    """The two-window existence rule equals the brute-force 3-way
+    self-join semantics: a user qualifies iff SOME (view, click,
+    purchase) chain has both hops within the bound."""
+    from abr_etl_spark.sources.lake import load_table
+
+    r = a8.funnel_time_bounded(spark, SF_SMOKE).collect()[0]
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", F.col("ts").cast("long").alias("t"))
+        .collect()
+    )
+    by_user: dict[int, dict[str, list[int]]] = {}
+    for x in rows:
+        by_user.setdefault(x.user_id, {}).setdefault(x.event_type, []).append(x.t)
+    n_q = 0
+    for u, ev in by_user.items():
+        views = sorted(ev.get("view", []))
+        buys = sorted(ev.get("purchase", []))
+        ok = False
+        for c in ev.get("click", []):
+            if any(0 <= c - v <= a8.FUNNEL_STEP_S for v in views) and any(
+                0 <= p - c <= a8.FUNNEL_STEP_S for p in buys
+            ):
+                ok = True
+                break
+        n_q += ok
+    assert r.n_users_qualified == n_q
+    assert r.n_users == len(by_user)
