@@ -67,6 +67,7 @@ _R8_PRIORITY: list[str] = [
     "hll_sliding_distinct",
     "term_lift_topk",
     "funnel_time_bounded",
+    "bpe_apply_merge",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",

@@ -356,6 +356,61 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND BPE iteration, end-to-end: find the top adjacent pair
+    (bpe_pair_counts' rule), MERGE it corpus-wide into a single
+    surrogate symbol chr(1) (leftmost non-overlapping ``replace`` --
+    exactly the greedy BPE merge semantics, identical in both engines),
+    and emit the re-segmented corpus' new top-{BPE_TOP} pairs:
+    (pair, n, merged_pair). Proves the iteration loop bpe_pair_counts'
+    docstring claims is "the iteration body" actually closes.
+
+    Scale shape: the winning pair is a 1-row broadcast; the merge is a
+    map-side string replace at the scan; the recount is the identical
+    map-side-collapse + one exchange as iteration one. k merges = k
+    such passes, each map-side over the re-segmented corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.expr(th.sp_tokens("text"))).alias("w")
+    ).where(F.length("w") >= 2)
+    pair1 = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(1)
+        .select(F.col("pair").alias("merged_pair"))
+    )
+    merged = words.crossJoin(F.broadcast(pair1)).select(
+        F.expr("replace(w, merged_pair, chr(1))").alias("w2"),
+        "merged_pair",
+    )
+    return (
+        merged.where(F.length("w2") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w2) - 1), "
+                    "i -> substring(w2, i, 2))"
+                )
+            ).alias("pair"),
+            "merged_pair",
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"), F.first("merged_pair").alias("merged_pair"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(BPE_TOP)
+    )
+
+
 def jaccard_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similar-document SEARCH (thresholdless, unlike the dedup pair
     ops): for each of the first {SIM_PROBES} docs, the {SIM_TOPK} most
@@ -859,6 +914,7 @@ QUERIES = {
     "bm25_topk": bm25_topk,
     "embedding_pca_topk": embedding_pca_topk,
     "bpe_pair_counts": bpe_pair_counts,
+    "bpe_apply_merge": bpe_apply_merge,
     "jaccard_topk_similar": jaccard_topk_similar,
     "percentile_normalize": percentile_normalize,
     "inverted_postings": inverted_postings,
@@ -1047,6 +1103,33 @@ ORACLES["bpe_pair_counts"] = f"""
 _DK_GRAMS = th.dk_gram_hashes_from_token_hashes(
     th.dk_token_hashes(_DK_TOK), 3
 )
+
+ORACLES["bpe_apply_merge"] = f"""
+    WITH wd AS (
+        SELECT unnest({_DK_TOK}) AS w FROM documents
+    ), wds AS (
+        SELECT w FROM wd WHERE length(w) >= 2
+    ), p1 AS (
+        SELECT substring(w, i, 2) AS pair
+        FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM wds)
+    ), top1 AS (
+        SELECT pair AS merged_pair FROM p1
+        GROUP BY pair ORDER BY count(*) DESC, pair ASC LIMIT 1
+    ), m AS (
+        SELECT replace(w, merged_pair, chr(1)) AS w2, merged_pair
+        FROM wds, top1
+    ), p2 AS (
+        SELECT substring(w2, i, 2) AS pair, merged_pair
+        FROM (SELECT w2, merged_pair,
+                     unnest(generate_series(1, length(w2) - 1)) AS i
+              FROM m WHERE length(w2) >= 2)
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n,
+           any_value(merged_pair) AS merged_pair
+    FROM p2 GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT {BPE_TOP}
+"""
 
 ORACLES["jaccard_topk_similar"] = f"""
     WITH t AS (

@@ -222,3 +222,21 @@ def test_pca_topk_orthogonal_and_rayleigh_ordered(spark):
     assert ray[1] >= 0.85 * lam_true[1]
     # orthogonality (power iteration is finite, so a small tolerance)
     assert abs(float(vs[0] @ vs[1])) < 0.05
+
+
+def test_bpe_apply_merge_consumes_top_pair(spark):
+    """After the merge, the winning pair can never recur (every
+    occurrence was substituted), and the surrogate symbol shows up in
+    the new pair census (the merge actually re-segmented)."""
+    from tests.conftest import SF_SMOKE
+
+    rows = lp5.bpe_apply_merge(spark, SF_SMOKE).collect()
+    assert rows
+    merged = rows[0].merged_pair
+    assert all(r.merged_pair == merged for r in rows)
+    assert all(r.pair != merged for r in rows)
+    assert any(chr(1) in r.pair for r in rows)
+    # census stays sorted by (n desc, pair asc)
+    assert [
+        (r.n, r.pair) for r in rows
+    ] == sorted([(r.n, r.pair) for r in rows], key=lambda t: (-t[0], t[1]))
