@@ -68,6 +68,7 @@ _R8_PRIORITY: list[str] = [
     "term_lift_topk",
     "funnel_time_bounded",
     "bpe_apply_merge",
+    "multimodal_content_address",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",

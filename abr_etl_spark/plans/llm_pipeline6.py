@@ -320,9 +320,39 @@ def term_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_content_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed manifest of binary payloads: (doc_id,
+    payload_md5, n_bytes, n_copies) -- every payload keyed by the MD5
+    of its bytes, with the per-content copy count. THE dedup primitive
+    for opaque media columns (for images/audio the same plumbing hashes
+    the decoded canonical bytes; here the payload is the utf-8 text
+    bytes, so the result is oracle-checkable end-to-end). Exact
+    byte-level dedup, storage dedup ratios, and cache keys all read
+    from this manifest.
+
+    Scale shape: the hash evaluates AT THE SCAN (bytes never shuffle --
+    the exchange carries 16-byte digests); one hash-keyed window for
+    the copy count. md5 is content-defined, so the manifest is
+    partition- and cluster-layout-independent.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    hashed = d.select(
+        "doc_id",
+        F.md5(payload).alias("payload_md5"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+    w = Window.partitionBy("payload_md5")
+    return (
+        hashed.withColumn("n_copies", F.count("*").over(w))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "simpson_diversity": simpson_diversity,
     "term_lift_topk": term_lift_topk,
+    "multimodal_content_address": multimodal_content_address,
     "source_divergence_tv": source_divergence_tv,
     "recall_at_k_eval": recall_at_k_eval,
     "embedding_outlier_report": embedding_outlier_report,
@@ -382,6 +412,20 @@ ORACLES = {
         FROM dev ORDER BY source
     """,
 }
+
+ORACLES["multimodal_content_address"] = """
+    WITH h AS (
+        -- DuckDB md5() takes VARCHAR (strings are utf-8, so this IS the
+        -- digest of the same bytes Spark hashes via encode(text, 'utf-8'))
+        SELECT doc_id, md5(text) AS payload_md5,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT doc_id, payload_md5, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(count(*) OVER (PARTITION BY payload_md5) AS BIGINT)
+               AS n_copies
+    FROM h ORDER BY doc_id
+"""
 
 ORACLES["term_lift_topk"] = f"""
     WITH dt AS (

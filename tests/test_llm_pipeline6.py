@@ -131,3 +131,28 @@ def test_term_lift_known_cooccurrence(spark, tmp_path):
     assert ("beta", "gamma") not in got
     # alpha and x co-occur in every doc: lift 20*20/(20*20) = 1.0
     assert got[("alpha", "x")] == (20, 10000)
+
+
+def test_content_address_collisions_are_real_copies(spark, tmp_path):
+    """Identical byte payloads share an address; distinct payloads never
+    collide (at this scale); n_copies counts exactly."""
+    rows = [
+        (1, "same payload", "en", "s", 12),
+        (2, "same payload", "en", "s", 12),
+        (3, "different", "en", "s", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: r
+        for r in lp6.multimodal_content_address(spark, str(tmp_path)).collect()
+    }
+    assert got[1].payload_md5 == got[2].payload_md5
+    assert got[1].n_copies == got[2].n_copies == 2
+    assert got[3].payload_md5 != got[1].payload_md5
+    assert got[3].n_copies == 1
+    assert got[1].n_bytes == len("same payload".encode())
