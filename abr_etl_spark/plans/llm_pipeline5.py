@@ -605,16 +605,26 @@ def _scatter_cmat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(F.sum("v").alias("s1"))
     )
+    # UPPER TRIANGLE only (i <= j): the scatter is symmetric, so this
+    # halves the corpus-scale explode (D*(D+1)/2 = 2080 cells/row vs
+    # 4096); the lower triangle is mirrored AFTER the aggregation on
+    # the tiny cell table. Cell values are identical integer sums --
+    # bit-for-bit the same matrix.
     pair_expr = (
         f"flatten(transform(sequence(0, {EIG_D - 1}), i -> "
-        f"transform(sequence(0, {EIG_D - 1}), j -> "
+        f"transform(sequence(i, {EIG_D - 1}), j -> "
         f"struct(i, j, element_at(q, i + 1) * element_at(q, j + 1) AS p))))"
     )
-    s2 = (
+    s2u = (
         q.select(F.explode(F.expr(pair_expr)).alias("e"))
         .select("e.i", "e.j", "e.p")
         .groupBy("i", "j")
         .agg(F.sum("p").alias("s2"))
+    )
+    s2 = s2u.unionByName(
+        s2u.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s2"
+        )
     )
     cm = (
         s2.join(F.broadcast(s1.select(F.col("i"), F.col("s1").alias("s1_i"))), "i")
