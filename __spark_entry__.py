@@ -69,6 +69,7 @@ _R8_PRIORITY: list[str] = [
     "funnel_time_bounded",
     "bpe_apply_merge",
     "multimodal_content_address",
+    "bpe_learn_merges",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",

@@ -411,6 +411,75 @@ def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: merge steps for the BPE learner.
+BPE_MERGES = 3
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE vocab-induction LOOP, k={BPE_MERGES} merges end-to-end:
+    (step, merged_pair, n_occurrences) -- the merge table a tokenizer
+    trainer emits. Each step finds the occurrence-weighted top adjacent
+    pair, merges it corpus-wide into a per-step surrogate symbol
+    chr(step), and re-derives the pair census; step 1's winner is
+    bpe_pair_counts' top row (pytest-pinned).
+
+    Scale shape -- the real trainer's shape: the corpus collapses ONCE
+    into the (word, n) FREQUENCY VOCABULARY (one shuffle; bounded by
+    vocab size, not corpus size); every merge step then runs on that
+    bounded table -- pair counts weighted by n, a 1-row winner
+    broadcast, a map-side replace, and a regroup (replace could
+    collide two vocab words, so counts re-merge by sum). Each step's
+    vocab is eagerly checkpointed: it is referenced by both the winner
+    and the next vocab, and k lazy steps would double the lineage per
+    level (the PCA power-loop lesson).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.expr(th.sp_tokens("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for t in range(1, BPE_MERGES + 1):
+        pairs = vocab.where(F.length("w") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.lit(t).cast("int").alias("step"),
+                F.col("pair").alias("merged_pair"),
+                "n_occurrences",
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges.append(top)
+        vocab = (
+            vocab.crossJoin(F.broadcast(top.select("merged_pair")))
+            .select(
+                F.expr(f"replace(w, merged_pair, chr({t}))").alias("w"),
+                "n",
+            )
+            .groupBy("w")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("step")
+
+
 def jaccard_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similar-document SEARCH (thresholdless, unlike the dedup pair
     ops): for each of the first {SIM_PROBES} docs, the {SIM_TOPK} most
@@ -925,6 +994,7 @@ QUERIES = {
     "embedding_pca_topk": embedding_pca_topk,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_apply_merge": bpe_apply_merge,
+    "bpe_learn_merges": bpe_learn_merges,
     "jaccard_topk_similar": jaccard_topk_similar,
     "percentile_normalize": percentile_normalize,
     "inverted_postings": inverted_postings,
@@ -1336,3 +1406,40 @@ ORACLES["dedup_family_agreement"] = ORACLES["dedup_family_agreement"].replace(
 )
 
 ORACLES["embedding_pca_topk"] = _pca_oracle_sql(EIG_K, EIG_ITERS)
+
+
+def _bpe_merges_oracle(k: int) -> str:
+    """Unrolled DuckDB replay of bpe_learn_merges: the same loop emits
+    one (pairs -> winner -> merged vocab) CTE block per step."""
+    parts = [f"""
+    WITH v0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_DK_TOK}) AS w FROM documents)
+        GROUP BY w
+    )"""]
+    for t in range(1, k + 1):
+        parts.append(f"""
+    , p{t} AS (
+        SELECT substring(w, i, 2) AS pair, n
+        FROM (SELECT w, n,
+                     unnest(generate_series(1, length(w) - 1)) AS i
+              FROM v{t - 1} WHERE length(w) >= 2)
+    ), t{t} AS MATERIALIZED (
+        SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+        FROM p{t} GROUP BY pair
+        ORDER BY n_occurrences DESC, pair ASC LIMIT 1
+    ), v{t} AS MATERIALIZED (
+        SELECT replace(w, (SELECT pair FROM t{t}), chr({t})) AS w,
+               CAST(sum(n) AS BIGINT) AS n
+        FROM v{t - 1} GROUP BY 1
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({t} AS INTEGER) AS step, pair AS merged_pair, "
+        f"n_occurrences FROM t{t}"
+        for t in range(1, k + 1)
+    )
+    parts.append(f" SELECT step, merged_pair, n_occurrences FROM ({sel}) ORDER BY step")
+    return "".join(parts)
+
+
+ORACLES["bpe_learn_merges"] = _bpe_merges_oracle(BPE_MERGES)

@@ -240,3 +240,21 @@ def test_bpe_apply_merge_consumes_top_pair(spark):
     assert [
         (r.n, r.pair) for r in rows
     ] == sorted([(r.n, r.pair) for r in rows], key=lambda t: (-t[0], t[1]))
+
+
+def test_bpe_learn_merges_consistent_with_pair_counts(spark):
+    """Step 1's winner is exactly bpe_pair_counts' top row, and merge
+    counts are non-increasing (a later pair's count is bounded by every
+    earlier winner's)."""
+    from tests.conftest import SF_SMOKE
+
+    merges = lp5.bpe_learn_merges(spark, SF_SMOKE).collect()
+    assert [m.step for m in merges] == list(range(1, lp5.BPE_MERGES + 1))
+    top1 = lp5.bpe_pair_counts(spark, SF_SMOKE).collect()[0]
+    assert (merges[0].merged_pair, merges[0].n_occurrences) == (
+        top1.pair,
+        top1.n,
+    )
+    counts = [m.n_occurrences for m in merges]
+    assert counts == sorted(counts, reverse=True)
+    assert len({m.merged_pair for m in merges}) == lp5.BPE_MERGES
