@@ -109,3 +109,54 @@ def test_write_zordered_roundtrip_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.agg(F.sum("a")).collect()[0][0] == 999 * 1000 // 2
+
+
+def test_write_zordered_enables_rowgroup_pruning(spark, tmp_path):
+    """The point of the layout, measured: with a pushed-down range
+    filter on one dimension, the z-ordered files' parquet row-group
+    stats exclude most of the data AT THE SCAN (numOutputRows from the
+    executed plan), while a randomly-partitioned layout must surface
+    every row. Results are identical either way."""
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.operators import maintenance
+
+    side = 256
+    df = spark.range(side * side).select(
+        (F.col("id") % side).alias("a"),
+        (F.col("id") / side).cast("long").alias("b"),
+    )
+    zp, rp = str(tmp_path / "z"), str(tmp_path / "r")
+    maintenance.write_zordered(df, zp, "a", "b", n_files=16)
+    df.repartition(16).write.mode("overwrite").parquet(rp)
+
+    def scan_rows(path):
+        q = spark.read.parquet(path).where(
+            (F.col("a") >= 8) & (F.col("a") <= 15)
+        )
+        # collect, not count: count()'s executed plan is the aggregate
+        # (AQE re-plans it) and the scan node's metrics stay unpopulated
+        res = len(q.collect())
+        plan = q._jdf.queryExecution().executedPlan()
+
+        def walk(node):
+            out = []
+            if "Scan" in node.nodeName():
+                m = node.metrics()
+                it = m.keysIterator()
+                while it.hasNext():
+                    k = it.next()
+                    if k == "numOutputRows":
+                        out.append(m.apply(k).value())
+            for i in range(node.children().size()):
+                out += walk(node.children().apply(i))
+            return out
+
+        return res, sum(walk(plan))
+
+    n_z, scanned_z = scan_rows(zp)
+    n_r, scanned_r = scan_rows(rp)
+    assert n_z == n_r == side * 8  # identical results
+    assert scanned_r == side * side  # random layout reads everything
+    # clustered layout: most row groups statically excluded
+    assert scanned_z < 0.5 * scanned_r
