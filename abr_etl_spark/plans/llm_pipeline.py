@@ -185,15 +185,48 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) -> (canonical_df, weakref(SparkContext)) --
+#: the CC fixpoint over the verified Jaccard pair graph, shared by
+#: dedup_canonical AND dedup_cluster_sizes (llm_pipeline5). The CC loop
+#: localCheckpoints per round, making every invocation's plan UNIQUE,
+#: so CacheManager canonical-plan dedup (the pair-cache mechanism)
+#: cannot reuse it -- this Python-level memo is the sanctioned
+#: alternative (the llm_pipeline3 incremental-index precedent:
+#: weakref-liveness eviction so a stopped session's entry never serves
+#: a new one).
+_CC_CACHE: dict = {}
+
+
+def jaccard_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, canonical_id) over the tau={JACCARD_TAU}
+    verified pair graph: pairs come from the materialized pair cache,
+    the CC fixpoint runs ONCE per (session, sf_dir), and the tiny
+    result is persisted through the cache.py registry."""
+    import weakref
+
+    from abr_etl_spark.functions.cache import materialize_result
+    from abr_etl_spark.operators.graph import canonicalize_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    entry = _CC_CACHE.get(key)
+    if entry is not None and entry[1]() is not None:
+        return entry[0]
+    for k, (_, ref) in list(_CC_CACHE.items()):
+        if ref() is None:
+            _CC_CACHE.pop(k, None)
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU)
+    comp = materialize_result(canonicalize_pairs(pairs))
+    _CC_CACHE[key] = (comp, weakref.ref(spark.sparkContext))
+    return comp
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level dedup: near-dup pairs -> connected components ->
     (doc_id, canonical_id). Oracle = recursive CTE over the brute-force
-    pair graph (independent CC implementation)."""
-    from abr_etl_spark.operators.graph import canonicalize_pairs
-
-    d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU)
-    return canonicalize_pairs(pairs)
+    pair graph (independent CC implementation). The fixpoint is
+    memoized per (session, sf_dir) -- see jaccard_canonical."""
+    return jaccard_canonical(spark, sf_dir)
 
 
 def q_dedup_canonical_star(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -254,14 +254,15 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus collapses, are there mega-clusters).
 
     Scale shape: reuses the MATERIALIZED verified pair set (the pair
-    operators' result-cache contract) -> connected components -> two
-    tiny aggregates (component-count-scale). The singleton count is one
-    anti-join of (doc_id) against the component nodes -- 8-byte rows.
+    operators' result-cache contract) AND the memoized CC fixpoint
+    (llm_pipeline.jaccard_canonical -- one CC run per session/sf) ->
+    two tiny aggregates (component-count-scale). The singleton count is
+    one anti-join of (doc_id) against the component nodes -- 8-byte
+    rows.
     """
-    from abr_etl_spark.operators.graph import canonicalize_pairs
+    from abr_etl_spark.plans.llm_pipeline import jaccard_canonical
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=LEAK_TAU)
-    canon = canonicalize_pairs(pairs)
+    canon = jaccard_canonical(spark, sf_dir)
     sizes = canon.groupBy("canonical_id").agg(
         F.count("*").alias("cluster_size")
     )
