@@ -70,6 +70,7 @@ _R8_PRIORITY: list[str] = [
     "bpe_apply_merge",
     "multimodal_content_address",
     "bpe_learn_merges",
+    "lang_id_confusion",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",

@@ -349,10 +349,40 @@ def multimodal_content_address(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval harness for the language-ID heuristic: the
+    confusion matrix of lang_id's prediction against the dataset's
+    ground-truth ``lang`` column -- (lang_true, lang_pred, n), plus the
+    per-true-language total so precision/recall fall out by division.
+    The recall_at_k_eval pattern applied to the text stack: a filter
+    you can't audit is a filter you can't trust.
+
+    Scale shape: the heuristic evaluates map-side at the scan (the
+    lang_id expression); the confusion matrix is ONE aggregate to
+    (|langs|^2) cells.
+    """
+    from abr_etl_spark.operators import text as text_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("lang_true"),
+        text_ops.lang_id("text").alias("lang_pred"),
+    )
+    cells = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("lang_true")
+    return (
+        cells.withColumn("n_true_total", F.sum("n").over(w))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
 QUERIES = {
     "simpson_diversity": simpson_diversity,
     "term_lift_topk": term_lift_topk,
     "multimodal_content_address": multimodal_content_address,
+    "lang_id_confusion": lang_id_confusion,
     "source_divergence_tv": source_divergence_tv,
     "recall_at_k_eval": recall_at_k_eval,
     "embedding_outlier_report": embedding_outlier_report,
@@ -412,6 +442,28 @@ ORACLES = {
         FROM dev ORDER BY source
     """,
 }
+
+def _lang_confusion_oracle() -> str:
+    from abr_etl_spark.plans.llm_pipeline import _dk_hits, _LANG_CASE, _LANGS
+
+    hits = ", ".join(f"{_dk_hits(g)} AS h_{g}" for g in _LANGS)
+    return f"""
+        WITH p AS (
+            SELECT lang AS lang_true, {_LANG_CASE} AS lang_pred FROM (
+                SELECT lang, {hits} FROM documents
+            )
+        ), cells AS (
+            SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
+        )
+        SELECT lang_true, lang_pred, n,
+               CAST(sum(n) OVER (PARTITION BY lang_true) AS BIGINT)
+                   AS n_true_total
+        FROM cells ORDER BY lang_true, lang_pred
+    """
+
+
+ORACLES["lang_id_confusion"] = _lang_confusion_oracle()
 
 ORACLES["multimodal_content_address"] = """
     WITH h AS (

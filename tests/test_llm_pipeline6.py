@@ -156,3 +156,28 @@ def test_content_address_collisions_are_real_copies(spark, tmp_path):
     assert got[3].payload_md5 != got[1].payload_md5
     assert got[3].n_copies == 1
     assert got[1].n_bytes == len("same payload".encode())
+
+
+def test_lang_confusion_conserves_docs_and_matches_lang_id(spark):
+    """Cell counts conserve the corpus; the matrix's per-doc prediction
+    marginal equals the lang_id key's predictions."""
+    from abr_etl_spark.sources.lake import load_table
+
+    rows = lp6.lang_id_confusion(spark, SF_ORACLE).collect()
+    n_total = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r.n for r in rows) == n_total
+    by_true: dict[str, int] = {}
+    for r in rows:
+        by_true.setdefault(r.lang_true, r.n_true_total)
+        assert by_true[r.lang_true] == r.n_true_total
+    assert sum(by_true.values()) == n_total
+    # prediction marginal equals the lang_id key's census
+    from abr_etl_spark.plans.llm_pipeline import q_lang_id
+
+    pred_census: dict[str, int] = {}
+    for p in q_lang_id(spark, SF_ORACLE).collect():
+        pred_census[p.lang_pred] = pred_census.get(p.lang_pred, 0) + 1
+    got_census: dict[str, int] = {}
+    for r in rows:
+        got_census[r.lang_pred] = got_census.get(r.lang_pred, 0) + r.n
+    assert got_census == pred_census
