@@ -71,6 +71,7 @@ _R8_PRIORITY: list[str] = [
     "multimodal_content_address",
     "bpe_learn_merges",
     "lang_id_confusion",
+    "dedup_threshold_sweep",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",

@@ -378,11 +378,54 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sweep floor: pairs verified once at this tau, bucketed upward.
+SWEEP_TAU = 0.05
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning report for the Jaccard dedup family: verified
+    pair counts per similarity bucket, from ONE pair computation at the
+    {SWEEP_TAU} floor -- (tau_bucket_e1, n_pairs, n_pairs_at_or_above).
+    ``tau_bucket_e1`` = floor(jaccard*10) (so 5 means [0.5, 0.6));
+    the low floor keeps the far tail visible (the generated corpus is
+    bimodal: shared-template pairs near 0 and planted near-dups at 0.9+);
+    ``n_pairs_at_or_above`` is the running total from the top -- the
+    number of pairs a dedup run at that threshold would collapse. THE
+    report an operator reads before committing a tau: the r7 census
+    keys show what tau=0.9 does; this shows every alternative at once.
+
+    Scale shape: one pair build at the sweep floor (the same df-capped
+    PPJoin machinery, its own materialized cache entry); the census is
+    a ~5-row aggregate plus a window over those buckets.
+    """
+    from abr_etl_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=SWEEP_TAU)
+    buckets = (
+        pairs.select(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("tau_bucket_e1")
+        )
+        .groupBy("tau_bucket_e1")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.col("tau_bucket_e1").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        buckets.withColumn(
+            "n_pairs_at_or_above", F.sum("n_pairs").over(w)
+        )
+        .orderBy("tau_bucket_e1")
+    )
+
+
 QUERIES = {
     "simpson_diversity": simpson_diversity,
     "term_lift_topk": term_lift_topk,
     "multimodal_content_address": multimodal_content_address,
     "lang_id_confusion": lang_id_confusion,
+    "dedup_threshold_sweep": dedup_threshold_sweep,
     "source_divergence_tv": source_divergence_tv,
     "recall_at_k_eval": recall_at_k_eval,
     "embedding_outlier_report": embedding_outlier_report,
@@ -442,6 +485,37 @@ ORACLES = {
         FROM dev ORDER BY source
     """,
 }
+
+_DK_SH = th.dk_shingles("text", 3)
+
+ORACLES["dedup_threshold_sweep"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_DK_SH} AS sh FROM documents
+    ), ex AS (
+        SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b,
+               count(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pr AS (
+        SELECT round(c::DOUBLE / (n_a + n_b - c), 4) AS j
+        FROM common
+        WHERE c::DOUBLE / (n_a + n_b - c) >= {SWEEP_TAU}
+    ), b AS (
+        SELECT CAST(floor(j * 10) AS BIGINT) AS tau_bucket_e1,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pr GROUP BY 1
+    )
+    SELECT tau_bucket_e1, n_pairs,
+           CAST(sum(n_pairs) OVER (
+               ORDER BY tau_bucket_e1 DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_pairs_at_or_above
+    FROM b ORDER BY tau_bucket_e1
+"""
+
 
 def _lang_confusion_oracle() -> str:
     from abr_etl_spark.plans.llm_pipeline import _dk_hits, _LANG_CASE, _LANGS

@@ -181,3 +181,29 @@ def test_lang_confusion_conserves_docs_and_matches_lang_id(spark):
     for r in rows:
         got_census[r.lang_pred] = got_census.get(r.lang_pred, 0) + r.n
     assert got_census == pred_census
+
+
+def test_threshold_sweep_cumulative_consistency(spark):
+    """Bucket counts sum to the floor-threshold pair set; the running
+    at-or-above totals are a proper suffix cumsum; and the top bucket's
+    count matches the tau=0.9 verified pair key (floor(0.9*10)=9
+    bucket alignment on this bimodal corpus)."""
+    from abr_etl_spark.operators import dedup
+    from abr_etl_spark.sources.lake import load_table
+
+    rows = sorted(
+        lp6.dedup_threshold_sweep(spark, SF_ORACLE).collect(),
+        key=lambda r: r.tau_bucket_e1,
+    )
+    assert len(rows) >= 2  # non-vacuous: bimodal corpus fills 2+ buckets
+    total = sum(r.n_pairs for r in rows)
+    # suffix-cumsum property
+    running = 0
+    for r in sorted(rows, key=lambda r: -r.tau_bucket_e1):
+        running += r.n_pairs
+        assert r.n_pairs_at_or_above == running
+    assert running == total
+    d = load_table(spark, SF_ORACLE, "documents")
+    n_09 = dedup.ngram_jaccard_pairs(d, threshold=0.9).count()
+    at_9 = sum(r.n_pairs for r in rows if r.tau_bucket_e1 >= 9)
+    assert at_9 == n_09
