@@ -369,12 +369,18 @@ def chi2_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- ab_test_conversion
 
 #: two-proportion z statistic, ONE formula text (pinned op order) over
-#: exact counts (na, ca, nb, cb).
+#: exact counts (na, ca, nb, cb). Degenerate experiments -- an empty
+#: bucket, zero conversions anywhere, or everyone converted -- have no
+#: defined z (the pooled variance is 0 or a bucket size divides by
+#: zero): the guard returns NULL identically in both engines instead
+#: of Spark's ANSI DIVIDE_BY_ZERO error / DuckDB's silent inf.
 _Z_SQL = (
+    "CASE WHEN na IS NULL OR nb IS NULL OR na = 0 OR nb = 0 "
+    "OR (ca + cb) = 0 OR (ca + cb) = (na + nb) THEN NULL ELSE "
     "round(((CAST(ca AS DOUBLE) / na) - (CAST(cb AS DOUBLE) / nb)) / "
     "sqrt(((CAST(ca + cb AS DOUBLE) / (na + nb)) * "
     "(1.0 - (CAST(ca + cb AS DOUBLE) / (na + nb)))) * "
-    "((1.0 / na) + (1.0 / nb))), 6)"
+    "((1.0 / na) + (1.0 / nb))), 6) END"
 )
 
 

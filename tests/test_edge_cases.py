@@ -385,3 +385,30 @@ def test_recall_handles_probe_with_empty_bucket(spark, tmp_path):
     r = out[0]
     assert r.n_ann == 0 and r.n_common == 0 and r.recall_e4 == 0
     assert r.n_true > 0
+
+
+def test_set_and_experiment_ops_degenerate_inputs(spark, tmp_path):
+    """Click-only event streams (no purchases anywhere): the KMV set
+    algebra returns an exact empty side, the funnel reports zero
+    qualified users, and the A/B z-test returns NULL instead of a
+    divide-by-zero (ANSI mode) or inf (DuckDB)."""
+    import datetime as dt
+
+    from abr_etl_spark.plans import analytics8 as a8
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (i, dt.datetime(2024, 1, 1, 10, 0, i), i % 3, "click", 1.0, "{}")
+            for i in range(20)
+        ],
+    )
+    kmv = a8.kmv_set_ops(spark, sf).collect()[0]
+    assert (kmv.k_b, kmv.est_b, kmv.est_intersection) == (0, 0.0, 0.0)
+    assert kmv.est_a == 3.0 and kmv.est_union == 3.0
+    fun = a8.funnel_time_bounded(spark, sf).collect()[0]
+    assert (fun.n_users_qualified, fun.n_qualifying_clicks) == (0, 0)
+    ab = a8.ab_test_conversion(spark, sf).collect()[0]
+    assert ab.z is None
+    assert ab.conv_a == 0 and ab.conv_b == 0
