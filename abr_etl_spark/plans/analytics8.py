@@ -21,6 +21,12 @@ distribution statistics, path analysis, and data-layout clustering.
 - ``zorder_layout``: z-order (Morton) interleaved sort key + bucket
   locality report -- the lakehouse clustering primitive that makes
   multi-dimensional file pruning work.
+- ``hll_sliding_distinct``: trailing-window distinct estimates from
+  pre-aggregated daily HLL registers (window = register max-merge).
+- ``kmv_set_ops``: |A|, |B|, union and intersection estimates from
+  three k-row KMV sketches; sub-k sets counted exactly.
+- ``funnel_time_bounded``: the MATCH_RECOGNIZE-shaped sequence funnel
+  via two conditional running windows over one sort -- no self-joins.
 
 Reference parity: the reference (abr-etl, Go) delegates analytics to
 Athena SQL; these are Spark-native shapes its users run downstream

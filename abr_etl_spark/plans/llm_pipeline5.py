@@ -1,4 +1,4 @@
-"""LLM-training-data pipeline, part 5 (round 7).
+"""LLM-training-data pipeline, part 5 (rounds 7-8).
 
 - ``bm25_topk``: BM25-style retrieval scoring of the corpus against a
   fixed query -- the relevance-ranking primitive a corpus-curation /
@@ -20,6 +20,11 @@
   different splits of the deterministic key-mod split. Exact-dup
   decontamination (decontaminate_ngram) misses paraphrases; this is the
   split-level audit over the verified Jaccard pair graph.
+- BPE tokenizer induction (r8): ``bpe_apply_merge`` (one merge applied
+  end-to-end) and ``bpe_learn_merges`` (the k-merge loop over the
+  bounded word-frequency vocabulary -- the real trainer's shape).
+- ``embedding_pca_topk`` (r8): top-k eigenvectors by power iteration +
+  deflation over the shared, result-cached scatter matrix.
 
 Reference parity: the reference (abr-etl, Go) has no corpus tooling;
 these extend SURVEY.md §2.C.

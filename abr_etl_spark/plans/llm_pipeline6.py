@@ -15,6 +15,16 @@
   eval-loop query every index deployment runs before trusting a
   sketch; both sides are the engine's own ann operators, and the
   oracle recomputes both pipelines independently.
+- ``term_lift_topk``: collocation discovery by lift (the libm-free,
+  rank-identical PMI surrogate) over a broadcast head vocabulary.
+- ``embedding_outlier_report``: bottom-k cosine-to-centroid vectors --
+  the embedding-space curation filter.
+- ``multimodal_content_address``: md5-at-the-scan content manifest for
+  binary payloads + per-content copy counts (exact media dedup).
+- ``lang_id_confusion``: confusion matrix of the language-ID heuristic
+  vs ground truth (the recall_at_k_eval pattern for the text stack).
+- ``dedup_threshold_sweep``: verified-pair census per similarity
+  bucket from one low-floor pair build -- the tau-tuning report.
 
 Reference parity: the reference (abr-etl, Go) has no corpus tooling;
 these extend SURVEY.md §2.C.
