@@ -1,0 +1,47 @@
+"""Partition-count independence: the engine's determinism claims say
+results never depend on the shuffle layout. Rerun representative keys
+under different spark.sql.shuffle.partitions settings and require
+IDENTICAL collected rows -- the property that separates deterministic
+hash sampling / sketches / rank rules from accidental
+partition-sensitive code (first() on unordered frames, float sum
+order, nondeterministic tie-breaks)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+#: keys whose determinism story is load-bearing: hash sampling, sketch
+#: registers, rank tie-breaks, prefix sums, window ordering.
+KEYS = [
+    "quantile_sketch_hash",
+    "hll_distinct",
+    "kmv_set_ops",
+    "weighted_sample_systematic",
+    "train_test_split",
+    "percentile_normalize",
+    "session_paths_topk",
+    "zorder_layout",
+    "simpson_diversity",
+    "winsorized_mean",
+]
+
+
+def _run(spark, key, n_parts):
+    import __spark_entry__ as entry
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        rows = entry.queries()[key](spark, SF_SMOKE).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return sorted(tuple(r) for r in rows)
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_results_invariant_to_shuffle_partitions(spark, key):
+    a = _run(spark, key, 3)
+    b = _run(spark, key, 13)
+    assert a == b, f"{key} depends on the shuffle partition count"
