@@ -100,6 +100,16 @@ HEADLINERS = [
     "bpe_pair_counts",
     "inverted_postings",
     "embedding_pca_topk",
+    # r8 wave-2 additions (all sub-second shapes: sketches, sequence
+    # funnel, layout report, diversity)
+    "hll_distinct",
+    "hll_sliding_distinct",
+    "kmv_set_ops",
+    "funnel_time_bounded",
+    "session_paths_topk",
+    "zorder_layout",
+    "simpson_diversity",
+    "bpe_learn_merges",
 ]
 
 
