@@ -169,3 +169,22 @@ def test_dedup_semantic_subset_of_bruteforce_and_blocked(spark):
         (a, b, c) for (a, b, c) in brute if cells[a] == cells[b]
     }
     assert got == same_cell and got
+
+
+def test_cc_memo_isolates_scale_factors(spark):
+    """The (applicationId, sf_dir) memo must never serve one scale
+    factor's components to another: run the canonical key at both sfs
+    in one session and check each against its own corpus."""
+    from abr_etl_spark.plans import llm_pipeline as lp
+    from abr_etl_spark.sources.lake import load_table
+    from tests.conftest import SF_ORACLE, SF_SMOKE
+
+    small = lp.q_dedup_canonical(spark, SF_SMOKE).collect()
+    big = lp.q_dedup_canonical(spark, SF_ORACLE).collect()
+    n_small = load_table(spark, SF_SMOKE, "documents").count()
+    n_big = load_table(spark, SF_ORACLE, "documents").count()
+    assert all(r.doc_id < n_small for r in small)
+    assert all(r.doc_id < n_big for r in big)
+    # repeat calls hit the memo and stay identical
+    again = lp.q_dedup_canonical(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, small))
