@@ -219,3 +219,48 @@ def test_ensure_bucketed_table_validates_spec(spark, tmp_path):
     assert calls == [1, 1], "unverifiable legacy layout must rebuild"
     assert os.path.exists(f"{path}/_BUCKET_SPEC.json")
     spark.sql("DROP TABLE bkt_spec_t")
+
+
+def test_aqe_skew_join_engages_and_is_value_neutral(spark):
+    """The third leg of the skew story (beside hot_keys_report
+    diagnosis and salted_join): prove Spark's AQE skew-join actually
+    splits a skewed partition -- SortMergeJoin(skew=true) in the final
+    adaptive plan -- and that results equal the plain join. Uses a
+    derived session so the aggressive thresholds never leak into the
+    shared fixture."""
+    from pyspark.sql import functions as F
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    s.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+    )
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    left = s.range(300_000).select(
+        F.when(F.col("id") < 200_000, 0)
+        .otherwise((F.col("id") % 500) + 1)
+        .alias("k"),
+        F.col("id").alias("v"),
+        F.lpad(F.lit("x"), 40, "x").alias("pad"),
+    )
+    right = s.range(501).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    j = left.join(right, "k").groupBy().agg(
+        F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    )
+    got = j.collect()[0]
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan
+    # value-neutral vs the shared session's plain join
+    want = (
+        left.join(right, "k")
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum(F.col("v") + F.col("w")).alias("s"))
+        .collect()[0]
+    )
+    assert (got.n, got.s) == (want.n, want.s)
