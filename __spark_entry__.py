@@ -72,6 +72,7 @@ _R8_PRIORITY: list[str] = [
     "bpe_learn_merges",
     "lang_id_confusion",
     "dedup_threshold_sweep",
+    "window_funcs2",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",

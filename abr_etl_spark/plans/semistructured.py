@@ -71,6 +71,49 @@ def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second window battery -- the ANSI surface the first one skips:
+    percent_rank / cume_dist (exact rationals in double, identical
+    IEEE), nth_value over an explicit full frame, and
+    first_value ... IGNORE NULLS over a synthesized nullable column
+    (cents NULL where o_orderkey % 7 == 0 -- deterministic both
+    engines). Runs as one spark.sql text so the IGNORE NULLS syntax is
+    exercised through the SQL parser; one window partitioning reused
+    by every function (single Exchange+Sort).
+    """
+    load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey") < 50
+    ).createOrReplaceTempView("__wf2_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cdist,
+               nth_value(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS second_key,
+               first_value(nullable_cents) IGNORE NULLS OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+                   AS first_nonnull_cents,
+               lag(o_orderkey, 2, -1) OVER w AS lag2_defaulted
+        FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE CAST(floor(o_totalprice * 100 + 0.5)
+                                  AS BIGINT) END AS nullable_cents
+            FROM __wf2_orders
+        )
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
+        """
+    )
+
+
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column battery: build a map per row, explode it back to
     rows (map_from_arrays -> explode covers the map surface; output is
@@ -150,6 +193,7 @@ QUERIES = {
     "array_agg_per_group": array_agg_per_group,
     "string_funcs": string_funcs,
     "window_funcs": window_funcs,
+    "window_funcs2": window_funcs2,
     "map_funcs": map_funcs,
     "json_nested_extract": json_nested_extract,
     "array_funcs": array_funcs,
@@ -247,3 +291,30 @@ ORACLES = {
         WHERE c_custkey < 100
     """,
 }
+
+ORACLES["window_funcs2"] = """
+    WITH base AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(floor(o_totalprice * 100 + 0.5)
+                              AS BIGINT) END AS nullable_cents
+        FROM orders WHERE o_custkey < 50
+    )
+    SELECT o_custkey, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS second_key,
+           first_value(nullable_cents IGNORE NULLS) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS first_nonnull_cents,
+           lag(o_orderkey, 2, -1) OVER w AS lag2_defaulted
+    FROM base
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
