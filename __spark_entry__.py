@@ -73,6 +73,7 @@ _R8_PRIORITY: list[str] = [
     "lang_id_confusion",
     "dedup_threshold_sweep",
     "window_funcs2",
+    "string_funcs2",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",

@@ -188,10 +188,32 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery -- the regex/splitting surface part 1
+    skips: regexp_extract (+_all, comma-serialized), split_part,
+    position (instr/strpos), repeat, reverse, concat_ws, and a LIKE
+    prefix flag. All JVM-side expressions with DuckDB twins."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)$", 1).alias("trailing_digits"),
+        F.array_join(
+            F.expr(r"regexp_extract_all(c_name, '([0-9]{2})', 1)"), ","
+        ).alias("digit_pairs"),
+        F.expr("split_part(c_name, '#', 2)").alias("after_hash"),
+        F.instr("c_name", "9").alias("pos_of_9"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 2).alias("seg2x"),
+        F.reverse(F.substring("c_name", 1, 10)).alias("rev_prefix"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.col("c_name").like("Customer%").cast("int").alias("is_customer"),
+    )
+
+
 QUERIES = {
     "json_props_agg": json_props_agg,
     "array_agg_per_group": array_agg_per_group,
     "string_funcs": string_funcs,
+    "string_funcs2": string_funcs2,
     "window_funcs": window_funcs,
     "window_funcs2": window_funcs2,
     "map_funcs": map_funcs,
@@ -317,4 +339,20 @@ ORACLES["window_funcs2"] = """
     FROM base
     WINDOW w AS (PARTITION BY o_custkey
                  ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+ORACLES["string_funcs2"] = r"""
+    SELECT c_custkey,
+           coalesce(regexp_extract(c_name, '(\d+)$', 1), '')
+               AS trailing_digits,
+           array_to_string(regexp_extract_all(c_name, '([0-9]{2})', 1),
+                           ',') AS digit_pairs,
+           split_part(c_name, '#', 2) AS after_hash,
+           CAST(strpos(c_name, '9') AS INTEGER) AS pos_of_9,
+           repeat(substring(c_mktsegment, 1, 2), 2) AS seg2x,
+           reverse(substring(c_name, 1, 10)) AS rev_prefix,
+           concat_ws('-', c_mktsegment, c_name) AS seg_name,
+           CAST(CASE WHEN c_name LIKE 'Customer%' THEN 1 ELSE 0 END
+                AS INTEGER) AS is_customer
+    FROM customer WHERE c_custkey < 100
 """
