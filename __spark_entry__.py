@@ -74,6 +74,7 @@ _R8_PRIORITY: list[str] = [
     "dedup_threshold_sweep",
     "window_funcs2",
     "string_funcs2",
+    "datetime_funcs2",
     "hll_distinct",
     "bloom_membership",
     "gini_nation_revenue",

@@ -430,3 +430,43 @@ ORACLES = {
         WINDOW w AS (PARTITION BY user_id)
     """,
 }
+
+
+def datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second datetime battery -- the calendar surface part 1 skips:
+    last_day, add_months (end-of-month clamping semantics, identical in
+    both engines), make_date round-trip from extracted parts, ISO week
+    number, and an integer month-distance (year*12+month arithmetic --
+    months_between is FRACTIONAL and float-hazardous, so the exact
+    integer form is the cross-engine one). Map-only, full pushdown."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus2m"),
+        F.date_format(
+            F.make_date(F.year(d), F.month(d), F.lit(1)), "yyyy-MM-dd"
+        ).alias("rebuilt_month_start"),
+        F.weekofyear(d).alias("iso_week"),
+        (
+            (F.year(d) * 12 + F.month(d)) - (2000 * 12 + 1)
+        ).alias("months_since_2000"),
+    )
+
+
+QUERIES["datetime_funcs2"] = datetime_funcs2
+ORACLES["datetime_funcs2"] = """
+    SELECT o_orderkey,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH,
+                    '%Y-%m-%d') AS plus2m,
+           strftime(make_date(CAST(year(o_orderdate) AS INTEGER),
+                              CAST(month(o_orderdate) AS INTEGER), 1),
+                    '%Y-%m-%d') AS rebuilt_month_start,
+           CAST(week(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate))
+                - (2000 * 12 + 1) AS INTEGER) AS months_since_2000
+    FROM orders WHERE o_orderkey < 500
+"""
