@@ -412,3 +412,42 @@ def test_set_and_experiment_ops_degenerate_inputs(spark, tmp_path):
     ab = a8.ab_test_conversion(spark, sf).collect()[0]
     assert ab.z is None
     assert ab.conv_a == 0 and ab.conv_b == 0
+
+
+def test_zorder_interleave_is_bijective_hypothesis(spark):
+    """Property: the Morton interleave is a bijection on 16-bit pairs --
+    decode(encode(x, y)) == (x, y) for arbitrary values (hypothesis),
+    evaluated through the SHARED SQL text in one Spark call."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from abr_etl_spark.functions.zorder import zkey_sql
+
+    def decode(z, bits=16):
+        x = y = 0
+        for i in range(bits):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 65535), st.integers(0, 65535)
+            ),
+            min_size=1,
+            max_size=16,
+        )
+    )
+    def check(pairs):
+        rows = spark.createDataFrame(
+            pairs, "x long, y long"
+        ).selectExpr("x", "y", f"{zkey_sql('x', 'y', ' DIV ')} AS z").collect()
+        for r in rows:
+            assert decode(r.z) == (r.x, r.y)
+
+    check()

@@ -17,6 +17,7 @@ from tests.conftest import SF_SMOKE
 KEYS = [
     "quantile_sketch_hash",
     "hll_distinct",
+    "hll_sliding_distinct",
     "kmv_set_ops",
     "weighted_sample_systematic",
     "train_test_split",
@@ -25,6 +26,13 @@ KEYS = [
     "zorder_layout",
     "simpson_diversity",
     "winsorized_mean",
+    "funnel_time_bounded",
+    "bpe_learn_merges",
+    "sample_deterministic",
+    "corpus_mix",
+    "histogram_equi_depth",
+    "top_n_per_group",
+    "mode_per_group",
 ]
 
 
