@@ -89,53 +89,185 @@ def location_transform(df: DataFrame) -> DataFrame:
     return out
 
 
+def _bucket_case_sql(col: str, bounds: list[float]) -> str:
+    """Unrolled binary search: map ``col`` to its quantile bucket in
+    [0, len(bounds)+1) via a depth-log2(B) nested CASE over the LITERAL
+    sorted inner boundaries -- log2(B) comparisons per row, pure
+    JVM-side arithmetic, no join and no shuffle (the map-side
+    range-id assignment a lakehouse OPTIMIZE ZORDER does after its
+    boundary-sampling job)."""
+
+    def rec(lo: int, hi: int) -> str:
+        if hi - lo == 1:
+            return str(lo)
+        mid = (lo + hi) // 2
+        b = repr(float(bounds[mid - 1]))
+        return (
+            f"(CASE WHEN {col} < {b} THEN {rec(lo, mid)}"
+            f" ELSE {rec(mid, hi)} END)"
+        )
+
+    return rec(0, len(bounds) + 1)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
     x: str,
     y: str,
     *,
-    bits: int = 16,
+    bits: int = 8,
     n_files: int = 8,
 ) -> int:
     """Write ``df`` as parquet clustered on the z-order (Morton)
-    interleave of two non-negative integer SQL expressions -- the
-    layout that gives every output file a bounded rectangle in BOTH
-    dimensions, so per-file min/max column stats prune scans filtered
-    on either one (the reason lakehouse tables z-order instead of
-    sorting by a single key; plans/analytics8.zorder_layout is the
-    read-side locality report over the same formula).
+    interleave of two numeric SQL expressions -- the layout that gives
+    every output file a bounded rectangle in BOTH dimensions, so
+    per-file (and per-row-group) min/max column stats prune scans
+    filtered on either one (the reason lakehouse tables z-order instead
+    of sorting by a single key; plans/analytics8.zorder_layout is the
+    read-side locality report over the same interleave formula).
 
-    Mechanics: repartitionByRange on the z-key (range-sampled
-    boundaries -> balanced files regardless of key skew) +
-    sortWithinPartitions, then the helper column is projected away
-    before the write. Pure map-side arithmetic plus the ONE range
-    exchange any clustering write needs. Returns the output file count
+    Each dimension is first RANK-BUCKETED into 2^bits quantile buckets:
+    one approxQuantile pass per dimension computes the 2^bits - 1 inner
+    boundaries (a column-pruned aggregation job, deterministic GK
+    summaries, nothing shuffled), and each row's bucket is then an
+    unrolled log2-depth binary-search CASE over those literal
+    boundaries -- so ARBITRARY key domains (beyond 2^bits, negative,
+    skewed) cluster correctly and monotonically; distant values can
+    never alias into the same Morton cell the way a raw pmod fold
+    would. The Morton interleave runs on the bucket ids, which are
+    non-negative and < 2^bits by construction. (Boundary comparison is
+    in DOUBLE: above 2^53 adjacent integers may share a bucket --
+    still monotonic, so pruning degrades gracefully, never aliases.)
+
+    Mechanics after bucketing: repartitionByRange on the z-key
+    (range-sampled boundaries -> balanced files regardless of key skew)
+    + sortWithinPartitions, helper columns projected away before the
+    write. Two metadata-scale quantile jobs plus the ONE range exchange
+    any clustering write needs. Returns the output file count
     (<= n_files; the range partitioner may emit fewer for tiny
-    inputs). Locality contract is pytest-asserted against a
-    single-column sort baseline (tests/test_maintenance.py).
+    inputs). Locality + file-level pruning contracts are
+    pytest-asserted (tests/test_maintenance.py).
     """
     import glob
     import os
 
     from abr_etl_spark.functions.zorder import zkey_sql
 
-    zk = zkey_sql(
-        f"pmod({x}, {1 << bits})", f"pmod({y}, {1 << bits})", " DIV ",
-        bits=bits,
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    staged = df.withColumn("__zx", F.expr(x).cast("double")).withColumn(
+        "__zy", F.expr(y).cast("double")
     )
+    bx, by = staged.stat.approxQuantile(
+        ["__zx", "__zy"], probs, 1.0 / (4 * n_buckets)
+    )
+    # materialize the bucket ids ONCE per row -- zkey_sql substitutes its
+    # operand text once per bit, which would re-run the binary search
+    # 2*bits times per row if handed the CASE expression directly
+    bucketed = staged.withColumn(
+        "__zxb", F.expr(_bucket_case_sql("__zx", bx)).cast("long")
+    ).withColumn("__zyb", F.expr(_bucket_case_sql("__zy", by)).cast("long"))
+    zk = zkey_sql("__zxb", "__zyb", " DIV ", bits=bits)
     (
-        df.withColumn("__zkey", F.expr(zk))
+        bucketed.withColumn("__zkey", F.expr(zk))
         .repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")
-        .drop("__zkey")
+        .drop("__zkey", "__zx", "__zy", "__zxb", "__zyb")
         .write.mode("overwrite")
         .parquet(path)
     )
-    return len(
-        [
-            f
-            for f in glob.glob(os.path.join(path, "part-*"))
-            if os.path.isfile(f) and not f.endswith(".crc")
-        ]
-    )
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "part-*"))
+        if os.path.isfile(f) and not f.endswith(".crc")
+    ]
+    # plain-column cluster keys get a per-file min/max manifest so
+    # read_zordered can do FILE-level pruning (the skipping layer a
+    # vanilla parquet scan lacks: Spark only drops row groups inside
+    # each reader task, never whole files)
+    cols = [c for c in (x, y) if c in df.columns]
+    if cols:
+        _write_zorder_manifest(path, files, cols)
+    return len(files)
+
+
+ZORDER_MANIFEST = "_zorder_manifest.json"
+
+
+def _write_zorder_manifest(
+    path: str, files: list[str], cols: list[str]
+) -> None:
+    """Per-file min/max stats for the cluster columns, from the parquet
+    FOOTERS only (no data read) -- the write-time metadata a lakehouse
+    table format keeps in its log. Driver-side over the file list, which
+    is metadata-scale; a 100 TB table with ~10^5 files would distribute
+    the footer reads over executors and union the results."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for f in sorted(files):
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.names
+        stats: dict[str, list] = {}
+        for c in cols:
+            j = names.index(c)
+            mins, maxs = [], []
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(j).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                stats[c] = [min(mins), max(maxs)]
+        entries.append({"file": os.path.basename(f), "stats": stats})
+    with open(os.path.join(path, ZORDER_MANIFEST), "w") as fh:
+        json.dump(entries, fh)
+
+
+def read_zordered(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple] | None = None,
+) -> tuple[DataFrame, int]:
+    """Read a write_zordered directory with FILE-level min/max pruning:
+    files whose manifest rectangle misses every ``{col: (lo, hi)}``
+    range are never handed to the scan at all (the reader still applies
+    row-group pruning inside the survivors). Pruning is conservative --
+    a file is read unless its stats PROVE it irrelevant -- so callers
+    apply their .where() as usual. Returns (df, n_files_selected).
+
+    Falls back to the plain directory scan when no manifest exists or a
+    queried column has no stats. The file-list decision is driver-side
+    over manifest entries (metadata-scale, same as any lakehouse
+    planner)."""
+    import json
+    import os
+
+    manifest = os.path.join(path, ZORDER_MANIFEST)
+    if not ranges or not os.path.exists(manifest):
+        df = spark.read.parquet(path)
+        return df, -1
+    with open(manifest) as fh:
+        entries = json.load(fh)
+    keep = []
+    for e in entries:
+        ok = True
+        for c, (lo, hi) in ranges.items():
+            st = e["stats"].get(c)
+            if st is not None and (st[1] < lo or st[0] > hi):
+                ok = False
+                break
+        if ok:
+            keep.append(os.path.join(path, e["file"]))
+    if not keep:  # provably empty result; keep the schema via one file
+        df = spark.read.parquet(
+            os.path.join(path, entries[0]["file"])
+        ).limit(0)
+        return df, 0
+    return spark.read.parquet(*keep), len(keep)

@@ -503,11 +503,13 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (area/(2*span) cents = area*50/span 1e-4-units). Users with a single
     event have no span and are excluded on both engines. The rounding
-    division is a SIGN-SAFE floor (pmod-based on the Spark side, // on
-    DuckDB): Spark's DIV truncates toward zero while DuckDB's // floors,
-    and the two diverge on negative numerators -- harmless while
-    events.value is non-negative (true of the generated data) but the
-    operator must not silently depend on that.
+    division is a SIGN-SAFE floor on BOTH engines: Spark's DIV and
+    DuckDB 1.0's // each truncate toward zero (verified: -7 // 2 = -3
+    in DuckDB), so both sides subtract the non-negative pmod remainder
+    first -- `(x - pmod(x, d)) DIV d` / `(x - ((x % d + d) % d)) // d`
+    -- making the half-up rounding exact for negative areas too
+    (possible once values go negative; the generated data keeps them
+    non-negative but the operator must not silently depend on that).
 
     Scale shape: one lag window and one aggregate over the SAME
     (user_id)-partitioning -- Catalyst plans a single Exchange+Sort; no
@@ -633,8 +635,12 @@ ORACLES = {
             FROM paired GROUP BY user_id
         )
         SELECT user_id, n_events, span_s,
-               CAST((2 * area2 * 50 + span_s) // (2 * span_s) AS BIGINT)
-                   AS twa_e4
+               -- sign-safe floor: DuckDB // truncates toward zero like
+               -- Spark DIV, so subtract the non-negative mod first
+               CAST(((2 * area2 * 50 + span_s)
+                     - (((2 * area2 * 50 + span_s) % (2 * span_s)
+                         + 2 * span_s) % (2 * span_s)))
+                    // (2 * span_s) AS BIGINT) AS twa_e4
         FROM agg WHERE span_s > 0 ORDER BY user_id
     """,
     # Replays the identical union + dual-frame window formulation (NOT a

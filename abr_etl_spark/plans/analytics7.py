@@ -108,8 +108,11 @@ def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue growth: (month, revenue_c, growth)
     with revenue in exact cents and growth = (rev - prev)/prev, a
     DOUBLE rounded to 6 (one double division -- identical IEEE both
-    engines; integer DIV is avoided because Spark truncates and DuckDB
-    floors on NEGATIVE growth months). First month reports NULL growth.
+    engines; a bare integer DIV is avoided because both Spark DIV and
+    DuckDB // truncate toward zero, which is not the half-up floor the
+    operator wants on NEGATIVE growth months -- the sign-safe pmod
+    floor used by time_weighted_avg would be needed on BOTH sides).
+    First month reports NULL growth.
 
     Scale shape: the order scan collapses to one row per month before
     the lag window touches anything -- the global window runs over tens

@@ -441,7 +441,10 @@ def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (segment, n, cut_lo_c, cut_hi_c, wmean_e4) -- balances in exact
     cents, clipped at floor(percentile(0.05/0.95)) integer cents, mean
     as a sign-safe half-up 1e-4-unit integer (balances go negative, so
-    the pmod floor-division discipline from time_weighted_avg applies).
+    BOTH engines subtract the non-negative pmod remainder before the
+    truncating integer division -- Spark DIV and DuckDB // each
+    truncate toward zero, so the floor must be built explicitly on
+    each side; see time_weighted_avg).
     The robust-mean companion to anomaly_mad's robust outlier count.
 
     Scale shape: two segment-partitioned aggregates with a tiny
@@ -1089,7 +1092,11 @@ ORACLES = {
             FROM clipped GROUP BY 1
         )
         SELECT c_mktsegment, n, cut_lo_c, cut_hi_c,
-               CAST((2 * sw * 100 + n) // (2 * n) AS BIGINT) AS wmean_e4
+               -- sign-safe floor: DuckDB // truncates toward zero like
+               -- Spark DIV, so subtract the non-negative mod first
+               CAST(((2 * sw * 100 + n)
+                     - (((2 * sw * 100 + n) % (2 * n) + 2 * n) % (2 * n)))
+                    // (2 * n) AS BIGINT) AS wmean_e4
         FROM agg ORDER BY c_mktsegment
     """,
     "session_paths_topk": f"""

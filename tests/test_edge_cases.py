@@ -351,16 +351,35 @@ def test_bloom_positions_in_range(spark):
 
 def test_winsor_floor_negative_sum_parity(spark):
     """The sign-safe pmod floor equals Python's // (floor) for negative
-    numerators -- the DIV-vs-// class the advice flagged."""
+    numerators AND the DuckDB-side floor expression the oracles use --
+    DuckDB 1.0's bare // TRUNCATES toward zero (-7 // 2 = -3), so the
+    oracle must build the floor explicitly, exactly like Spark's DIV."""
+    import duckdb
+
+    cases = [(-123, 7), (-1, 4), (123, 7), (-700, 7)]
     rows = spark.createDataFrame(
-        [(-123, 7), (-1, 4), (123, 7), (-700, 7)], "sw long, n long"
+        cases, "sw long, n long"
     ).selectExpr(
         "sw", "n",
         "((2 * sw * 100 + n) - pmod(2 * sw * 100 + n, 2 * n))"
         " DIV (2 * n) AS w"
     ).collect()
+    con = duckdb.connect()
+    # DuckDB's bare // truncates toward zero -- the very divergence the
+    # oracles must not carry
+    assert con.execute("SELECT -7 // 2").fetchone()[0] == -3
     for r in rows:
-        assert r.w == (2 * r.sw * 100 + r.n) // (2 * r.n), r
+        want = (2 * r.sw * 100 + r.n) // (2 * r.n)  # Python floors
+        assert r.w == want, r
+        got_ddb = con.execute(
+            "SELECT ((2 * $sw * 100 + $n)"
+            "        - (((2 * $sw * 100 + $n) % (2 * $n) + 2 * $n)"
+            "           % (2 * $n)))"
+            "       // (2 * $n)",
+            {"sw": r.sw, "n": r.n},
+        ).fetchone()[0]
+        assert got_ddb == want, (r, got_ddb)
+    con.close()
 
 
 def test_recall_handles_probe_with_empty_bucket(spark, tmp_path):

@@ -160,3 +160,95 @@ def test_write_zordered_enables_rowgroup_pruning(spark, tmp_path):
     assert scanned_r == side * side  # random layout reads everything
     # clustered layout: most row groups statically excluded
     assert scanned_z < 0.5 * scanned_r
+
+
+def _scan_metric(q, key):
+    """Sum a named metric over every Scan node of q's EXECUTED plan."""
+    plan = q._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        out = []
+        if "Scan" in node.nodeName():
+            m = node.metrics()
+            it = m.keysIterator()
+            while it.hasNext():
+                k = it.next()
+                if k == key:
+                    out.append(m.apply(k).value())
+        for i in range(node.children().size()):
+            out += walk(node.children().apply(i))
+        return out
+
+    return sum(walk(plan))
+
+
+def test_write_zordered_file_level_pruning_large_domain(spark, tmp_path):
+    """FILE-level min/max pruning on a key domain far beyond 2^16 -- the
+    regime where the old pmod fold aliased distant values into one
+    Morton cell. The quantile rank-bucketing keeps per-file rectangles
+    bounded on the ORIGINAL columns, so a 2-D predicate must read
+    strictly fewer files than were written ('numFiles' from the
+    executed scan), while an unsorted control layout prunes nothing.
+    Results are identical either way."""
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.operators import maintenance
+
+    side = 200
+    stride = 1_000_003  # domain spans ~2*10^8 >> 65536
+    df = spark.range(side * side).select(
+        ((F.col("id") % side) * stride).alias("a"),
+        ((F.col("id") / side).cast("long") * stride).alias("b"),
+    )
+    zp, rp = str(tmp_path / "zbig"), str(tmp_path / "rbig")
+    n_written = maintenance.write_zordered(df, zp, "a", "b", n_files=16)
+    assert n_written == 16
+    df.repartition(16).write.mode("overwrite").parquet(rp)
+
+    lo, hi = 10 * stride, 29 * stride  # 20 of 200 values per dim
+    ranges = {"a": (lo, hi), "b": (lo, hi)}
+
+    pruned, n_kept = maintenance.read_zordered(spark, zp, ranges)
+    qz = pruned.where(
+        (F.col("a").between(lo, hi)) & (F.col("b").between(lo, hi))
+    )
+    qr = spark.read.parquet(rp).where(
+        (F.col("a").between(lo, hi)) & (F.col("b").between(lo, hi))
+    )
+    n_z, n_r = len(qz.collect()), len(qr.collect())
+    files_z = _scan_metric(qz, "numFiles")
+    files_r = _scan_metric(qr, "numFiles")
+    assert n_z == n_r == 20 * 20  # identical results
+    assert files_r == 16  # unsorted control: every file read
+    # clustered layout: the 10%x10% query rectangle touches a strict
+    # minority of the 16 files; the manifest pruned the rest BEFORE the
+    # scan, and the executed plan's numFiles agrees with the planner
+    assert files_z == n_kept and files_z < 8, (files_z, n_kept)
+    # control sanity: without ranges the reader falls back to all files
+    allback, flag = maintenance.read_zordered(spark, zp)
+    assert flag == -1 and allback.count() == side * side
+
+
+def test_read_zordered_conservative_and_empty(spark, tmp_path):
+    """Stats pruning must be a conservative superset (never drops a
+    matching row) and a provably-empty range returns 0 rows with the
+    original schema, touching at most one footer."""
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.operators import maintenance
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("a"), (F.col("id") * 3).alias("b")
+    )
+    zp = str(tmp_path / "zc")
+    maintenance.write_zordered(df, zp, "a", "b", n_files=8)
+
+    got, n_kept = maintenance.read_zordered(spark, zp, {"a": (500, 600)})
+    rows = got.where(F.col("a").between(500, 600)).count()
+    assert rows == 101 and 0 < n_kept < 8
+
+    empty, n0 = maintenance.read_zordered(
+        spark, zp, {"a": (100_000, 200_000)}
+    )
+    assert n0 == 0 and empty.count() == 0
+    assert empty.columns == ["a", "b"]
