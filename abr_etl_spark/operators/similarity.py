@@ -29,6 +29,10 @@ HYPERPLANE_BITS = 8
 #: -- expr wins at 10k, ~even at 30k, arrow 2.8x at 100k vectors).
 ARROW_MIN_VECTORS = 50_000
 
+#: use_arrow="auto" probe results, keyed on df.semanticHash() so repeat
+#: calls over the same (canonicalized) input plan never re-count
+_AUTO_PROBE_CACHE: dict[int, int] = {}
+
 
 def _hyperplane_sign(bit: int, dim_expr: str) -> str:
     """Pseudo-random +-1 for (hyperplane bit, dimension) -- an LCG on the
@@ -508,6 +512,7 @@ def embedding_dup_pairs(
     n_bands: int = 2,
     method: str = "lsh",
     use_arrow: bool | str = "auto",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with cosine >= threshold.
 
@@ -542,8 +547,12 @@ def embedding_dup_pairs(
     plus per-candidate vector shipping dominates and the codegen'd
     expression plan wins; above it the per-element interpreted
     aggregate loses to vectorized batch math and Arrow wins outright.
-    The auto probe is one column-pruned count() (parquet row-group
-    metadata at scale). Pass an explicit bool to pin either path.
+    The auto probe runs df.count() ONCE per distinct input plan
+    (memoized on df.semanticHash()): cheap row-group-metadata work for
+    a bare parquet scan, but a full execution of whatever upstream
+    plan df carries -- for derived inputs, pass ``n_vectors`` (an
+    exact count is unnecessary; order of magnitude decides) or pin
+    ``use_arrow`` to a bool and no probe runs at all.
     """
     a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
@@ -556,7 +565,13 @@ def embedding_dup_pairs(
             .select("doc_a", "doc_b", "cos")
         )
     if use_arrow == "auto":
-        use_arrow = df.count() >= ARROW_MIN_VECTORS
+        if n_vectors is None:
+            key = df.semanticHash()
+            n_vectors = _AUTO_PROBE_CACHE.get(key)
+            if n_vectors is None:
+                n_vectors = df.count()
+                _AUTO_PROBE_CACHE[key] = n_vectors
+        use_arrow = n_vectors >= ARROW_MIN_VECTORS
     width = bits // n_bands
     mask = (1 << width) - 1
     # Candidate generation and verification shuffle DIFFERENT payloads:

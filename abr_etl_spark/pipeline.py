@@ -84,17 +84,23 @@ def unzip_drop(
                 f"{zip_path}: declared uncompressed size {total} "
                 f"> max_bytes={max_bytes}"
             )
+        # validate ALL flattened basenames BEFORE extracting anything, so
+        # a duplicate raises with zero bytes written -- raising mid-loop
+        # would leave earlier entries behind as partial state
+        flat = [
+            (info, base)
+            for info in infos
+            if (base := os.path.basename(info.filename.replace("\\", "/")))
+        ]
         seen: set[str] = set()
-        for info in infos:
-            base = os.path.basename(info.filename.replace("\\", "/"))
-            if not base:
-                continue
+        for _, base in flat:
             if base in seen:
                 raise ValueError(
                     f"{zip_path}: duplicate basename {base!r} after "
                     "flattening -- entries would overwrite each other"
                 )
             seen.add(base)
+        for info, base in flat:
             target = os.path.join(dest_dir, base)
             with zf.open(info) as src, open(target, "wb") as dst:
                 while chunk := src.read(1 << 20):

@@ -112,3 +112,20 @@ def test_unzip_drop_rejects_traversal_and_bounds(tmp_path):
         pipeline.unzip_drop(str(zp), str(dest), max_files=2)
     with pytest.raises(ValueError, match="max_bytes"):
         pipeline.unzip_drop(str(zp), str(dest), max_bytes=1)
+
+
+def test_unzip_drop_duplicate_basename_extracts_nothing(tmp_path):
+    """The duplicate-basename guard is a PRE-PASS: on failure not a
+    single entry has been extracted (no partial state), even when the
+    duplicate is the last entry of the archive."""
+    import zipfile
+
+    zp = tmp_path / "dup.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("first.txt", "a")
+        zf.writestr("second.txt", "b")
+        zf.writestr("nested/second.txt", "c")  # flattens to a duplicate
+    dest = tmp_path / "out"
+    with pytest.raises(ValueError, match="duplicate basename"):
+        pipeline.unzip_drop(str(zp), str(dest))
+    assert os.listdir(dest) == []
