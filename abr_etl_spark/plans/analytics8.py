@@ -51,9 +51,9 @@ from abr_etl_spark.sources.lake import load_table
 #: HLL bucket count (power of two). A DATA-SIZE parameter like
 #: QS_RATE_E4: m=16 keeps the raw-HLL regime (n > 2.5m) at every
 #: testdata sf; production uses m=2^14 for ~1% error. The standard
-#: small-range linear-counting correction needs ln() (libm) and is
-#: deliberately omitted -- the estimate is still deterministic and the
-#: pytest bounds its relative error in the regime m is chosen for.
+#: small-range linear-counting correction IS applied (hll_est_sql
+#: below) via a pre-evaluated literal table, so small cardinalities
+#: stay accurate without any runtime ln() on either engine.
 HLL_M = 16
 #: shared 31-bit hash h = ((A*k + B mod P)^2 mod P) * A2 + B2 mod P.
 #: The SQUARE matters: an affine-only hash maps sequential keys onto a
@@ -95,6 +95,44 @@ def _hll_rank_sql(w: str) -> str:
     )
 
 
+#: Linear-counting literals m*ln(m/V) for every possible empty-register
+#: count V in [1, m): with m=16 the small-range correction needs NO
+#: runtime ln() on either engine -- the 15 possible values are computed
+#: once here (CPython libm, round-to-4 = the output grain) and inlined
+#: as identical literals into both SQL texts, keeping the sketch
+#: bit-replayable. V = m (empty sketch) estimates 0.0. Production-sized
+#: m (2^14) would instead round a runtime ln() to the output grain on
+#: both sides -- the dsir_importance round-for-parity discipline --
+#: since a 16k-entry CASE is impractical.
+import math as _math
+
+_HLL_LC_LIT = {
+    v: repr(round(HLL_M * _math.log(HLL_M / v), 4))
+    for v in range(1, HLL_M)
+}
+#: the standard regime boundary (Flajolet et al. 2007): raw estimates
+#: at or below 2.5m are biased, linear counting takes over
+HLL_LC_THRESHOLD = 2.5 * HLL_M
+
+
+def hll_est_sql(V: str, S: str) -> str:
+    """Shared HLL-estimate text (identical both engines) WITH the
+    small-range correction: raw = alpha_m*m^2 / S, where ``S`` sums
+    2^-rank over ALL m registers (empties contribute 2^0 = 1); when
+    raw <= 2.5m and ``V`` > 0 registers are empty, linear counting
+    m*ln(m/V) replaces it -- via the _HLL_LC_LIT literal table, so the
+    correction is exactly replayable. Both branches round to 4."""
+    raw = f"({HLL_ALPHA_M2!r} / ({S}))"
+    whens = " ".join(
+        f"WHEN ({V}) = {v} THEN {lit}" for v, lit in _HLL_LC_LIT.items()
+    )
+    return (
+        f"(CASE WHEN ({V}) > 0 AND {raw} <= {HLL_LC_THRESHOLD!r} "
+        f"THEN (CASE {whens} ELSE 0.0 END) "
+        f"ELSE round({raw}, 4) END)"
+    )
+
+
 def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog estimate of distinct ordering customers:
     (m, n_filled, est). Each key hashes once at the scan; registers are
@@ -119,16 +157,18 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rank").alias("max_rank"))
     )
-    return regs.agg(
-        F.lit(HLL_M).cast("int").alias("m"),
+    agg = regs.agg(
         F.count("*").cast("long").alias("n_filled"),
-        F.round(
-            F.lit(HLL_ALPHA_M2)
-            / (
-                (HLL_M - F.count("*"))
-                + F.sum(F.expr("power(2.0, -max_rank)"))
-            ),
-            4,
+        F.sum(F.expr("power(2.0, -max_rank)")).alias("S_f"),
+    )
+    return agg.select(
+        F.lit(HLL_M).cast("int").alias("m"),
+        "n_filled",
+        F.expr(
+            hll_est_sql(
+                f"({HLL_M} - n_filled)",
+                f"(({HLL_M} - n_filled) + S_f)",
+            )
         ).alias("est"),
     )
 
@@ -741,13 +781,14 @@ def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_rank").over(w).alias("mr"),
     )
     per_day = merged.groupBy("day", "day_idx").agg(
-        F.sum(F.coalesce(F.expr("power(2.0, -mr)"), F.lit(1.0))).alias("S")
+        F.sum(F.coalesce(F.expr("power(2.0, -mr)"), F.lit(1.0))).alias("S"),
+        F.sum(F.when(F.col("mr").isNull(), 1).otherwise(0)).alias("V"),
     )
     return (
         per_day.select(
             "day",
             F.count("*").over(w_days).cast("long").alias("n_days"),
-            F.round(F.lit(HLL_ALPHA_M2) / F.col("S"), 4).alias("est_7d"),
+            F.expr(hll_est_sql("V", "S")).alias("est_7d"),
         )
         .orderBy("day")
     )
@@ -916,7 +957,8 @@ ORACLES = {
             FROM grid
         ), per_day AS (
             SELECT day, day_idx,
-                   sum(coalesce(power(2.0, -mr), 1.0)) AS S
+                   sum(coalesce(power(2.0, -mr), 1.0)) AS S,
+                   sum(CASE WHEN mr IS NULL THEN 1 ELSE 0 END) AS V
             FROM merged GROUP BY day, day_idx
         )
         SELECT day,
@@ -924,7 +966,7 @@ ORACLES = {
                    ORDER BY day_idx
                    RANGE BETWEEN {HLL_WINDOW_DAYS - 1} PRECEDING
                          AND CURRENT ROW) AS BIGINT) AS n_days,
-               round({HLL_ALPHA_M2!r} / S, 4) AS est_7d
+               {hll_est_sql("V", "S")} AS est_7d
         FROM per_day ORDER BY day
     """,
     "kmv_set_ops": f"""
@@ -980,11 +1022,15 @@ ORACLES = {
                        END) AS max_rank
             FROM orders GROUP BY 1
         )
-        SELECT CAST({HLL_M} AS INTEGER) AS m,
-               CAST(count(*) AS BIGINT) AS n_filled,
-               round({HLL_ALPHA_M2!r} / (({HLL_M} - count(*))
-                     + sum(power(2.0, -max_rank))), 4) AS est
-        FROM regs
+        , agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_filled,
+                   sum(power(2.0, -max_rank)) AS S_f
+            FROM regs
+        )
+        SELECT CAST({HLL_M} AS INTEGER) AS m, n_filled,
+               {hll_est_sql(f"({HLL_M} - n_filled)",
+                            f"(({HLL_M} - n_filled) + S_f)")} AS est
+        FROM agg
     """,
     "gini_nation_revenue": f"""
         WITH rev AS (

@@ -256,11 +256,10 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     track a year of Kafka arrivals.
     """
     from abr_etl_spark.plans.analytics8 import (
-        HLL_ALPHA_M2,
         HLL_M,
         _hll_hash_sql,
         _hll_rank_sql,
-        _HLL_W_BITS,
+        hll_est_sql,
     )
 
     stage = _stage_event_drops(spark, sf_dir)
@@ -281,15 +280,16 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_rank").alias("max_rank")
     )
     return final.agg(
-        F.lit(HLL_M).cast("int").alias("m"),
         F.count("*").cast("long").alias("n_filled"),
-        F.round(
-            F.lit(HLL_ALPHA_M2)
-            / (
-                (HLL_M - F.count("*"))
-                + F.sum(F.expr("power(2.0, -max_rank)"))
-            ),
-            4,
+        F.sum(F.expr("power(2.0, -max_rank)")).alias("S_f"),
+    ).select(
+        F.lit(HLL_M).cast("int").alias("m"),
+        "n_filled",
+        F.expr(
+            hll_est_sql(
+                f"({HLL_M} - n_filled)",
+                f"(({HLL_M} - n_filled) + S_f)",
+            )
         ).alias("est"),
     )
 
@@ -415,11 +415,10 @@ ORACLES["stream_first_seen"] = """
 
 def _hll_stream_oracle() -> str:
     from abr_etl_spark.plans.analytics8 import (
-        HLL_ALPHA_M2,
         HLL_M,
         _hll_hash_sql,
-        _hll_rank_sql,
         _HLL_W_BITS,
+        hll_est_sql,
     )
 
     h = f"({_hll_hash_sql('user_id', engine='duckdb')})"
@@ -427,16 +426,20 @@ def _hll_stream_oracle() -> str:
         f"(CASE WHEN {h} // {HLL_M} = 0 THEN {_HLL_W_BITS + 1} "
         f"ELSE {_HLL_W_BITS + 1} - length(bin({h} // {HLL_M})) END)"
     )
+    est = hll_est_sql(
+        f"({HLL_M} - n_filled)", f"(({HLL_M} - n_filled) + S_f)"
+    )
     return f'''
         WITH regs AS (
             SELECT {h} % {HLL_M} AS bucket, max({rank}) AS max_rank
             FROM events GROUP BY 1
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_filled,
+                   sum(power(2.0, -max_rank)) AS S_f
+            FROM regs
         )
-        SELECT CAST({HLL_M} AS INTEGER) AS m,
-               CAST(count(*) AS BIGINT) AS n_filled,
-               round({HLL_ALPHA_M2!r} / (({HLL_M} - count(*))
-                     + sum(power(2.0, -max_rank))), 4) AS est
-        FROM regs
+        SELECT CAST({HLL_M} AS INTEGER) AS m, n_filled, {est} AS est
+        FROM agg
     '''
 
 

@@ -223,3 +223,58 @@ def test_funnel_time_bounded_vs_bruteforce_triples(spark):
         n_q += ok
     assert r.n_users_qualified == n_q
     assert r.n_users == len(by_user)
+
+
+@pytest.mark.parametrize("n_true", [6, 12])
+def test_hll_linear_counting_small_range(spark, tmp_path, n_true):
+    """Regime boundary: below 2.5m distinct keys the linear-counting
+    branch must be ACTIVE (est equals one of the m*ln(m/V) literals),
+    agree bit-for-bit with the DuckDB oracle on the same parquet, and
+    beat the raw estimator against the truth."""
+    import duckdb
+
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(int(k), dt.datetime(2024, 1, 1), 1.0)
+         for k in range(7, 7 + n_true)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    row = a8.hll_distinct(spark, str(tmp_path)).collect()[0]
+    assert row.n_filled < a8.HLL_M  # V > 0: the correction regime
+    lc_values = {
+        float(lit) for lit in a8._HLL_LC_LIT.values()
+    }
+    assert row.est in lc_values  # linear-counting branch taken
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    want = con.execute(a8.ORACLES["hll_distinct"]).df()
+    con.close()
+    assert float(want["est"][0]) == row.est
+    assert int(want["n_filled"][0]) == row.n_filled
+    # the correction lands within 35% of truth at these tiny n (raw
+    # m=16 small-range bias is far worse; exactness is not the claim)
+    assert abs(row.est - n_true) / n_true < 0.35
+
+
+def test_hll_raw_branch_above_threshold(spark, tmp_path):
+    """Well above 2.5m distinct keys the estimator must stay on the raw
+    branch: est is NOT a linear-counting literal and matches the raw
+    formula recomputed from the registers."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(int(k) * 911 + 3, dt.datetime(2024, 1, 1), 1.0) for k in range(5000)],
+        "o_custkey long, o_orderdate timestamp, o_totalprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    row = a8.hll_distinct(spark, str(tmp_path)).collect()[0]
+    lc_values = {float(lit) for lit in a8._HLL_LC_LIT.values()}
+    assert row.est not in lc_values
+    assert row.est > a8.HLL_LC_THRESHOLD
