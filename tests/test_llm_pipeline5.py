@@ -217,11 +217,16 @@ def test_pca_topk_orthogonal_and_rayleigh_ordered(spark):
     # 1.07 at sf0.001), so EIG_ITERS=6 finite power iterations land at
     # ~0.92*lam -- the bound asserts convergence TOWARD the right
     # eigenpair, not asymptotic convergence the data can't give.
-    assert ray[0] >= ray[1] > 0
+    assert ray[0] >= ray[1] > 0 and ray[2] > 0
     assert ray[0] >= 0.9 * lam_true[0]
     assert ray[1] >= 0.85 * lam_true[1]
+    # the third (k > 2) component still captures real variance after
+    # two deflations -- the near-flat spectrum caps how sharp this can be
+    assert ray[2] >= 0.5 * lam_true[2]
     # orthogonality (power iteration is finite, so a small tolerance)
-    assert abs(float(vs[0] @ vs[1])) < 0.05
+    for a in range(lp5.EIG_K):
+        for b in range(a + 1, lp5.EIG_K):
+            assert abs(float(vs[a] @ vs[b])) < 0.08, (a, b)
 
 
 def test_bpe_apply_merge_consumes_top_pair(spark):
@@ -258,3 +263,42 @@ def test_bpe_learn_merges_consistent_with_pair_counts(spark):
     counts = [m.n_occurrences for m in merges]
     assert counts == sorted(counts, reverse=True)
     assert len({m.merged_pair for m in merges}) == lp5.BPE_MERGES
+
+
+def test_whiten_scores_zero_mean_unit_variance(spark):
+    """The whitening contract, exact by construction: each component's
+    scores have population mean 0 and variance 1 (the Rayleigh scaling
+    is computed against the ORIGINAL scatter, so var(z) = v'Cv / v'Cv
+    holds for ANY unit vector, converged or not)."""
+    from tests.conftest import SF_SMOKE
+
+    rows = lp5._whiten_scores(spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert n > 0
+    for k in range(lp5.EIG_K):
+        zs = [getattr(r, f"z{k}") for r in rows]
+        mean = sum(zs) / n
+        var = sum(z * z for z in zs) / n - mean * mean
+        assert abs(mean) < 1e-6, (k, mean)
+        assert abs(var - 1.0) < 1e-6, (k, var)
+
+
+def test_whiten_topk_is_top_of_full_ranking(spark):
+    """The key's top rows equal the head of the full-score ranking by
+    descending norm with vec_id ties."""
+    from tests.conftest import SF_SMOKE
+
+    full = lp5._whiten_scores(spark, SF_SMOKE).collect()
+    want = sorted(
+        full,
+        key=lambda r: (
+            -sum(getattr(r, f"z{k}") ** 2 for k in range(lp5.EIG_K)),
+            r.vec_id,
+        ),
+    )[: lp5.WHITEN_TOP]
+    got = lp5.embedding_whiten_topk(spark, SF_SMOKE).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    assert all(
+        r.wnorm2 >= got[-1].wnorm2 or abs(r.wnorm2 - got[-1].wnorm2) < 1e-9
+        for r in got
+    )
