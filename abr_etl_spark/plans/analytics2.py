@@ -297,6 +297,8 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = (
         e.select(F.date_format("ts", "yyyy-MM-dd").alias("day")).distinct()
     )
+    # single-partition window is BOUNDED: input is one row per active
+    # day (calendar-scale), never event-scale
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return (
         days.join(per_day, "day", "left")

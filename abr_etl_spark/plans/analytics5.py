@@ -324,6 +324,8 @@ def _ntile_distributed(
         F.row_number().over(w_in).alias("__rn"),
     )
     counts = annotated.groupBy("__b").agg(F.count("*").alias("__c"))
+    # single-partition window is BOUNDED: input is the per-bucket count
+    # table, cardinality = n_tiles-ish bucket count, never row-scale
     w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     prefix = counts.select(
         "__b", F.coalesce(F.sum("__c").over(w_b), F.lit(0)).alias("__pre")

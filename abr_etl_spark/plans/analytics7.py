@@ -131,6 +131,8 @@ def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month")
         .agg(F.sum("cents").alias("revenue_c"))
     )
+    # single-partition window is BOUNDED: input is one row per month
+    # (tens of rows for any corpus age), never order-scale
     w = Window.orderBy("month")
     prev = F.lag("revenue_c").over(w)
     return monthly.select(
@@ -465,6 +467,8 @@ def weighted_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__run", F.sum("cents").over(w_in) - F.col("cents")
     )
     btot = w.groupBy("__b").agg(F.sum("cents").alias("__t"))
+    # single-partition window is BOUNDED: input is the per-bucket total
+    # table (WS_BUCKETS rows), never order-scale
     w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     prefix = btot.select(
         "__b", F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__pre")

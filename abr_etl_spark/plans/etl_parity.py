@@ -185,6 +185,8 @@ def q_lake_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     from pyspark.sql import Window
 
+    # single-partition window is BOUNDED: input is the distinct
+    # month-partition list (metadata-scale, tens of rows)
     w = Window.orderBy(F.col("importdate").desc())
     return (
         parts.withColumn("rank", F.row_number().over(w))

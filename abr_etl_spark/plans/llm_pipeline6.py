@@ -50,16 +50,35 @@ from abr_etl_spark.plans.llm_pipeline import (
 from abr_etl_spark.sources.lake import load_table
 
 
+def _simpson_e6_sql(*, engine: str) -> str:
+    """Half-up 1e6-unit Gini-Simpson over columns (n_tokens, s2) --
+    one formula text for both engines (the _bm25_term_sql discipline):
+    the SPARK side carries n^2 and the 1e6 numerator in DECIMAL(38,0)
+    so billion-token docs can't wrap int64 (DIV lands back in BIGINT);
+    the DuckDB oracle keeps plain BIGINT -- it only replays small-sf
+    data and raises (not wraps) on overflow. Bit-identical wherever
+    both are in range; boundary pytest in tests/test_int_headroom.py.
+    """
+    if engine == "spark":
+        div, nt = " DIV ", "CAST(n_tokens AS DECIMAL(38,0))"
+    else:
+        div, nt = " // ", "n_tokens"
+    nt2 = f"({nt} * n_tokens)"
+    return (
+        f"((2 * (1000000 * ({nt2} - s2)) + {nt2})"
+        f"{div}(2 * {nt2}))"
+    )
+
+
 def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Gini-Simpson token diversity: (doc_id, n_tokens,
     n_distinct, simpson_e6) with
 
         simpson_e6 = 1e6 * (1 - sum c_i^2 / n^2)   [half-up integer]
 
-    0 for a one-token-type doc, -> 1 for all-distinct. Exact rational:
-    numerator/denominator are int64 to n ~ 3e4 tokens/doc at 1e6 units
-    (n^2 * 1e6 < 2^63); longer docs would carry the bm25 DECIMAL(38,0)
-    pattern.
+    0 for a one-token-type doc, -> 1 for all-distinct. Exact rational;
+    the squares and the 1e6 numerator ride DECIMAL(38,0) on the Spark
+    side (_simpson_e6_sql) so arbitrarily long docs can't wrap.
 
     Scale shape: tokens collapse map-side into per-(doc, token) counts
     (one shuffle), then one doc-keyed aggregate -- the same two-level
@@ -78,16 +97,17 @@ def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").alias("n_tokens"),
             F.count("*").alias("n_distinct"),
-            F.sum(F.col("c") * F.col("c")).alias("s2"),
+            # c widened BEFORE the square: a one-type billion-token doc
+            # has c^2 ~ 1e18 at the int64 edge already
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * F.col("c")
+            ).alias("s2"),
         )
         .select(
             "doc_id",
             "n_tokens",
             "n_distinct",
-            F.expr(
-                "(2 * (1000000 * (n_tokens * n_tokens - s2)) "
-                "+ n_tokens * n_tokens) DIV (2 * n_tokens * n_tokens)"
-            ).alias("simpson_e6"),
+            F.expr(_simpson_e6_sql(engine="spark")).alias("simpson_e6"),
         )
         .orderBy("doc_id")
     )
@@ -107,9 +127,10 @@ def source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one (source, token) count shuffle; corpus totals per
     token come from a window over the SAME token key; per-source
-    reduction is bounded by source count. Products c_i*T stay int64 to
-    ~4e5-count tokens at T ~ 2e13 (100 TB); the bm25 DECIMAL swap is
-    the documented relief valve.
+    reduction is bounded by source count. The c_i*T / C_i*t products
+    and the final 1e6 numerator ride DECIMAL(38,0) on the Spark side
+    (_tv_e6_sql, the bm25 discipline) so 100 TB token totals can't
+    wrap int64.
     """
     d = load_table(spark, sf_dir, "documents")
     st = (
@@ -131,10 +152,12 @@ def source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.first("src_t").alias("src_t"),
             F.first("corpus_t").alias("corpus_t"),
+            # widened BEFORE the cross-products: c*T and C*t both reach
+            # ~1e19 at 100 TB token totals
             F.sum(
                 F.abs(
-                    F.col("c") * F.col("corpus_t")
-                    - F.col("ct") * F.col("src_t")
+                    F.col("c").cast("decimal(38,0)") * F.col("corpus_t")
+                    - F.col("ct").cast("decimal(38,0)") * F.col("src_t")
                 )
             ).alias("present_dev"),
             F.sum(F.col("ct")).alias("present_ct"),
@@ -143,12 +166,26 @@ def source_divergence_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dev.select(
         "source",
         F.col("src_t").alias("n_tokens"),
-        F.expr(
-            "(2 * (1000000 * (present_dev + src_t * (corpus_t"
-            " - present_ct))) + (2 * src_t * corpus_t))"
-            " DIV (2 * (2 * src_t * corpus_t))"
-        ).alias("tv_e6"),
+        F.expr(_tv_e6_sql(engine="spark")).alias("tv_e6"),
     ).orderBy("source")
+
+
+def _tv_e6_sql(*, engine: str) -> str:
+    """Half-up 1e6-unit total-variation over columns (present_dev,
+    src_t, corpus_t, present_ct) -- one formula text for both engines;
+    the SPARK side widens the src_t products to DECIMAL(38,0) (bm25
+    discipline; DIV lands back in BIGINT), the DuckDB oracle keeps
+    BIGINT and fails loudly past range. Boundary pytest in
+    tests/test_int_headroom.py."""
+    if engine == "spark":
+        div, st = " DIV ", "CAST(src_t AS DECIMAL(38,0))"
+    else:
+        div, st = " // ", "src_t"
+    den = f"(2 * {st} * corpus_t)"
+    return (
+        f"((2 * (1000000 * (present_dev + {st} * (corpus_t"
+        f" - present_ct))) + {den}){div}(2 * {den}))"
+    )
 
 
 def recall_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,6 +298,21 @@ LIFT_MIN_SUPPORT = 5
 LIFT_TOP = 20
 
 
+def _lift_e4_sql(*, engine: str) -> str:
+    """Half-up 1e4-unit lift over columns (n_ab, N, df_a, df_b) -- one
+    formula text for both engines; the SPARK side widens n_ab*N and
+    df_a*df_b to DECIMAL(38,0) (bm25 discipline; DIV lands back in
+    BIGINT), the DuckDB oracle keeps BIGINT and fails loudly past
+    range. Boundary pytest in tests/test_int_headroom.py."""
+    if engine == "spark":
+        div = " DIV "
+        nab, dfa = "CAST(n_ab AS DECIMAL(38,0))", "CAST(df_a AS DECIMAL(38,0))"
+    else:
+        div, nab, dfa = " // ", "n_ab", "df_a"
+    den = f"({dfa} * df_b)"
+    return f"((2 * 10000 * {nab} * N + {den}){div}(2 * {den}))"
+
+
 def term_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{LIFT_TOP} co-occurring term pairs by LIFT over the
     {LIFT_VOCAB}-term head vocabulary: (term_a, term_b, n_ab, lift_e4)
@@ -273,9 +325,10 @@ def term_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the vocabulary is a TakeOrdered({LIFT_VOCAB}) head
     broadcast to the (doc, term) stream, so the within-doc self-join
     fans out at most C({LIFT_VOCAB},2) pairs per doc -- bounded by the
-    vocab, not the corpus; pair counts collapse map-side. The
-    n_ab*N product documents the bm25 DECIMAL(38,0) swap for
-    billion-doc corpora.
+    vocab, not the corpus; pair counts collapse map-side. The n_ab*N
+    and df_a*df_b products ride DECIMAL(38,0) on the Spark side
+    (_lift_e4_sql, the bm25 discipline) so billion-doc corpora can't
+    wrap int64.
     """
     d = load_table(spark, sf_dir, "documents")
     doc_tok = (
@@ -316,10 +369,7 @@ def term_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term_a",
             "term_b",
             "n_ab",
-            F.expr(
-                "(2 * 10000 * n_ab * N + df_a * df_b)"
-                " DIV (2 * df_a * df_b)"
-            ).alias("lift_e4"),
+            F.expr(_lift_e4_sql(engine="spark")).alias("lift_e4"),
         )
         .orderBy(
             F.col("lift_e4").desc(),
@@ -419,6 +469,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tau_bucket_e1")
         .agg(F.count("*").alias("n_pairs"))
     )
+    # single-partition window is BOUNDED: input is the tau-bucket
+    # census (<= 10 rows by construction), never pair-scale
     w = Window.orderBy(F.col("tau_bucket_e1").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -457,9 +509,7 @@ ORACLES = {
             FROM counts GROUP BY doc_id
         )
         SELECT doc_id, n_tokens, n_distinct,
-               CAST((2 * (1000000 * (n_tokens * n_tokens - s2))
-                     + n_tokens * n_tokens)
-                    // (2 * n_tokens * n_tokens) AS BIGINT)
+               CAST({_simpson_e6_sql(engine="duckdb")} AS BIGINT)
                    AS simpson_e6
         FROM agg ORDER BY doc_id
     """,
@@ -488,9 +538,7 @@ ORACLES = {
             GROUP BY source
         )
         SELECT source, src_t AS n_tokens,
-               CAST((2 * (1000000 * (present_dev + src_t * (corpus_t
-                     - present_ct))) + (2 * src_t * corpus_t))
-                    // (2 * (2 * src_t * corpus_t)) AS BIGINT)
+               CAST({_tv_e6_sql(engine="duckdb")} AS BIGINT)
                    AS tv_e6
         FROM dev ORDER BY source
     """,
@@ -587,9 +635,8 @@ ORACLES["term_lift_topk"] = f"""
         HAVING count(*) >= {LIFT_MIN_SUPPORT}
     )
     SELECT term_a, term_b, n_ab,
-           CAST((2 * 10000 * n_ab * nd.N + df_a * df_b)
-                // (2 * df_a * df_b) AS BIGINT) AS lift_e4
-    FROM pairs, nd
+           CAST({_lift_e4_sql(engine="duckdb")} AS BIGINT) AS lift_e4
+    FROM (SELECT pairs.*, nd.N AS N FROM pairs, nd)
     ORDER BY lift_e4 DESC, term_a ASC, term_b ASC
     LIMIT {LIFT_TOP}
 """
