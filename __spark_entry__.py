@@ -20,74 +20,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-8 priority head, ordered by how badly each key needs a fresh
-# CORRECTNESS row under the driver's ~50-row budget (r7 verdict item 1):
-# 1. the 23 keys whose latest driver row still dates to round 4 (they
-#    did not fit r7's budget) -- after r8 no key's newest row is older
-#    than r5;
-# 2. keys that are brand new or whose plan changed this round;
-# 3. the 47 keys whose latest driver row dates to round 5 (the budget
-#    remainder starts rotating them; the rest lead r9).
+# Round-9 priority head, ordered by how badly each key needs a fresh
+# CORRECTNESS row under the driver's ~50-row budget (r8 verdict item 1):
+# 1. the 47 keys whose latest driver row still dates to round 5 (the
+#    tail of _R8_PRIORITY's section 3 that did not fit r8's budget) --
+#    after r9 no key's newest driver row is older than r6;
+# 2. the brand-new key and the keys whose OUTPUT changed this round
+#    (EIG_K=3 PCA, the HLL linear-counting family);
+# 3. keys whose plan or oracle text changed this round with values
+#    unchanged at test sf, plus the four keys the r8 budget line cut
+#    (all hold green r7/r8 rows, so they can safely spill again).
 # Everything after the budget line keeps module order; all keys pass the
 # local full-registry gate regardless.
-_R8_PRIORITY: list[str] = [
-    # --- 1. r4-stale driver rows (rotate first, r7 verdict item 1) ---
-    "ann_ivf_kmeans",
-    "array_funcs",
-    "bigram_lm",
-    "containment_pairs",
-    "correlated_subqueries",
-    "decontaminate_ngram",
-    "dedup_canonical_star",
-    "gap_fill_ffill",
-    "grouping_sets_agg",
-    "histogram_equi_depth",
-    "histogram_equi_width",
-    "json_nested_extract",
-    "late_shipment_suppliers",
-    "markov_transitions",
-    "mode_per_group",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "reachability_bfs",
-    "salted_join_revenue",
-    "skyline_pareto",
-    "train_test_split",
-    "triangle_count",
-    "unpivot_melt",
-    # --- 2. BRAND-NEW or changed-plan keys this round ---
-    "embedding_pca_topk",
-    "delta_changed_columns",
-    "simpson_diversity",
-    "source_divergence_tv",
-    "recall_at_k_eval",
-    "embedding_outlier_report",
-    "kmv_set_ops",
-    "stream_hll_distinct",
-    "hll_sliding_distinct",
-    "term_lift_topk",
-    "funnel_time_bounded",
-    "bpe_apply_merge",
-    "multimodal_content_address",
-    "bpe_learn_merges",
-    "lang_id_confusion",
-    "dedup_threshold_sweep",
-    "window_funcs2",
-    "string_funcs2",
-    "datetime_funcs2",
-    "hll_distinct",
-    "bloom_membership",
-    "gini_nation_revenue",
-    "chi2_event_dow",
-    "ab_test_conversion",
-    "winsorized_mean",
-    "session_paths_topk",
-    "zorder_layout",
-    "bm25_topk",
-    "inverted_postings",
-    "time_weighted_avg",
-    "quantile_sketch_hash",
-    # --- 3. r5-stale driver rows (budget remainder; rest lead r9) ---
+_R9_PRIORITY: list[str] = [
+    # --- 1. r5-stale driver rows (rotate first, r8 verdict item 1) ---
     "delta_updated",
     "delta_added",
     "delta_removed",
@@ -135,6 +81,22 @@ _R8_PRIORITY: list[str] = [
     "stream_attribution_join",
     "stream_attribution_outer",
     "sequence_pack",
+    # --- 2. brand-new / output-changed this round ---
+    "embedding_whiten_topk",
+    "embedding_pca_topk",
+    "hll_distinct",
+    "hll_sliding_distinct",
+    "stream_hll_distinct",
+    # --- 3. plan/oracle text changed (values unchanged at test sf) +
+    #        the r8 budget-line spill (green r7/r8 rows held) ---
+    "simpson_diversity",
+    "source_divergence_tv",
+    "term_lift_topk",
+    "time_weighted_avg",
+    "winsorized_mean",
+    "bm25_topk",
+    "inverted_postings",
+    "quantile_sketch_hash",
 ]
 
 
@@ -217,8 +179,8 @@ def _registry() -> tuple[dict, dict]:
 
     # Priority ordering: the driver checks queries in registry order under a
     # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
-    # first (see _R8_PRIORITY), then everything else in module order.
-    ordered = {k: queries[k] for k in _R8_PRIORITY if k in queries}
+    # first (see _R9_PRIORITY), then everything else in module order.
+    ordered = {k: queries[k] for k in _R9_PRIORITY if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
     return ordered, oracles
 
