@@ -83,6 +83,8 @@ _R9_PRIORITY: list[str] = [
     "sequence_pack",
     # --- 2. brand-new / output-changed this round ---
     "embedding_whiten_topk",
+    "ann_nprobe_sweep",
+    "simhash_recall_by_tau",
     "embedding_pca_topk",
     "hll_distinct",
     "hll_sliding_distinct",
@@ -171,6 +173,12 @@ def _registry() -> tuple[dict, dict]:
         import abr_etl_spark.plans.llm_pipeline6 as llm_pipeline6
 
         modules.append(llm_pipeline6)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline7 as llm_pipeline7
+
+        modules.append(llm_pipeline7)
     except ImportError:
         pass
     for m in modules:

@@ -266,6 +266,13 @@ def lsh_ann_topk(
     )
 
 
+def probe_masks(bits: int, radius: int) -> list[int]:
+    """All XOR masks within hamming ``radius`` of 0 over ``bits`` bits
+    -- the multiprobe bucket offsets, shared as literals by the Spark
+    plan and the DuckDB sweep oracle (sum of C(bits, 0..radius))."""
+    return [m for m in range(1 << bits) if bin(m).count("1") <= radius]
+
+
 def lsh_ann_multiprobe_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -274,11 +281,15 @@ def lsh_ann_multiprobe_topk(
     vec_col: str = "embedding",
     k: int = 5,
     bits: int = HYPERPLANE_BITS,
+    radius: int = 1,
 ) -> DataFrame:
-    """Multiprobe LSH ANN: each query probes its own bucket plus every
-    bucket at hamming distance 1 (bits+1 probes) -- the standard
-    recall/cost knob. Implemented by exploding the probe list on the
-    (small) query side, so the corpus is still touched via equi-join.
+    """Multiprobe LSH ANN: each query probes every bucket within
+    hamming ``radius`` of its own (sum of C(bits, 0..radius) probes;
+    radius=0 is the single-probe index, radius=1 the classic
+    multiprobe) -- the standard recall/cost knob, swept in-engine by
+    plans/llm_pipeline7.ann_nprobe_sweep. Implemented by exploding the
+    LITERAL mask list on the (small) query side, so the corpus is
+    still touched via equi-join.
     """
     bucket = lambda col: F.expr(sp_lsh_bucket(col, bits))  # noqa: E731
     c = corpus.select(
@@ -287,9 +298,9 @@ def lsh_ann_multiprobe_topk(
         F.expr(th.sp_norm(vec_col)).alias("__cn"),
         bucket(vec_col).alias("bucket"),
     )
+    masks = ", ".join(str(m) for m in probe_masks(bits, radius))
     probes = F.expr(
-        "transform(sequence(0, {n}), i -> CASE WHEN i = {n} THEN q_bucket "
-        "ELSE cast(q_bucket ^ shiftleft(1, i) as int) END)".format(n=bits)
+        f"transform(array({masks}), m -> cast(q_bucket ^ m as int))"
     )
     q = (
         queries.select(

@@ -110,8 +110,12 @@ HEADLINERS = [
     "zorder_layout",
     "simpson_diversity",
     "bpe_learn_merges",
-    # r9 additions
+    # r9 additions (whiten consumes the PCA keys' memoized component
+    # loop; the tuning harnesses reuse the ANN shapes and both pair
+    # caches, so their medians price the evaluation joins)
     "embedding_whiten_topk",
+    "ann_nprobe_sweep",
+    "simhash_recall_by_tau",
 ]
 
 
