@@ -85,6 +85,7 @@ _R9_PRIORITY: list[str] = [
     "embedding_whiten_topk",
     "ann_nprobe_sweep",
     "simhash_recall_by_tau",
+    "bpe_encode_corpus",
     "embedding_pca_topk",
     "hll_distinct",
     "hll_sliding_distinct",

@@ -7,6 +7,10 @@ dedup-family tuning harnesses.
   probe-bucket count per radius. The tuning loop every ANN deployment
   runs before picking nprobe; recall_at_k_eval (llm_pipeline6) grades
   ONE configuration per probe, this grades the knob itself.
+- ``bpe_encode_corpus``: the encode side of the BPE loop -- apply the
+  learned merges corpus-wide and report per-source compression (a
+  tokenizer trainer that never measures corpus compression is half a
+  tokenizer).
 - ``simhash_recall_by_tau``: recall of the SimHash family against the
   exact-Jaccard truth per similarity bucket -- which tau regimes the
   48-bit hamming<=3 sketch actually covers. dedup_family_agreement
@@ -37,6 +41,7 @@ from abr_etl_spark.plans.llm_pipeline import (
     N_QUERY_VECS,
     ORACLES as _LP1_ORACLES,
 )
+from abr_etl_spark.plans.llm_pipeline5 import BPE_MERGES, bpe_learn_merges
 from abr_etl_spark.plans.llm_pipeline6 import SWEEP_TAU
 from abr_etl_spark.sources.lake import load_table
 
@@ -132,9 +137,67 @@ def simhash_recall_by_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSE the BPE loop: apply the {BPE_MERGES} merges
+    bpe_learn_merges induces to the whole corpus and report per-source
+    compression -- (source, n_words, chars_before, tokens_after,
+    compression_e4). chars_before counts the char-level tokens a
+    merge-free encoder would emit; tokens_after counts symbols after
+    the learned merges (each surrogate = one token); compression_e4 is
+    the half-up 1e-4 ratio. The encode side every tokenizer training
+    run ships; learning without measuring corpus-wide compression is
+    half a tokenizer.
+
+    Scale shape: the corpus collapses ONCE into the (source, word, n)
+    frequency table (one shuffle, vocab-bounded); each merge is a
+    1-row broadcast + map-side replace over that bounded table; the
+    report is a source-cardinality aggregate. Char sums stay int64 to
+    ~9e18 total corpus characters (past any real corpus; the bm25
+    DECIMAL swap is the documented relief valve).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cur = (
+        d.select(
+            "source", F.explode(F.expr(th.sp_tokens("text"))).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("n"))
+        .select("source", "w", "n", F.length("w").alias("lw"))
+    )
+    merges = bpe_learn_merges(spark, sf_dir)
+    for t in range(1, BPE_MERGES + 1):
+        mt = merges.where(F.col("step") == t).select("merged_pair")
+        cur = cur.crossJoin(F.broadcast(mt)).select(
+            "source",
+            F.expr(f"replace(w, merged_pair, chr({t}))").alias("w"),
+            "n",
+            "lw",
+        )
+    return (
+        cur.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("lw")).alias("chars_before"),
+            F.sum(F.col("n") * F.length("w")).alias("tokens_after"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "chars_before",
+            "tokens_after",
+            F.expr(
+                "(2 * 10000 * tokens_after + chars_before)"
+                " DIV (2 * chars_before)"
+            ).alias("compression_e4"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "ann_nprobe_sweep": ann_nprobe_sweep,
     "simhash_recall_by_tau": simhash_recall_by_tau,
+    "bpe_encode_corpus": bpe_encode_corpus,
 }
 
 
@@ -191,9 +254,63 @@ def _nprobe_sweep_oracle() -> str:
     return "".join(parts)
 
 
+def _bpe_encode_oracle(k: int) -> str:
+    """DuckDB replay of bpe_encode_corpus: the _bpe_merges_oracle CTE
+    chain (same unrolled loop), then the k replaces applied to the
+    (source, word, n) table and the per-source compression report."""
+    from abr_etl_spark.plans.llm_pipeline5 import _DK_TOK as _LP5_TOK
+
+    parts = [f"""
+    WITH v0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_LP5_TOK}) AS w FROM documents)
+        GROUP BY w
+    )"""]
+    for t in range(1, k + 1):
+        parts.append(f"""
+    , p{t} AS (
+        SELECT substring(w, i, 2) AS pair, n
+        FROM (SELECT w, n,
+                     unnest(generate_series(1, length(w) - 1)) AS i
+              FROM v{t - 1} WHERE length(w) >= 2)
+    ), t{t} AS MATERIALIZED (
+        SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+        FROM p{t} GROUP BY pair
+        ORDER BY n_occurrences DESC, pair ASC LIMIT 1
+    ), v{t} AS MATERIALIZED (
+        SELECT replace(w, (SELECT pair FROM t{t}), chr({t})) AS w,
+               CAST(sum(n) AS BIGINT) AS n
+        FROM v{t - 1} GROUP BY 1
+    )""")
+    parts.append(f"""
+    , e0 AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS n,
+               CAST(length(w) AS BIGINT) AS lw
+        FROM (SELECT source, unnest({_LP5_TOK}) AS w FROM documents)
+        GROUP BY source, w
+    )""")
+    for t in range(1, k + 1):
+        parts.append(f"""
+    , e{t} AS (
+        SELECT source, replace(w, (SELECT pair FROM t{t}), chr({t})) AS w,
+               n, lw
+        FROM e{t - 1}
+    )""")
+    parts.append(f"""
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_words,
+           CAST(sum(n * lw) AS BIGINT) AS chars_before,
+           CAST(sum(n * length(w)) AS BIGINT) AS tokens_after,
+           CAST((2 * 10000 * sum(n * length(w)) + sum(n * lw))
+                // (2 * sum(n * lw)) AS BIGINT) AS compression_e4
+    FROM e{k} GROUP BY source ORDER BY source""")
+    return "".join(parts)
+
+
 _DK_SH = th.dk_shingles("text", 3)
 
 ORACLES = {
+    "bpe_encode_corpus": _bpe_encode_oracle(BPE_MERGES),
     "ann_nprobe_sweep": _nprobe_sweep_oracle(),
     "simhash_recall_by_tau": f"""
         WITH t AS (

@@ -116,6 +116,7 @@ HEADLINERS = [
     "embedding_whiten_topk",
     "ann_nprobe_sweep",
     "simhash_recall_by_tau",
+    "bpe_encode_corpus",
 ]
 
 

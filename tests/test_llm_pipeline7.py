@@ -50,3 +50,22 @@ def test_simhash_recall_concentrated_in_near_dup_band(spark):
     assert 9 in rows and rows[9].recall_e4 >= 9000
     if 0 in rows:
         assert rows[0].recall_e4 < rows[9].recall_e4
+
+
+def test_bpe_encode_compression_properties(spark):
+    """Merges can only shorten: tokens_after <= chars_before per source,
+    compression <= 1, and the corpus-wide char reduction equals the sum
+    over learned merges of merged-pair occurrences AT EACH STEP (each
+    occurrence replaces 2 symbols with 1)."""
+    from abr_etl_spark.plans import llm_pipeline5 as lp5
+
+    rows = lp7.bpe_encode_corpus(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.tokens_after <= r.chars_before
+        assert 0 < r.compression_e4 <= 10000
+    merges = lp5.bpe_learn_merges(spark, SF_SMOKE).collect()
+    saved = sum(m.n_occurrences for m in merges)
+    total_before = sum(r.chars_before for r in rows)
+    total_after = sum(r.tokens_after for r in rows)
+    assert total_before - total_after == saved
