@@ -17,6 +17,11 @@ dedup-family tuning harnesses.
   counts the disagreement cells; this key turns them into the
   per-threshold recall curve an operator reads before trusting SimHash
   alone at a given tau.
+- ``source_embedding_drift``: per-source centroid cosine vs the corpus
+  centroid -- the embedding-space sibling of source_divergence_tv.
+- ``dup_inflation_report``: per-source token mass surviving canonical
+  dedup (the factor a raw token budget overstates by), off the
+  memoized CC fixpoint.
 
 Reference parity: the reference (abr-etl, Go) has no corpus tooling;
 these extend SURVEY.md §2.C's evaluation harnesses.
@@ -40,6 +45,7 @@ from abr_etl_spark.plans.llm_pipeline import (
     ANN_K,
     N_QUERY_VECS,
     ORACLES as _LP1_ORACLES,
+    jaccard_canonical,
 )
 from abr_etl_spark.plans.llm_pipeline5 import BPE_MERGES, bpe_learn_merges
 from abr_etl_spark.plans.llm_pipeline6 import SWEEP_TAU
@@ -194,10 +200,135 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding-centroid drift vs the corpus:
+    (source, n_vecs, cos_centroid) -- the embedding-space sibling of
+    source_divergence_tv's lexical drift. A source whose centroid
+    leaves the corpus direction is the first thing corpus-mix
+    monitoring flags (collection regression, template contamination,
+    modality drift).
+
+    Exactness: the embedding_outlier_report discipline -- centroids are
+    exact integer SUM vectors of the 1e-4-quantized embeddings (cosine
+    is scale-invariant, zero division noise), and the cosine is the
+    shared sequential-order double text (sp_cosine/dk_cosine),
+    bit-identical cross-engine.
+
+    Scale shape: per-(source, dim) sums collapse map-side into
+    |sources| x 64 cells before one exchange; the corpus centroid
+    reduces from THOSE cells (never a second corpus pass); one 1-row
+    broadcast and a |sources|-row report.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "cast(floor(cast(x as double) * 10000 + 0.5) as bigint))"
+        ).alias("q"),
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    tagged = e.join(d, "vec_id")
+    per_dim = (
+        tagged.select("source", F.posexplode("q").alias("i", "v"))
+        .groupBy("source", "i")
+        .agg(F.sum("v").alias("s"))
+    )
+    n_vecs = tagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    scent = per_dim.groupBy("source").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, s))), x -> x.s)"
+        ).alias("sc")
+    )
+    cent = (
+        per_dim.groupBy("i")
+        .agg(F.sum("s").alias("s"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, s))), "
+                "x -> x.s)"
+            ).alias("cent")
+        )
+    )
+    return (
+        scent.join(n_vecs, "source")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "source",
+            "n_vecs",
+            F.round(F.expr(th.sp_cosine("sc", "cent")), 6).alias(
+                "cos_centroid"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def dup_inflation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dataset-size report: per source, how much of the token
+    mass survives canonical dedup -- (source, n_docs, n_kept,
+    tokens_total, tokens_kept, inflation_e4) where kept docs are the
+    cluster canonicals of the tau={JACCARD_TAU} verified near-dup graph
+    (singletons keep themselves) and inflation = total/kept tokens in
+    half-up 1e-4 units (10000 = no duplication). THE number a token
+    budget is planned against: raw corpus size overstates training
+    data by exactly this factor.
+
+    Scale shape: reuses the memoized CC fixpoint (jaccard_canonical);
+    token counts are map-side size(tokens); one doc-keyed left join
+    against the component table and a source-cardinality aggregate.
+    """
+    from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU  # noqa: F401
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(f"size({th.sp_tokens('text')})").cast("long").alias("n_tok"),
+    )
+    canon = jaccard_canonical(spark, sf_dir)
+    t = d.join(canon, "doc_id", "left").withColumn(
+        "canonical_id", F.coalesce("canonical_id", "doc_id")
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("canonical_id"), 1)
+                .otherwise(0)
+            ).alias("n_kept"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") == F.col("canonical_id"),
+                    F.col("n_tok"),
+                ).otherwise(0)
+            ).alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "tokens_total",
+            "tokens_kept",
+            F.expr(
+                "(2 * 10000 * tokens_total + tokens_kept)"
+                " DIV (2 * tokens_kept)"
+            ).alias("inflation_e4"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "ann_nprobe_sweep": ann_nprobe_sweep,
     "simhash_recall_by_tau": simhash_recall_by_tau,
     "bpe_encode_corpus": bpe_encode_corpus,
+    "source_embedding_drift": source_embedding_drift,
+    "dup_inflation_report": dup_inflation_report,
 }
 
 
@@ -311,6 +442,64 @@ _DK_SH = th.dk_shingles("text", 3)
 
 ORACLES = {
     "bpe_encode_corpus": _bpe_encode_oracle(BPE_MERGES),
+    "source_embedding_drift": f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE)
+                                            * 10000 + 0.5) AS BIGINT))
+                       AS q
+            FROM embeddings
+        ), sd AS MATERIALIZED (
+            SELECT d.source, i, CAST(sum(q[i + 1]) AS BIGINT) AS s
+            FROM q JOIN documents d ON d.doc_id = q.vec_id,
+                 generate_series(0, 63) g(i)
+            GROUP BY d.source, i
+        ), scent AS MATERIALIZED (
+            SELECT source,
+                   list_transform(list_sort(list(struct_pack(i := i,
+                       s := s))), x -> x['s']) AS sc
+            FROM sd GROUP BY source
+        ), nv AS (
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM q JOIN documents d ON d.doc_id = q.vec_id
+            GROUP BY d.source
+        ), cd AS (
+            SELECT i, CAST(sum(s) AS BIGINT) AS s FROM sd GROUP BY i
+        ), cent AS (
+            SELECT list_transform(list_sort(list(struct_pack(i := i,
+                       s := s))), x -> x['s']) AS cent
+            FROM cd
+        )
+        SELECT sce.source, nv.n_vecs,
+               round({th.dk_cosine('sc', 'cent')}, 6) AS cos_centroid
+        FROM scent sce JOIN nv ON nv.source = sce.source, cent
+        ORDER BY sce.source
+    """,
+    "dup_inflation_report": f"""
+        WITH canon AS MATERIALIZED (
+            {_LP1_ORACLES["dedup_canonical"]}
+        ), toks AS (
+            SELECT doc_id, source,
+                   CAST(len({th.dk_tokens('text')}) AS BIGINT) AS n_tok
+            FROM documents
+        ), t AS (
+            SELECT toks.source, toks.n_tok,
+                   CASE WHEN canon.canonical_id IS NULL
+                        OR canon.canonical_id = toks.doc_id
+                        THEN 1 ELSE 0 END AS keep
+            FROM toks LEFT JOIN canon ON canon.doc_id = toks.doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+               CAST(sum(keep * n_tok) AS BIGINT) AS tokens_kept,
+               CAST((2 * 10000 * sum(n_tok) + sum(keep * n_tok))
+                    // (2 * sum(keep * n_tok)) AS BIGINT)
+                   AS inflation_e4
+        FROM t GROUP BY source ORDER BY source
+    """,
     "ann_nprobe_sweep": _nprobe_sweep_oracle(),
     "simhash_recall_by_tau": f"""
         WITH t AS (

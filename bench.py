@@ -117,6 +117,8 @@ HEADLINERS = [
     "ann_nprobe_sweep",
     "simhash_recall_by_tau",
     "bpe_encode_corpus",
+    "source_embedding_drift",
+    "dup_inflation_report",
 ]
 
 

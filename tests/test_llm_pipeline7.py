@@ -69,3 +69,32 @@ def test_bpe_encode_compression_properties(spark):
     total_before = sum(r.chars_before for r in rows)
     total_after = sum(r.tokens_after for r in rows)
     assert total_before - total_after == saved
+
+
+def test_source_drift_bounds_and_totals(spark):
+    """Cosines bounded, per-source vector counts conserve the corpus."""
+    rows = lp7.source_embedding_drift(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(-1.0 <= r.cos_centroid <= 1.0 for r in rows)
+    total = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == total
+
+
+def test_dup_inflation_consistent_with_canonical_graph(spark):
+    """Per-source identities hold, and the corpus-wide kept-doc deficit
+    equals exactly the number of non-canonical members of the verified
+    near-dup graph."""
+    from abr_etl_spark.plans.llm_pipeline import jaccard_canonical
+
+    rows = lp7.dup_inflation_report(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_docs
+        assert 0 < r.tokens_kept <= r.tokens_total
+        assert r.inflation_e4 >= 10000
+    canon = jaccard_canonical(spark, SF_SMOKE).collect()
+    n_members = sum(1 for c in canon if c.doc_id != c.canonical_id)
+    assert (
+        sum(r.n_docs for r in rows) - sum(r.n_kept for r in rows)
+        == n_members
+    )

@@ -33,6 +33,14 @@ KEYS = [
     "histogram_equi_depth",
     "top_n_per_group",
     "mode_per_group",
+    # r9 additions: whitened top-k cut, probe-radius recall counts,
+    # pair-cache census, merge induction + encode
+    "embedding_whiten_topk",
+    "ann_nprobe_sweep",
+    "simhash_recall_by_tau",
+    "bpe_encode_corpus",
+    "source_embedding_drift",
+    "dup_inflation_report",
 ]
 
 
