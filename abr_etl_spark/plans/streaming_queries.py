@@ -11,7 +11,7 @@ from __future__ import annotations
 import itertools
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from abr_etl_spark.sources.lake import load_table
 from pyspark.sql import functions as F
@@ -294,8 +294,64 @@ def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAM_TOPK = 3
+
+
+def q_stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-{STREAM_TOPK} event types per tumbling hour:
+    (window_start, event_type, n, rank). The windowed counts run as a
+    NATIVE update-mode streaming aggregation over the multi-file replay
+    (watermark bounds state; counts per (window, type) are monotone, so
+    the memory sink's max per key is the fixpoint regardless of
+    microbatch arrival order -- which is also why the REPLAY runs
+    unwatermarked, see below); the rank cut is a per-window row_number
+    on the converged counts -- rank itself can't stream (it would
+    retract), which is exactly why the production pattern is
+    stream-aggregate + rank-on-read, reproduced here.
+
+    Oracle: the batch window counts + the same deterministic
+    (n desc, type asc) rank.
+    """
+    stage = _stage_event_drops(spark, sf_dir)
+    stream = read_event_stream(spark, stage, max_files_per_trigger=1)
+    # NO watermark in the replay: the staged files arrive in
+    # nondeterministic order, so any finite lateness bound would drop
+    # whole drops and the fixpoint would depend on arrival order.
+    # Update mode keeps all window state; production puts a real
+    # lateness bound here (windowed_counts' 2h) to bound state.
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    name = f"tk_driver_{next(_rc_names)}"
+    q = run_stream_to_memory(agg, name, output_mode="update")
+    q.stop()
+    final = (
+        spark.table(name)
+        .groupBy(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(F.max("n").alias("n"))
+    )
+    wnd = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(wnd))
+        .where(F.col("rank") <= STREAM_TOPK)
+        .select(
+            "window_start", "event_type", "n",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("window_start", "rank")
+    )
+
+
 QUERIES = {
     "stream_running_counts": q_stream_running_counts,
+    "stream_topk_windowed": q_stream_topk_windowed,
     "stream_hll_distinct": q_stream_hll_distinct,
     "stream_first_seen": q_stream_first_seen,
     "stream_dedup_exact": q_stream_dedup_exact,
@@ -404,6 +460,23 @@ ORACLES = {
          AND p.ts < c.ts + INTERVAL 1 HOUR
     """,
 }
+
+ORACLES["stream_topk_windowed"] = f"""
+    WITH counts AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type ASC) AS rank
+        FROM counts
+    )
+    SELECT window_start, event_type, n, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {STREAM_TOPK}
+    ORDER BY window_start, rank
+"""
 
 ORACLES["stream_first_seen"] = """
     SELECT day, CAST(count(*) AS BIGINT) AS n_new

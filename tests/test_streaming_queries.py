@@ -63,3 +63,45 @@ def test_stream_hll_matches_batch_sketch(spark):
     )
     assert got.n_filled == len(batch)
     assert got.m == HLL_M
+
+
+def test_stream_topk_windowed_matches_batch_rank(spark):
+    """The streaming fixpoint's per-window top-k equals the batch
+    window-count + rank recomputation, ranks are contiguous from 1 and
+    counts non-increasing within each window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.plans import streaming_queries as sq
+    from abr_etl_spark.sources.lake import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = sq.q_stream_topk_windowed(spark, SF_SMOKE).collect()
+    assert got
+    per_w: dict = {}
+    for r in got:
+        per_w.setdefault(r.window_start, []).append(r)
+    for rows in per_w.values():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        ns = [r.n for r in rows]
+        assert ns == sorted(ns, reverse=True)
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    want = (
+        batch.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= sq.STREAM_TOPK)
+        .collect()
+    )
+    assert sorted((r.window_start, r.event_type, r.n, r.rank) for r in got) \
+        == sorted((r.window_start, r.event_type, r.n, r.rank) for r in want)
