@@ -252,3 +252,32 @@ def test_read_zordered_conservative_and_empty(spark, tmp_path):
     )
     assert n0 == 0 and empty.count() == 0
     assert empty.columns == ["a", "b"]
+
+
+def test_manifest_distributed_equals_driver_loop(spark, tmp_path):
+    """The executor-fanned footer-read path produces the IDENTICAL
+    manifest to the driver loop (same files, same stats, same order)."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.operators import maintenance
+
+    df = spark.range(5000).select(
+        F.col("id").alias("a"), (F.col("id") * 13 % 5000).alias("b")
+    )
+    zp = str(tmp_path / "zm")
+    maintenance.write_zordered(df, zp, "a", "b", n_files=8)
+    files = [
+        f
+        for f in glob.glob(os.path.join(zp, "part-*"))
+        if os.path.isfile(f) and not f.endswith(".crc")
+    ]
+    driver = [maintenance._footer_stats(f, ["a", "b"]) for f in sorted(files)]
+    dist = maintenance._manifest_entries_distributed(spark, files, ["a", "b"])
+    assert dist == driver
+    # and the written manifest (driver path at this file count) matches
+    on_disk = json.load(open(os.path.join(zp, maintenance.ZORDER_MANIFEST)))
+    assert on_disk == driver
