@@ -115,6 +115,26 @@ _HLL_LC_LIT = {
 HLL_LC_THRESHOLD = 2.5 * HLL_M
 
 
+def hll_est_sql_runtime_ln(
+    V: str, S: str, *, m: int, alpha_m2: float
+) -> str:
+    """Production-m variant of hll_est_sql (SURVEY §7.11): for m too
+    large for a literal table (2^10+ registers), the linear-counting
+    branch computes round(m*ln(m/V), 4) at RUNTIME on both engines.
+    ln() is not IEEE-correctly-rounded-guaranteed, so the
+    round-to-output-grain discipline (dsir_importance's precedent)
+    absorbs last-ulp engine differences; identical-text parity across
+    the FULL V range at m=1024 is pytest-checked
+    (tests/test_analytics8.py). m=16 keys keep the exact literal table
+    above."""
+    raw = f"({alpha_m2!r} / ({S}))"
+    lc = f"round({m} * ln({m} / CAST(({V}) AS DOUBLE)), 4)"
+    return (
+        f"(CASE WHEN ({V}) > 0 AND {raw} <= {2.5 * m!r} "
+        f"THEN {lc} ELSE round({raw}, 4) END)"
+    )
+
+
 def hll_est_sql(V: str, S: str) -> str:
     """Shared HLL-estimate text (identical both engines) WITH the
     small-range correction: raw = alpha_m*m^2 / S, where ``S`` sums

@@ -58,16 +58,21 @@ SWEEP_RADII = (0, 1, 2)
 
 
 def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiprobe cost/recall sweep: (radius, n_probe_buckets, n_true,
-    n_common, recall_e4), one row per radius in {SWEEP_RADII},
-    recall micro-averaged over the {N_QUERY_VECS} probe queries
-    (total common / total true, half-up 1e-4 integer -- exact).
+    """Multiprobe cost/recall sweep: (radius, n_probe_buckets,
+    n_candidates, n_true, n_common, recall_e4), one row per radius in
+    {SWEEP_RADII}, recall micro-averaged over the {N_QUERY_VECS} probe
+    queries (total common / total true, half-up 1e-4 integer -- exact).
+    ``n_candidates`` is the COST axis: distinct (query, neighbor) pairs
+    whose exact cosine the index must verify at that radius -- the
+    number an operator trades against the recall column when picking
+    nprobe.
 
     Scale shape: the brute-force truth runs ONCE (its own audited
     broadcast-query shape); each radius adds one corpus stream through
     the banded equi-join with a literal probe-mask list -- cost grows
-    with bucket fan-out, never with a cross join. The per-radius
-    reductions are k*|queries|-row frames.
+    with bucket fan-out, never with a cross join. The candidate census
+    re-runs only the BUCKET join (16-byte rows, no vectors); the
+    per-radius reductions are k*|queries|-row frames.
     """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERY_VECS)
@@ -75,6 +80,17 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     nt = bf.agg(F.count("*").cast("long").alias("n_true"))
+    bits = similarity.HYPERPLANE_BITS
+    cb = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(similarity.sp_lsh_bucket("embedding", bits)).alias("bucket"),
+    )
+    qb = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(similarity.sp_lsh_bucket("embedding", bits)).alias(
+            "q_bucket"
+        ),
+    )
     out = None
     for r in SWEEP_RADII:
         ann = similarity.lsh_ann_multiprobe_topk(
@@ -83,13 +99,34 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         nc = bf.join(ann, ["query_id", "neighbor_id"]).agg(
             F.count("*").cast("long").alias("n_common")
         )
+        masks = ", ".join(
+            str(m) for m in similarity.probe_masks(bits, r)
+        )
+        probes = qb.select(
+            "query_id",
+            F.explode(
+                F.expr(
+                    f"transform(array({masks}), "
+                    "m -> cast(q_bucket ^ m as int))"
+                )
+            ).alias("bucket"),
+        )
+        cand = (
+            cb.join(F.broadcast(probes), "bucket")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+            .agg(F.count("*").cast("long").alias("n_candidates"))
+        )
         row = (
             nt.crossJoin(F.broadcast(nc))
+            .crossJoin(F.broadcast(cand))
             .select(
                 F.lit(r).cast("int").alias("radius"),
                 F.lit(
-                    len(similarity.probe_masks(similarity.HYPERPLANE_BITS, r))
+                    len(similarity.probe_masks(bits, r))
                 ).cast("int").alias("n_probe_buckets"),
+                "n_candidates",
                 "n_true",
                 "n_common",
                 F.expr(
@@ -365,22 +402,29 @@ def _nprobe_sweep_oracle() -> str:
     ), c{r} AS (
         SELECT CAST(count(*) AS BIGINT) AS n_common
         FROM bf JOIN p{r} USING (query_id, neighbor_id)
+    ), k{r} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates
+        FROM (SELECT DISTINCT qv.query_id, cv.neighbor_id
+              FROM cv JOIN qv
+                ON bit_count(xor(cb::BIGINT, qb::BIGINT)) <= {r}
+              WHERE qv.query_id <> cv.neighbor_id)
     )"""
         )
     sel = " UNION ALL ".join(
         f"""SELECT {r} AS radius,
         {len(similarity.probe_masks(similarity.HYPERPLANE_BITS, r))}
             AS n_probe_buckets,
-        nt.n_true, c{r}.n_common,
+        k{r}.n_candidates, nt.n_true, c{r}.n_common,
         CAST((2 * 10000 * c{r}.n_common + nt.n_true)
              // (2 * nt.n_true) AS BIGINT) AS recall_e4
-    FROM nt, c{r}"""
+    FROM nt, c{r}, k{r}"""
         for r in SWEEP_RADII
     )
     parts.append(
         f" SELECT CAST(radius AS INTEGER) AS radius,"
         f" CAST(n_probe_buckets AS INTEGER) AS n_probe_buckets,"
-        f" n_true, n_common, recall_e4 FROM ({sel}) ORDER BY radius"
+        f" n_candidates, n_true, n_common, recall_e4"
+        f" FROM ({sel}) ORDER BY radius"
     )
     return "".join(parts)
 

@@ -278,3 +278,41 @@ def test_hll_raw_branch_above_threshold(spark, tmp_path):
     lc_values = {float(lit) for lit in a8._HLL_LC_LIT.values()}
     assert row.est not in lc_values
     assert row.est > a8.HLL_LC_THRESHOLD
+
+
+def test_hll_runtime_ln_variant_cross_engine_parity(spark):
+    """The production-m estimator (runtime ln, round-to-4): identical
+    values across Spark and DuckDB for EVERY possible empty-register
+    count at m=1024, and it agrees with the m=16 literal table where
+    both apply."""
+    import duckdb
+
+    m = 1024
+    alpha_m2 = 0.7213 / (1 + 1.079 / m) * m * m
+    expr = a8.hll_est_sql_runtime_ln("V", "S", m=m, alpha_m2=alpha_m2)
+    got = {
+        r.V: r.est
+        for r in spark.range(1, m).selectExpr(
+            "CAST(id AS BIGINT) AS V", "CAST(id AS DOUBLE) + 0.5 AS S"
+        ).selectExpr("V", f"{expr} AS est").collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT V, {expr} AS est FROM "
+            f"(SELECT unnest(generate_series(1, {m - 1}))::BIGINT AS V, "
+            f"unnest(generate_series(1, {m - 1}))::DOUBLE + 0.5 AS S)"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    # agreement with the literal table at m=16 in the lc regime
+    e16 = a8.hll_est_sql_runtime_ln(
+        "V", "S", m=a8.HLL_M, alpha_m2=a8.HLL_ALPHA_M2
+    )
+    lit = a8.hll_est_sql("V", "S")
+    rows = spark.range(1, a8.HLL_M).selectExpr(
+        "CAST(id AS BIGINT) AS V", "CAST(id AS DOUBLE) + 0.5 AS S"
+    ).selectExpr(f"{e16} AS a", f"{lit} AS b").collect()
+    for r in rows:
+        assert abs(r.a - r.b) < 2e-4, r

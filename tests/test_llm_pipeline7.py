@@ -25,6 +25,9 @@ def test_nprobe_sweep_monotone_and_bucket_counts(spark):
     assert all(0 <= r.n_common <= r.n_true for r in rows)
     # radius 2 must genuinely beat single-probe on this corpus
     assert recalls[-1] > recalls[0]
+    # the cost axis: candidate sets strictly nest as radius widens
+    cands = [r.n_candidates for r in rows]
+    assert cands == sorted(cands) and cands[-1] > cands[0] > 0
 
 
 def test_nprobe_sweep_radius0_matches_recall_eval_totals(spark):
