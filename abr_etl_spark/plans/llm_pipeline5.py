@@ -723,7 +723,9 @@ def _scatter_cmat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_result(cm).coalesce(1)
 
 
-def _power_loop(cmat: DataFrame, v: DataFrame, iters: int) -> DataFrame:
+def _power_loop(
+    cmat: DataFrame, v: DataFrame, iters: int, seed_dim: int = 0
+) -> DataFrame:
     """``iters`` power iterations v <- C v / ||C v|| with every double
     reduction order-pinned (_SORTED_FOLD); returns the final unit
     vector as (j, vj).
@@ -753,8 +755,23 @@ def _power_loop(cmat: DataFrame, v: DataFrame, iters: int) -> DataFrame:
                 F.col("i").alias("j"), (F.col("m") * F.col("m")).alias("t")
             ).alias("s")
         ).agg(F.expr(_SORTED_FOLD).alias("n2"))
+        # degenerate guard: a zero scatter (constant corpus, or a fully
+        # deflated matrix) gives Cv = 0 and would divide by zero under
+        # ANSI mode, killing the whole job. Any unit vector is a
+        # fixpoint of the null map, so fall back to the SEED basis
+        # vector e_{seed_dim} -- a literal expression, no reference to
+        # the previous iterate (a prev-v join was measured to deepen
+        # the plan enough to cost 25 s cold), and once degenerate the
+        # loop stays at e_{seed_dim} (C e_k = 0 again). Values on
+        # non-degenerate data are untouched: the n2 > 0 branch is the
+        # identical division the oracle replays.
         v = m.crossJoin(F.broadcast(norm2)).select(
-            F.col("i").alias("j"), (F.col("m") / F.sqrt("n2")).alias("vj")
+            F.col("i").alias("j"),
+            F.when(F.col("n2") > 0, F.col("m") / F.sqrt("n2"))
+            .otherwise(
+                F.when(F.col("i") == seed_dim, F.lit(1.0)).otherwise(0.0)
+            )
+            .alias("vj"),
         )
     return v
 
@@ -891,7 +908,7 @@ def _deflation_vectors(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
             F.col("id").cast("int").alias("j"),
             F.when(F.col("id") == k, F.lit(1.0)).otherwise(0.0).alias("vj"),
         )
-        v = _power_loop(cmat, v0, EIG_ITERS)
+        v = _power_loop(cmat, v0, EIG_ITERS, seed_dim=k)
         comps.append(v)
         if k == EIG_K - 1:
             break
@@ -1026,10 +1043,15 @@ def _whiten_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "component",
-            (
+            # zero-variance direction (lam = 0, the degenerate corpus):
+            # no deviation is possible along it, so z is 0 by definition
+            # -- and the ANSI divide-by-zero that would otherwise kill
+            # the job never fires. Non-degenerate values untouched.
+            F.when(
+                F.col("lam") > 0,
                 (F.col("n") * F.col("dot") - F.col("vs1"))
-                / F.sqrt("lam")
-            ).alias("z"),
+                / F.sqrt("lam"),
+            ).otherwise(F.lit(0.0)).alias("z"),
         )
     )
     return z.groupBy("vec_id").agg(

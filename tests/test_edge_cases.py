@@ -470,3 +470,29 @@ def test_zorder_interleave_is_bijective_hypothesis(spark):
             assert decode(r.z) == (r.x, r.y)
 
     check()
+
+
+def test_pca_family_survives_constant_corpus(spark, tmp_path):
+    """A constant embedding column (zero scatter -- e.g. a stubbed
+    encoder) must NOT kill the job with an ANSI divide-by-zero: the
+    power loop falls back to the seed basis vector on a null matvec and
+    whitening defines z = 0 along zero-variance directions."""
+    from abr_etl_spark.plans import llm_pipeline5 as lp5
+
+    vec = [0.25] * 64
+    spark.createDataFrame(
+        [(i, [float(v) for v in vec], 0) for i in range(50)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    sf = str(tmp_path)
+    pca = lp5.embedding_pca_topk(spark, sf).collect()
+    assert len(pca) == lp5.EIG_K * lp5.EIG_D
+    # each component collapses to its seed basis vector
+    for r in pca:
+        want = 1.0 if r.dim == r.component else 0.0
+        assert r.weight == want, r
+    wh = lp5.embedding_whiten_topk(spark, sf).collect()
+    assert len(wh) == min(50, lp5.WHITEN_TOP)
+    assert all(r.wnorm2 == 0.0 for r in wh)
