@@ -121,6 +121,10 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = (
             nt.crossJoin(F.broadcast(nc))
             .crossJoin(F.broadcast(cand))
+            # empty truth set (no queries / empty corpus): recall is
+            # unmeasurable, so the report is EMPTY -- and the guarded
+            # division never fires under ANSI mode (edge-pytested)
+            .where(F.col("n_true") > 0)
             .select(
                 F.lit(r).cast("int").alias("radius"),
                 F.lit(
@@ -417,7 +421,7 @@ def _nprobe_sweep_oracle() -> str:
         k{r}.n_candidates, nt.n_true, c{r}.n_common,
         CAST((2 * 10000 * c{r}.n_common + nt.n_true)
              // (2 * nt.n_true) AS BIGINT) AS recall_e4
-    FROM nt, c{r}, k{r}"""
+    FROM nt, c{r}, k{r} WHERE nt.n_true > 0"""
         for r in SWEEP_RADII
     )
     parts.append(

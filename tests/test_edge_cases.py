@@ -496,3 +496,24 @@ def test_pca_family_survives_constant_corpus(spark, tmp_path):
     wh = lp5.embedding_whiten_topk(spark, sf).collect()
     assert len(wh) == min(50, lp5.WHITEN_TOP)
     assert all(r.wnorm2 == 0.0 for r in wh)
+
+
+def test_lp7_keys_survive_empty_tables(spark, tmp_path):
+    """An empty documents/embeddings partition (a plausible upstream
+    filter result at 100 TB) must produce empty reports, never an ANSI
+    divide-by-zero."""
+    from abr_etl_spark.plans import llm_pipeline7 as lp7
+
+    spark.createDataFrame(
+        [], "doc_id long, text string, source string, lang string, "
+        "props string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    for name, fn in lp7.QUERIES.items():
+        assert fn(spark, str(tmp_path)).collect() == [], name
