@@ -239,11 +239,18 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(cents.alias("__c"))
     cuts = sample.agg(F.sort_array(F.collect_list("__c")).alias("__cs")).select(
         *[
-            F.element_at(
-                F.col("__cs"),
-                F.expr(
-                    f"cast(ceil({b} * size(__cs) / {HIST_DEPTH_BUCKETS}) as int)"
-                ),
+            # try_element_at + greatest(1, ...): an EMPTY SAMPLE (tiny
+            # partition where no key hits the modulus, or an empty
+            # table) yields index 0, which even try_element_at rejects
+            # as invalid (it only tolerates out-of-bounds) -- clamping
+            # to 1 makes it an out-of-bounds NULL; NULL cuts put every
+            # row in bucket 1 (degraded but sane), matching DuckDB
+            # list_extract's NULL semantics. Real samples have
+            # ceil(b*m/10) >= 1, so the clamp never changes them
+            F.expr(
+                f"try_element_at(__cs, "
+                f"greatest(1, cast(ceil({b} * size(__cs)"
+                f" / {HIST_DEPTH_BUCKETS}) as int)))"
             ).alias(f"__cut{b}")
             for b in range(1, HIST_DEPTH_BUCKETS)
         ]

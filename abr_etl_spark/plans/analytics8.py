@@ -732,10 +732,13 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(est.format(k="k_u", kth="kth_u")), 4).alias(
             "est_union"
         ),
+        # k_u = 0 (both sets empty) would divide by zero under ANSI;
+        # an empty union has an exactly-empty intersection
         F.round(
             F.expr(
+                f"CASE WHEN k_u = 0 THEN 0.0 ELSE "
                 f"(CAST(n_both AS DOUBLE) / k_u) * "
-                f"({est.format(k='k_u', kth='kth_u')})"
+                f"({est.format(k='k_u', kth='kth_u')}) END"
             ),
             4,
         ).alias("est_intersection"),
@@ -1022,8 +1025,9 @@ ORACLES = {
                round({_KMV_EST.format(k='k_b', kth='kth_b')}, 4) AS est_b,
                round({_KMV_EST.format(k='k_u', kth='kth_u')}, 4)
                    AS est_union,
-               round((CAST(n_both AS DOUBLE) / k_u)
-                     * ({_KMV_EST.format(k='k_u', kth='kth_u')}), 4)
+               round(CASE WHEN k_u = 0 THEN 0.0 ELSE
+                     (CAST(n_both AS DOUBLE) / k_u)
+                     * ({_KMV_EST.format(k='k_u', kth='kth_u')}) END, 4)
                    AS est_intersection
         FROM stats
     """,

@@ -517,3 +517,31 @@ def test_lp7_keys_survive_empty_tables(spark, tmp_path):
     )
     for name, fn in lp7.QUERIES.items():
         assert fn(spark, str(tmp_path)).collect() == [], name
+
+
+def test_all_registry_keys_survive_empty_tables(spark, tmp_path):
+    """EVERY queries() key must run (not necessarily return rows) on a
+    lake of empty tables with the production schemas -- the all-filtered
+    partition / fresh-tenant case. Catches the ANSI divide-by-zero /
+    invalid-index class (kmv_set_ops and histogram_equi_depth fell to it
+    before their guards)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    src = "/root/testdata/sf0.001"
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / f"{t}.parquet"))
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            fn(spark, str(tmp_path)).collect()
+        except Exception as exc:  # noqa: BLE001 - collecting a report
+            failures.append((name, type(exc).__name__))
+    assert not failures, failures
