@@ -325,3 +325,28 @@ def read_zordered(
         ).limit(0)
         return df, 0
     return spark.read.parquet(*keep), len(keep)
+
+
+def write_stats_manifest(
+    spark: SparkSession, path: str, cols: list[str]
+) -> int:
+    """Attach a file-level min/max manifest to ANY existing parquet
+    directory (not just write_zordered output) -- the lake-wide
+    secondary index: run it over a hot partition after compaction and
+    read_zordered's pruning reader works there unchanged (it only
+    consults the manifest). Stats come from footers only; the read
+    fans out over executors past DIST_MANIFEST_MIN files. Returns the
+    number of files indexed."""
+    import glob
+    import os
+
+    files = [
+        f
+        for pat in ("part-*", "*.parquet")
+        for f in glob.glob(os.path.join(path, pat))
+        if os.path.isfile(f) and not f.endswith(".crc")
+    ]
+    files = sorted(set(files))
+    if files:
+        _write_zorder_manifest(path, files, cols, spark=spark)
+    return len(files)

@@ -281,3 +281,33 @@ def test_manifest_distributed_equals_driver_loop(spark, tmp_path):
     # and the written manifest (driver path at this file count) matches
     on_disk = json.load(open(os.path.join(zp, maintenance.ZORDER_MANIFEST)))
     assert on_disk == driver
+
+
+def test_stats_manifest_on_plain_lake_partition(spark, tmp_path):
+    """The manifest + pruning reader work on ANY parquet directory: a
+    plain range-partitioned (non-z-ordered) lake partition gets
+    file-level pruning on its sort column after write_stats_manifest."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.operators import maintenance
+
+    p = str(tmp_path / "lakepart")
+    (
+        spark.range(100_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 13).alias("v"))
+        .repartitionByRange(10, "k")
+        .sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .parquet(p)
+    )
+    n = maintenance.write_stats_manifest(spark, p, ["k"])
+    assert n == 10
+    assert os.path.exists(os.path.join(p, maintenance.ZORDER_MANIFEST))
+    got, kept = maintenance.read_zordered(
+        spark, p, {"k": (20_000, 29_999)}
+    )
+    rows = got.where(F.col("k").between(20_000, 29_999)).count()
+    assert rows == 10_000
+    assert 0 < kept <= 2  # 10% range -> at most 2 of 10 range files
