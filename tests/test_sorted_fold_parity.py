@@ -46,10 +46,18 @@ def test_sorted_fold_bit_identical_across_engines(spark, data):
         .v
     )
     con = duckdb.connect()
-    vals = ", ".join(f"({j}, {t!r}::DOUBLE)" for j, t in rows)
+    # ship exact float64 bits via a registered frame -- a many-digit SQL
+    # literal parses as DECIMAL first in DuckDB and its ::DOUBLE cast
+    # can land one ulp off the repr-round-tripped Python float
+    import pandas as pd
+
+    con.register(
+        "x", pd.DataFrame(rows, columns=["j", "t"]).astype(
+            {"j": "int64", "t": "float64"}
+        )
+    )
     got_ddb = con.execute(
-        f"SELECT {_dk_fold('struct_pack(j := j, t := t)')} AS v "
-        f"FROM (VALUES {vals}) AS x(j, t)"
+        f"SELECT {_dk_fold('struct_pack(j := j, t := t)')} AS v FROM x"
     ).fetchone()[0]
     con.close()
     # python replay: left fold from 0.0 over (j, t)-sorted pairs
