@@ -193,6 +193,67 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- hll_distinct_prod_m
+
+#: the production-sized register count: at every testdata sf the
+#: distinct-user count sits BELOW 2.5m, so the runtime-ln
+#: linear-counting branch is what the driver's oracle gate actually
+#: exercises here (the m=16 key exercises the raw branch; between them
+#: both regimes are driver-checked).
+HLL_PROD_M = 1024
+HLL_PROD_ALPHA_M2 = 0.7213 / (1 + 1.079 / HLL_PROD_M) * HLL_PROD_M**2
+#: h DIV m leaves 31 - log2(m) = 21 usable rank bits at m=1024.
+_HLL_PROD_W_BITS = 31 - 10
+
+
+def hll_distinct_prod_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users at the PRODUCTION register count
+    m={HLL_PROD_M}: (m, n_filled, est). Same deterministic squared-
+    affine hash; rank width shrinks to {_HLL_PROD_W_BITS} bits; the
+    estimate uses hll_est_sql_runtime_ln -- the round-to-grain runtime
+    ln() variant -- because a 1024-entry literal table is impractical.
+    At every testdata sf the corpus sits in the small-range regime
+    (n < 2.5m), so THIS key puts the linear-counting branch itself
+    under the cross-engine oracle gate; hll_distinct (m=16) covers the
+    raw branch. Cross-engine ln-parity for every possible V is
+    additionally pytest-proven (tests/test_analytics8.py).
+
+    Scale shape: identical to hll_distinct -- one column-pruned scan,
+    one {HLL_PROD_M}-row register shuffle, O(m) state.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    h = f"({_hll_hash_sql('user_id')})"
+    rank = (
+        f"(CASE WHEN {h} DIV {HLL_PROD_M} = 0 THEN {_HLL_PROD_W_BITS + 1} "
+        f"ELSE {_HLL_PROD_W_BITS + 1} - length(bin({h} DIV {HLL_PROD_M}))"
+        f" END)"
+    )
+    regs = (
+        e.select(
+            F.expr(f"{h} % {HLL_PROD_M}").alias("bucket"),
+            F.expr(rank).alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    agg = regs.agg(
+        F.count("*").cast("long").alias("n_filled"),
+        F.sum(F.expr("power(2.0, -max_rank)")).alias("S_f"),
+    )
+    return agg.select(
+        F.lit(HLL_PROD_M).cast("int").alias("m"),
+        "n_filled",
+        F.expr(
+            hll_est_sql_runtime_ln(
+                f"({HLL_PROD_M} - n_filled)",
+                f"(({HLL_PROD_M} - n_filled) + S_f)",
+                m=HLL_PROD_M,
+                alpha_m2=HLL_PROD_ALPHA_M2,
+            )
+        ).alias("est"),
+    )
+
+
 # --------------------------------------------------------- bloom_membership
 
 #: Bloom geometry: M bits, K shared-hash functions (minhash-family
@@ -889,6 +950,7 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "hll_distinct": hll_distinct,
+    "hll_distinct_prod_m": hll_distinct_prod_m,
     "hll_sliding_distinct": hll_sliding_distinct,
     "funnel_time_bounded": funnel_time_bounded,
     "kmv_set_ops": kmv_set_ops,
@@ -1054,6 +1116,34 @@ ORACLES = {
         SELECT CAST({HLL_M} AS INTEGER) AS m, n_filled,
                {hll_est_sql(f"({HLL_M} - n_filled)",
                             f"(({HLL_M} - n_filled) + S_f)")} AS est
+        FROM agg
+    """,
+    "hll_distinct_prod_m": f"""
+        WITH regs AS (
+            SELECT ({_hll_hash_sql('user_id', engine='duckdb')})
+                       % {HLL_PROD_M} AS bucket,
+                   max(CASE WHEN ({_hll_hash_sql('user_id',
+                                                 engine='duckdb')})
+                                 // {HLL_PROD_M} = 0
+                            THEN {_HLL_PROD_W_BITS + 1}
+                            ELSE {_HLL_PROD_W_BITS + 1} - length(bin(
+                                ({_hll_hash_sql('user_id',
+                                                engine='duckdb')})
+                                // {HLL_PROD_M}))
+                       END) AS max_rank
+            FROM events GROUP BY 1
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_filled,
+                   sum(power(2.0, -max_rank)) AS S_f
+            FROM regs
+        )
+        SELECT CAST({HLL_PROD_M} AS INTEGER) AS m, n_filled,
+               {hll_est_sql_runtime_ln(
+                   f"({HLL_PROD_M} - n_filled)",
+                   f"(({HLL_PROD_M} - n_filled) + S_f)",
+                   m=HLL_PROD_M,
+                   alpha_m2=HLL_PROD_ALPHA_M2,
+               )} AS est
         FROM agg
     """,
     "gini_nation_revenue": f"""

@@ -119,6 +119,7 @@ HEADLINERS = [
     "bpe_encode_corpus",
     "source_embedding_drift",
     "dup_inflation_report",
+    "hll_distinct_prod_m",
 ]
 
 

@@ -316,3 +316,21 @@ def test_hll_runtime_ln_variant_cross_engine_parity(spark):
     ).selectExpr(f"{e16} AS a", f"{lit} AS b").collect()
     for r in rows:
         assert abs(r.a - r.b) < 2e-4, r
+
+
+def test_hll_prod_m_linear_counting_active_and_accurate(spark):
+    """The production-m key must actually sit in the linear-counting
+    regime at test sf (that is its point: the runtime-ln branch runs
+    under the oracle gate) and land within the LC error band of the
+    true distinct-user count."""
+    from abr_etl_spark.sources.lake import load_table
+
+    row = a8.hll_distinct_prod_m(spark, SF_ORACLE).collect()[0]
+    assert row.m == a8.HLL_PROD_M
+    true = (
+        load_table(spark, SF_ORACLE, "events")
+        .select("user_id").distinct().count()
+    )
+    assert true < 2.5 * a8.HLL_PROD_M  # the regime the key exists for
+    assert row.n_filled < a8.HLL_PROD_M  # V > 0: correction active
+    assert abs(row.est - true) / true < 0.1, (row.est, true)

@@ -41,6 +41,7 @@ KEYS = [
     "bpe_encode_corpus",
     "source_embedding_drift",
     "dup_inflation_report",
+    "hll_distinct_prod_m",
 ]
 
 
