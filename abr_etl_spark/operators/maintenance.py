@@ -202,10 +202,19 @@ ZORDER_MANIFEST = "_zorder_manifest.json"
 DIST_MANIFEST_MIN = 256
 
 
+#: footer min/max types the JSON manifest can carry verbatim; anything
+#: else (timestamp/date/binary pyarrow stats objects) is skipped so the
+#: conservative reader simply never prunes on that column.
+_JSON_SAFE_STATS = (bool, int, float, str)
+
+
 def _footer_stats(f: str, cols: list[str]) -> dict:
     """Min/max of ``cols`` for ONE parquet file from its footer only
-    (no data pages touched). Conservative: a column with any row group
-    missing stats is omitted (read_zordered then never prunes on it)."""
+    (no data pages touched). Conservative on every degenerate input:
+    a column absent from the file, with any row group missing stats,
+    or whose stats are not JSON-serializable (timestamp/date/binary)
+    is omitted -- read_zordered then never prunes on it, it never
+    raises (write_stats_manifest is advertised for ANY parquet dir)."""
     import os
 
     import pyarrow.parquet as pq
@@ -214,11 +223,18 @@ def _footer_stats(f: str, cols: list[str]) -> dict:
     names = md.schema.names
     stats: dict[str, list] = {}
     for c in cols:
+        if c not in names:
+            continue
         j = names.index(c)
         mins, maxs = [], []
         for i in range(md.num_row_groups):
             st = md.row_group(i).column(j).statistics
-            if st is None or not st.has_min_max:
+            if (
+                st is None
+                or not st.has_min_max
+                or not isinstance(st.min, _JSON_SAFE_STATS)
+                or not isinstance(st.max, _JSON_SAFE_STATS)
+            ):
                 mins, maxs = [], []
                 break
             mins.append(st.min)

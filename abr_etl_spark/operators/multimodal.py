@@ -57,11 +57,14 @@ def attach_payload(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
-def decode_stub(payload: bytes) -> dict:
+def decode_stub(payload: bytes | None) -> dict:
     """Deterministic fake decoder. A real implementation would be e.g.
     PIL.Image.open(io.BytesIO(payload)); raising NotImplementedError here
     would be honest too, but a deterministic fake lets the full pipeline
-    run end-to-end in tests."""
+    run end-to-end in tests. A NULL payload (all-NULL upstream export)
+    decodes to NULL features, like every SQL function over NULL."""
+    if payload is None:
+        return {"width": None, "height": None, "checksum": None}
     n = len(payload)
     checksum = 0
     for b in payload[:64]:  # bounded work per row, like a header parse
@@ -120,6 +123,10 @@ def sample_frames(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payload: zero frames, matching the oracle's
+                    # unnest(range(0, NULL)) -> no rows semantics.
+                    continue
                 n = len(payload)
                 fc = (n + FRAME_BYTES - 1) // FRAME_BYTES
                 k = min(FRAME_SAMPLES, fc)

@@ -30,8 +30,21 @@ HYPERPLANE_BITS = 8
 ARROW_MIN_VECTORS = 50_000
 
 #: use_arrow="auto" probe results, keyed on df.semanticHash() so repeat
-#: calls over the same (canonicalized) input plan never re-count
+#: calls over the same (canonicalized) input plan never re-count.
+#: Staleness caveat: semanticHash covers the PLAN, not the files under
+#: it -- if the parquet directory's contents change within a session the
+#: memoized count silently picks the arrow/expr path for the OLD size
+#: (a perf-only risk, never correctness; pass ``n_vectors`` or pin
+#: ``use_arrow`` to escape). Bounded FIFO so the module-level dict
+#: cannot grow without limit in a long-lived session.
 _AUTO_PROBE_CACHE: dict[int, int] = {}
+_AUTO_PROBE_CACHE_MAX = 256
+
+
+def _auto_probe_cache_put(key: int, n: int) -> None:
+    if len(_AUTO_PROBE_CACHE) >= _AUTO_PROBE_CACHE_MAX:
+        _AUTO_PROBE_CACHE.pop(next(iter(_AUTO_PROBE_CACHE)))
+    _AUTO_PROBE_CACHE[key] = n
 
 
 def _hyperplane_sign(bit: int, dim_expr: str) -> str:
@@ -581,7 +594,7 @@ def embedding_dup_pairs(
             n_vectors = _AUTO_PROBE_CACHE.get(key)
             if n_vectors is None:
                 n_vectors = df.count()
-                _AUTO_PROBE_CACHE[key] = n_vectors
+                _auto_probe_cache_put(key, n_vectors)
         use_arrow = n_vectors >= ARROW_MIN_VECTORS
     width = bits // n_bands
     mask = (1 << width) - 1

@@ -388,11 +388,13 @@ ORACLES = {
                CAST(strlen(text) AS INTEGER) AS n_bytes,
                CAST(strlen(text) % 64 + 1 AS INTEGER) AS width,
                CAST(strlen(text) % 48 + 1 AS INTEGER) AS height,
-               CAST(list_reduce(list_prepend(0::BIGINT,
-                        list_transform(split(substr(text, 1, 64), ''),
-                            c -> greatest(unicode(c), 0)::BIGINT)),
-                    (acc, b) -> (acc * 31 + b) % 2147483647)
-                    AS BIGINT) AS checksum
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE CAST(list_reduce(list_prepend(0::BIGINT,
+                             list_transform(split(substr(text, 1, 64), ''),
+                                 c -> greatest(unicode(c), 0)::BIGINT)),
+                         (acc, b) -> (acc * 31 + b) % 2147483647)
+                         AS BIGINT)
+               END AS checksum
         FROM documents
     """,
     "decontaminate_ngram": f"""

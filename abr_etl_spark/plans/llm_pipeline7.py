@@ -218,10 +218,18 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = bpe_learn_merges(spark, sf_dir)
     for t in range(1, BPE_MERGES + 1):
-        mt = merges.where(F.col("step") == t).select("merged_pair")
+        # agg(first) guarantees EXACTLY one row (NULL merged_pair when
+        # the learner ran out of adjacent pairs before step t), so the
+        # broadcast-crossJoin can never annihilate the corpus; coalesce
+        # makes the missing merge a no-op on both engines.
+        mt = merges.where(F.col("step") == t).agg(
+            F.first("merged_pair").alias("merged_pair")
+        )
         cur = cur.crossJoin(F.broadcast(mt)).select(
             "source",
-            F.expr(f"replace(w, merged_pair, chr({t}))").alias("w"),
+            F.expr(
+                f"coalesce(replace(w, merged_pair, chr({t})), w)"
+            ).alias("w"),
             "n",
             "lw",
         )
@@ -360,9 +368,13 @@ def dup_inflation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
             "tokens_total",
             "tokens_kept",
+            # A source whose kept docs all tokenize to zero tokens
+            # (empty/punctuation-only texts) must report NULL, not an
+            # ANSI divide-by-zero (mirrored in the DuckDB oracle).
             F.expr(
-                "(2 * 10000 * tokens_total + tokens_kept)"
-                " DIV (2 * tokens_kept)"
+                "CASE WHEN tokens_kept = 0 THEN NULL"
+                " ELSE (2 * 10000 * tokens_total + tokens_kept)"
+                " DIV (2 * tokens_kept) END"
             ).alias("inflation_e4"),
         )
         .orderBy("source")
@@ -462,7 +474,8 @@ def _bpe_encode_oracle(k: int) -> str:
         FROM p{t} GROUP BY pair
         ORDER BY n_occurrences DESC, pair ASC LIMIT 1
     ), v{t} AS MATERIALIZED (
-        SELECT replace(w, (SELECT pair FROM t{t}), chr({t})) AS w,
+        SELECT coalesce(replace(w, (SELECT pair FROM t{t}), chr({t})),
+                        w) AS w,
                CAST(sum(n) AS BIGINT) AS n
         FROM v{t - 1} GROUP BY 1
     )""")
@@ -476,7 +489,9 @@ def _bpe_encode_oracle(k: int) -> str:
     for t in range(1, k + 1):
         parts.append(f"""
     , e{t} AS (
-        SELECT source, replace(w, (SELECT pair FROM t{t}), chr({t})) AS w,
+        SELECT source,
+               coalesce(replace(w, (SELECT pair FROM t{t}), chr({t})),
+                        w) AS w,
                n, lw
         FROM e{t - 1}
     )""")
@@ -548,9 +563,11 @@ ORACLES = {
                CAST(sum(keep) AS BIGINT) AS n_kept,
                CAST(sum(n_tok) AS BIGINT) AS tokens_total,
                CAST(sum(keep * n_tok) AS BIGINT) AS tokens_kept,
-               CAST((2 * 10000 * sum(n_tok) + sum(keep * n_tok))
-                    // (2 * sum(keep * n_tok)) AS BIGINT)
-                   AS inflation_e4
+               CASE WHEN sum(keep * n_tok) = 0 THEN NULL
+                    ELSE CAST((2 * 10000 * sum(n_tok)
+                               + sum(keep * n_tok))
+                              // (2 * sum(keep * n_tok)) AS BIGINT)
+               END AS inflation_e4
         FROM t GROUP BY source ORDER BY source
     """,
     "ann_nprobe_sweep": _nprobe_sweep_oracle(),
