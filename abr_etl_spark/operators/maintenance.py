@@ -366,3 +366,157 @@ def write_stats_manifest(
     if files:
         _write_zorder_manifest(path, files, cols, spark=spark)
     return len(files)
+
+
+# ------------------------------------------------------------- CDC apply
+
+#: default hash-bucket count for merge_snapshot tables. At 100 TB pick
+#: buckets so one bucket's rows fit a comfortable rewrite task set
+#: (e.g. 4096 buckets over 100 TB -> ~25 GB per bucket rewrite).
+MERGE_BUCKETS = 64
+
+_EPOCH_COL = "__epoch"
+_BUCKET_COL = "__bucket"
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    path: str,
+    upserts: DataFrame,
+    removed_keys: DataFrame | None,
+    *,
+    key: str,
+    epoch: int,
+    n_buckets: int = MERGE_BUCKETS,
+) -> dict:
+    """Maintain a materialized CURRENT-STATE table from CDC deltas --
+    the writer the reference's downstream consumers run weekly
+    (agency-delta.go emits deltas precisely so someone can apply them;
+    delta_apply_roundtrip proves apply()'s algebra as a query, this is
+    the SINK that persists it).
+
+    Layout: parquet hash-partitioned on ``pmod(xxhash64(key),
+    n_buckets)`` with every row stamped by the epoch that last rewrote
+    its bucket. A merge touches ONLY the buckets containing delta keys:
+
+    1. affected buckets  = distinct bucket ids of the delta's keys
+       (<= n_buckets rows collected -- metadata scale);
+    2. idempotence gate  = per-bucket max(__epoch) read from just those
+       partitions; buckets already at >= epoch are SKIPPED, so
+       re-running a week (checkpoint replay, operator retry) is a
+       no-op per bucket -- write_epoch_idempotent's contract, keyed on
+       the bucket instead of the date partition, and a crash that
+       stamped only some buckets resumes with exactly the unstamped
+       ones;
+    3. merge             = (current-bucket rows anti-joined on ALL
+       delta keys) UNION upserts -- upsert semantics, so replaying a
+       delta against a table that already absorbed it reproduces the
+       same table;
+    4. commit            = merged buckets land in a staging dir, then
+       swap in with per-bucket directory renames (the metadata-scale
+       commit every table format performs; a bucket whose merge came
+       out EMPTY -- all rows removed -- is cleared, which plain
+       dynamic-partition overwrite would silently leave stale).
+
+    Scale shape: one partition-pruned scan of the affected buckets, one
+    anti-join against the (small) delta key set -- AQE broadcasts it in
+    the common deltas<<snapshot case -- and a bucket-local rewrite.
+    Untouched buckets are never read.
+
+    Returns ``{"written": w, "skipped": s, "cleared": c}`` bucket
+    counts.
+    """
+    import os
+    import shutil
+
+    data_cols = [c for c in upserts.columns if c not in (_EPOCH_COL, _BUCKET_COL)]
+    stamped = (
+        upserts.select(*data_cols)
+        .withColumn(_EPOCH_COL, F.lit(epoch).cast("long"))
+        .withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+    )
+    if not os.path.isdir(path):
+        stamped.write.partitionBy(_BUCKET_COL).parquet(path)
+        n = stamped.select(_BUCKET_COL).distinct().count()
+        return {"written": n, "skipped": 0, "cleared": 0}
+
+    all_keys = upserts.select(key)
+    if removed_keys is not None:
+        all_keys = all_keys.unionByName(removed_keys.select(key))
+    affected = sorted(
+        r["b"]
+        for r in all_keys.select(_bucket_expr(key, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return {"written": 0, "skipped": 0, "cleared": 0}
+    part_dirs = [
+        f"{path}/{_BUCKET_COL}={b}"
+        for b in affected
+        if os.path.isdir(f"{path}/{_BUCKET_COL}={b}")
+    ]
+    done: set[int] = set()
+    if part_dirs:
+        marks = (
+            spark.read.option("basePath", path)
+            .parquet(*part_dirs)
+            .groupBy(_BUCKET_COL)
+            .agg(F.max(_EPOCH_COL).alias("e"))
+            .collect()
+        )
+        done = {r[_BUCKET_COL] for r in marks if r["e"] >= epoch}
+    pending = [b for b in affected if b not in done]
+    if not pending:
+        return {"written": 0, "skipped": len(done), "cleared": 0}
+
+    pending_dirs = [
+        f"{path}/{_BUCKET_COL}={b}"
+        for b in pending
+        if os.path.isdir(f"{path}/{_BUCKET_COL}={b}")
+    ]
+    pending_set = set(pending)
+    fresh = stamped.where(F.col(_BUCKET_COL).isin(pending))
+    if pending_dirs:
+        current = (
+            spark.read.option("basePath", path)
+            .parquet(*pending_dirs)
+            .select(*data_cols)
+        )
+        survivors = (
+            current.join(F.broadcast(all_keys.distinct()), key, "left_anti")
+            .withColumn(_EPOCH_COL, F.lit(epoch).cast("long"))
+            .withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
+        )
+        merged = survivors.unionByName(fresh)
+    else:
+        merged = fresh
+    staging = f"{path}/.staging_epoch_{epoch}"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    merged.write.partitionBy(_BUCKET_COL).parquet(staging)
+    written = cleared = 0
+    for b in pending:
+        src = f"{staging}/{_BUCKET_COL}={b}"
+        dst = f"{path}/{_BUCKET_COL}={b}"
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+            written += 1
+        else:
+            cleared += 1  # merge emptied the bucket entirely
+    shutil.rmtree(staging, ignore_errors=True)
+    assert written + cleared == len(pending_set)
+    return {"written": written, "skipped": len(done), "cleared": cleared}
+
+
+def read_merged_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Read a merge_snapshot table as plain data rows (bookkeeping
+    columns dropped); bucket partition pruning still applies when a
+    caller filters on the key's bucket."""
+    return spark.read.parquet(path).drop(_EPOCH_COL, _BUCKET_COL)

@@ -311,3 +311,99 @@ def test_stats_manifest_on_plain_lake_partition(spark, tmp_path):
     rows = got.where(F.col("k").between(20_000, 29_999)).count()
     assert rows == 10_000
     assert 0 < kept <= 2  # 10% range -> at most 2 of 10 range files
+
+
+def test_merge_snapshot_weekly_replay(spark, tmp_path):
+    """The CDC-apply SINK (r9 verdict item 6): replay two weeks of
+    engine-computed deltas onto a materialized current-state table;
+    after each week the table equals that week's snapshot, and
+    re-running a week is a per-bucket no-op (epoch watermark)."""
+    from abr_etl_spark.operators import delta as d
+    from abr_etl_spark.operators.maintenance import (
+        merge_snapshot,
+        read_merged_snapshot,
+    )
+
+    def snap(version):
+        rows = [
+            (k, f"v{version}" if k % 3 == 0 else "v0", k * 10 + version)
+            for k in range(1, 201 + 20 * version)
+            if not (version >= 1 and k % 10 == 0)
+        ]
+        return spark.createDataFrame(rows, "pid long, val string, amt long")
+
+    s0, s1, s2 = snap(0), snap(1), snap(2)
+    path = str(tmp_path / "state")
+
+    def week(new, old, epoch):
+        ups = d.delta_updated(new, old, "pid").unionByName(
+            d.delta_added(new, old, "pid")
+        )
+        rem = d.delta_removed(new, old, "pid").select("pid")
+        return merge_snapshot(
+            spark, path, ups, rem, key="pid", epoch=epoch, n_buckets=8
+        )
+
+    def table_rows():
+        return {
+            tuple(r) for r in read_merged_snapshot(spark, path).collect()
+        }
+
+    merge_snapshot(spark, path, s0, None, key="pid", epoch=1, n_buckets=8)
+    assert table_rows() == {tuple(r) for r in s0.collect()}
+
+    r2 = week(s1, s0, epoch=2)
+    assert table_rows() == {tuple(r) for r in s1.collect()}
+    assert r2["written"] > 0
+
+    r3 = week(s2, s1, epoch=3)
+    assert table_rows() == {tuple(r) for r in s2.collect()}
+
+    # replaying week 3 (retry / checkpoint replay) is a no-op
+    r3b = week(s2, s1, epoch=3)
+    assert r3b["written"] == 0 and r3b["skipped"] > 0
+    assert table_rows() == {tuple(r) for r in s2.collect()}
+    assert r3["written"] + r3["cleared"] > 0
+
+
+def test_merge_snapshot_clears_emptied_bucket(spark, tmp_path):
+    """A bucket whose every key is removed must be CLEARED, not left
+    stale (the hole plain dynamic-partition overwrite falls into when
+    the merged bucket writes zero rows)."""
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.operators.maintenance import (
+        _bucket_expr,
+        merge_snapshot,
+        read_merged_snapshot,
+    )
+
+    base = spark.createDataFrame(
+        [(k, k * 2) for k in range(1, 101)], "pid long, amt long"
+    )
+    path = str(tmp_path / "state2")
+    merge_snapshot(spark, path, base, None, key="pid", epoch=1, n_buckets=4)
+    # remove EVERY key in bucket 0
+    doomed = base.withColumn("b", _bucket_expr("pid", 4)).where(
+        F.col("b") == 0
+    )
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    rep = merge_snapshot(
+        spark,
+        path,
+        base.limit(0),
+        doomed.select("pid"),
+        key="pid",
+        epoch=2,
+        n_buckets=4,
+    )
+    assert rep["cleared"] >= 1
+    back = read_merged_snapshot(spark, path)
+    assert back.count() == 100 - n_doomed
+    assert (
+        back.withColumn("b", _bucket_expr("pid", 4))
+        .where(F.col("b") == 0)
+        .count()
+        == 0
+    )

@@ -479,3 +479,78 @@ def test_driver_key_stream_dedup_exact_drops_cross_batch_dups(spark):
         for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and got
+
+
+def test_stateful_checkpoint_recovery_resumes_to_fixpoint(spark, tmp_path):
+    """The exactly-once story's second half (write_epoch_idempotent is
+    the first): a stateful query STOPPED between drops must resume from
+    its checkpoint with keyed state intact -- no microbatch lost, no
+    count reset -- and reach the same fixpoint as the uninterrupted
+    batch oracle. Drops 1-2 drain under query A; query A dies; query B
+    restarts from the same checkpoint dir and drains drops 3-4."""
+    import glob as _glob
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    stage = str(tmp_path / "stage")
+    ev.repartition(4, "event_id").write.parquet(stage)
+    parts = sorted(_glob.glob(f"{stage}/part-*.parquet"))
+    assert len(parts) == 4
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain_once():
+        stream = stream_ops.read_event_stream(spark, str(src))
+        q = (
+            stateful.running_counts_stateful(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def fold():
+        return {
+            r["user_id"]: r["mx"]
+            for r in spark.read.parquet(out)
+            .groupBy("user_id")
+            .agg(F.max("n_events_total").alias("mx"))
+            .collect()
+        }
+
+    def batch_counts(paths):
+        return {
+            r["user_id"]: r["n"]
+            for r in spark.read.parquet(*paths)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    for i, p in enumerate(parts[:2]):
+        shutil.copy(p, src / f"d{i}.parquet")
+    drain_once()
+    h1 = batch_counts(parts[:2])
+    assert fold() == h1  # query A's partial fixpoint = first-half counts
+
+    for i, p in enumerate(parts[2:], start=2):
+        shutil.copy(p, src / f"d{i}.parquet")
+    drain_once()  # query B: NEW query object, SAME checkpoint
+    want = batch_counts(parts)
+    assert fold() == want  # resumed fixpoint == uninterrupted batch
+
+    # the recovery was real: users with events in BOTH halves ended at
+    # their total, not their second-half count -- impossible unless the
+    # restarted query recovered query A's keyed state.
+    h2 = batch_counts(parts[2:])
+    spanning = [u for u in h1 if u in h2]
+    assert spanning
+    for u in spanning:
+        assert want[u] == h1[u] + h2[u]
