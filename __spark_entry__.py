@@ -38,6 +38,10 @@ _R10_PRIORITY: list[str] = [
     "stream_topk_windowed",
     "source_embedding_drift",
     "dup_inflation_report",
+    # --- 1b. born this round (first external row) ---
+    "cross_source_ngram_overlap",
+    "pack_efficiency_report",
+    "mmr_diversify_topk",
     # --- 2. r6-stale driver rows (rotate, freshness floor -> r7) ---
     "ingest_routed",
     "dq_completeness",
@@ -167,6 +171,12 @@ def _registry() -> tuple[dict, dict]:
         import abr_etl_spark.plans.llm_pipeline7 as llm_pipeline7
 
         modules.append(llm_pipeline7)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline8 as llm_pipeline8
+
+        modules.append(llm_pipeline8)
     except ImportError:
         pass
     for m in modules:

@@ -1,0 +1,448 @@
+"""LLM-training-data pipeline, part 8 (round 10).
+
+Three operators a corpus-assembly team runs between dedup and packing:
+
+- ``cross_source_ngram_overlap``: the source-pair redundancy MATRIX --
+  vocabulary Jaccard over word-3-gram hashes for every source pair.
+  dup_inflation_report prices duplication WITHIN the canonical graph;
+  this prices lexical redundancy BETWEEN sources (two crawls of the
+  same sites show up here long before doc-level dedup fires), the
+  number corpus-mix weights are negotiated against.
+- ``pack_efficiency_report``: the packing telemetry behind
+  sequence_pack -- bins, fill rate, boundary-spanning docs, wasted
+  capacity. A packer without this report cannot be tuned (cap too
+  small -> spanning docs explode; too large -> tail waste).
+- ``mmr_diversify_topk``: maximal-marginal-relevance re-ranking of
+  exact top-k neighbors (Carbonell & Goldstein 1998) -- the selection
+  step that turns "k nearest" into "k nearest AND mutually diverse",
+  used to pick few-shot exemplars / dedup retrieval contexts. Greedy
+  argmax of 7*rel - 3*maxsim (lambda = 0.7 as exact integer weights)
+  in 1e-6 integer units, so the argmax chain is bit-replayable.
+
+Scale shapes:
+
+- overlap: one distinct (source, gram-hash) shuffle; the pair census
+  joins that table with itself ON THE GRAM -- per-gram fan-out is
+  bounded by the SOURCE COUNT (pairs-per-gram <= P(P-1)/2, with P in
+  the dozens for any real corpus), never by corpus size; zero-overlap
+  pairs come from the P^2-row broadcast of per-source vocab sizes.
+- pack report: one aggregate over sequence_pack's manifest (which is
+  itself the two-level distributed prefix sum -- no global window).
+- MMR: candidate generation is the audited broadcast top-k; everything
+  after operates on (queries x candidates) rows -- k * |Q| scale,
+  driver-loop-free, each greedy step one tiny join.
+
+Reference parity: the reference (abr-etl, Go) has no corpus tooling;
+these extend the engine's training-data block (SURVEY.md §2.C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from abr_etl_spark.functions import texthash as th
+from abr_etl_spark.operators import similarity
+from abr_etl_spark.plans.llm_pipeline import N_QUERY_VECS
+from abr_etl_spark.plans.llm_pipeline4 import PACK_CAP
+from abr_etl_spark.sources.lake import load_table
+
+#: word-n-gram order for the cross-source vocabulary (same grams the
+#: dedup family shingles on).
+OVERLAP_N = 3
+#: MMR: candidate pool size, picks per query, and lambda = MMR_WREL /
+#: (MMR_WREL + MMR_WDIV) = 0.7 expressed as exact integer weights.
+MMR_CANDS = 8
+MMR_K = 3
+MMR_WREL = 7
+MMR_WDIV = 3
+
+
+def cross_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, vocab_a, vocab_b, n_common, jaccard_e4) for
+    every unordered source pair -- vocabulary Jaccard over distinct
+    word-{OVERLAP_N}-gram polynomial hashes (identical gram hashing to
+    the dedup family, so any hash collision merges identically in the
+    DuckDB oracle). Pairs sharing nothing still report (jaccard 0)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "source",
+            F.expr(
+                th.sp_token_hashes(th.sp_tokens("text"))
+            ).alias("__th"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    th.sp_gram_hashes_from_token_hashes("__th", OVERLAP_N)
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("vocab"))
+    inter = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    pairs = (
+        sizes.alias("sa")
+        .join(
+            broadcast(sizes.alias("sb")),
+            F.col("sa.source") < F.col("sb.source"),
+        )
+        .select(
+            F.col("sa.source").alias("source_a"),
+            F.col("sb.source").alias("source_b"),
+            F.col("sa.vocab").alias("vocab_a"),
+            F.col("sb.vocab").alias("vocab_b"),
+        )
+    )
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            F.expr(
+                "CASE WHEN vocab_a + vocab_b - n_common = 0 THEN NULL"
+                " ELSE (2 * 10000 * n_common"
+                "       + (vocab_a + vocab_b - n_common))"
+                " DIV (2 * (vocab_a + vocab_b - n_common)) END"
+            ).alias("jaccard_e4"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-row packing telemetry over sequence_pack's manifest:
+    (n_docs, tokens_total, n_bins, capacity, fill_e4, n_spanning,
+    waste_tokens). fill = tokens/capacity in half-up 1e-4 units;
+    spanning docs cross a bin boundary (the loader must split them);
+    waste is the unfilled tail capacity."""
+    from abr_etl_spark.plans.llm_pipeline4 import sequence_pack
+
+    m = sequence_pack(spark, sf_dir)
+    return (
+        m.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tokens_total"),
+            (F.max("bin_last") + 1).alias("n_bins"),
+            F.sum(
+                F.when(F.col("bin_first") < F.col("bin_last"), 1)
+                .otherwise(0)
+            ).alias("n_spanning"),
+        )
+        .select(
+            "n_docs",
+            "tokens_total",
+            "n_bins",
+            (F.col("n_bins") * PACK_CAP).alias("capacity"),
+            F.expr(
+                f"CASE WHEN n_bins IS NULL OR n_bins = 0 THEN NULL"
+                f" ELSE (2 * 10000 * tokens_total + n_bins * {PACK_CAP})"
+                f" DIV (2 * n_bins * {PACK_CAP}) END"
+            ).alias("fill_e4"),
+            "n_spanning",
+            F.expr(
+                f"n_bins * {PACK_CAP} - tokens_total"
+            ).alias("waste_tokens"),
+        )
+    )
+
+
+def _rel_e6(cos_col: str) -> str:
+    """Rounded-cosine -> exact 1e-6 integer units (identical text shape
+    both engines; the *1e6 product of an already-6-decimal value is
+    integral up to FP error, so the final round never sees a .5)."""
+    return f"CAST(round({cos_col} * 1000000.0, 0) AS BIGINT)"
+
+
+def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{MMR_K} per query: greedy over the exact
+    top-{MMR_CANDS} cosine candidates, score_e7 = {MMR_WREL}*rel_e6 -
+    {MMR_WDIV}*max_sim_e6 (first pick scores {MMR_WREL}*rel_e6), ties
+    broken by neighbor_id -- all comparisons in BIGINT 1e-6/1e-7 units
+    so Spark and the unrolled-CTE DuckDB oracle replay the identical
+    greedy chain. Output (query_id, pick, neighbor_id, rel_e6,
+    score_e7).
+
+    Scale: candidates come from the audited broadcast top-k; the greedy
+    loop runs MMR_K - 1 joins over (|Q| x {MMR_CANDS})-row frames --
+    constant-size work however large the corpus behind the top-k is."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERY_VECS)
+    cand = (
+        similarity.cosine_topk(e, q, k=MMR_CANDS)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(_rel_e6("cos")).alias("rel_e6"),
+        )
+    )
+    vecs = e.select("vec_id", "embedding")
+    sim = (
+        cand.select("query_id", F.col("neighbor_id").alias("i"))
+        .join(
+            cand.select("query_id", F.col("neighbor_id").alias("j")),
+            "query_id",
+        )
+        .where(F.col("i") != F.col("j"))
+        .join(
+            broadcast(
+                vecs.select(
+                    F.col("vec_id").alias("i"),
+                    F.col("embedding").alias("vi"),
+                    F.expr(th.sp_norm("embedding")).alias("__ni"),
+                )
+            ),
+            "i",
+        )
+        .join(
+            broadcast(
+                vecs.select(
+                    F.col("vec_id").alias("j"),
+                    F.col("embedding").alias("vj"),
+                    F.expr(th.sp_norm("embedding")).alias("__nj"),
+                )
+            ),
+            "j",
+        )
+        .select(
+            "query_id",
+            "i",
+            "j",
+            F.expr(
+                _rel_e6(
+                    f"round(({th.sp_dot('vi', 'vj')})"
+                    f" / (__ni * __nj), 6)"
+                )
+            ).alias("sim_e6"),
+        )
+    )
+    # tiny frames from here on: persist the two inputs every greedy step
+    # re-reads so the loop's lineage doesn't re-run the broadcast top-k
+    # (registered caches -- release_result_caches() reclaims them)
+    from abr_etl_spark.functions.cache import materialize_result
+
+    cand = materialize_result(cand)
+    sim = materialize_result(sim)
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rel_e6").desc(), F.col("neighbor_id").asc()
+    )
+    picked = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("pick"),
+            "neighbor_id",
+            "rel_e6",
+            (F.lit(MMR_WREL) * F.col("rel_e6")).alias("score_e7"),
+        )
+    )
+    for t in range(2, MMR_K + 1):
+        sel = picked.select("query_id", F.col("neighbor_id").alias("j"))
+        rem = cand.join(
+            picked.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        scored = rem.join(
+            sim.join(sel, ["query_id", "j"])
+            .groupBy("query_id", F.col("i").alias("neighbor_id"))
+            .agg(F.max("sim_e6").alias("maxsim_e6")),
+            ["query_id", "neighbor_id"],
+        ).withColumn(
+            "score_e7",
+            F.lit(MMR_WREL) * F.col("rel_e6")
+            - F.lit(MMR_WDIV) * F.col("maxsim_e6"),
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            F.col("score_e7").desc(), F.col("neighbor_id").asc()
+        )
+        step = (
+            scored.withColumn("__rn", F.row_number().over(wt))
+            .where(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                F.lit(t).alias("pick"),
+                "neighbor_id",
+                "rel_e6",
+                "score_e7",
+            )
+        )
+        picked = picked.unionByName(step)
+    return picked.orderBy("query_id", "pick")
+
+
+QUERIES = {
+    "cross_source_ngram_overlap": cross_source_ngram_overlap,
+    "pack_efficiency_report": pack_efficiency_report,
+    "mmr_diversify_topk": mmr_diversify_topk,
+}
+
+
+_DK_GRAMS = th.dk_gram_hashes_from_token_hashes(
+    th.dk_token_hashes(th.dk_tokens("text")), OVERLAP_N
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB: candidates from the brute-force
+    shape at k={MMR_CANDS}, then MMR_K CTE steps each taking the
+    per-query argmax of the shared integer score."""
+    rel = f"CAST(round(cos * 1000000.0, 0) AS BIGINT)"
+    sim_cos = f"round({th.dk_cosine('ea.embedding', 'eb.embedding')}, 6)"
+    parts = [f"""
+    WITH scored AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({th.dk_cosine('q.embedding', 'c.embedding')}, 6)
+                   AS cos
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+    ), cand AS MATERIALIZED (
+        SELECT query_id, neighbor_id, {rel} AS rel_e6 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+            FROM scored
+        ) WHERE rnk <= {MMR_CANDS}
+    ), sim AS MATERIALIZED (
+        SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+               CAST(round({sim_cos} * 1000000.0, 0) AS BIGINT) AS sim_e6
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id
+                   AND a.neighbor_id <> b.neighbor_id
+        JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+        JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ), s1 AS MATERIALIZED (
+        SELECT query_id, 1 AS pick, neighbor_id, rel_e6,
+               {MMR_WREL} * rel_e6 AS score_e7
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY rel_e6 DESC, neighbor_id ASC) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    )"""]
+    prev_union = "SELECT query_id, neighbor_id FROM s1"
+    for t in range(2, MMR_K + 1):
+        parts.append(f"""
+    , r{t} AS (
+        SELECT c.query_id, c.neighbor_id, c.rel_e6,
+               {MMR_WREL} * c.rel_e6 - {MMR_WDIV} * max(s.sim_e6)
+                   AS score_e7
+        FROM cand c
+        JOIN sim s ON s.query_id = c.query_id
+                  AND s.i = c.neighbor_id
+                  AND s.j IN (SELECT neighbor_id
+                              FROM ({prev_union}) p
+                              WHERE p.query_id = c.query_id)
+        WHERE c.neighbor_id NOT IN (
+            SELECT neighbor_id FROM ({prev_union}) p
+            WHERE p.query_id = c.query_id)
+        GROUP BY c.query_id, c.neighbor_id, c.rel_e6
+    ), s{t} AS MATERIALIZED (
+        SELECT query_id, {t} AS pick, neighbor_id, rel_e6, score_e7
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_e7 DESC, neighbor_id ASC) AS rn
+            FROM r{t}
+        ) WHERE rn = 1
+    )""")
+        prev_union += f" UNION ALL SELECT query_id, neighbor_id FROM s{t}"
+    sel = " UNION ALL ".join(
+        f"SELECT query_id, CAST(pick AS INTEGER) AS pick, neighbor_id,"
+        f" rel_e6, CAST(score_e7 AS BIGINT) AS score_e7 FROM s{t}"
+        for t in range(1, MMR_K + 1)
+    )
+    parts.append(f"""
+    {sel}
+    ORDER BY query_id, pick""")
+    return "".join(parts)
+
+
+ORACLES = {
+    "cross_source_ngram_overlap": f"""
+        WITH g AS MATERIALIZED (
+            SELECT DISTINCT source, g FROM (
+                SELECT source, unnest({_DK_GRAMS}) AS g FROM documents
+            )
+        ), sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS vocab
+            FROM g GROUP BY source
+        ), inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT sa.source AS source_a, sb.source AS source_b,
+               sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+               CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+               CASE WHEN sa.vocab + sb.vocab - coalesce(i.n_common, 0) = 0
+                    THEN NULL
+                    ELSE CAST((2 * 10000 * coalesce(i.n_common, 0)
+                          + (sa.vocab + sb.vocab - coalesce(i.n_common, 0)))
+                         // (2 * (sa.vocab + sb.vocab
+                                  - coalesce(i.n_common, 0))) AS BIGINT)
+               END AS jaccard_e4
+        FROM sizes sa
+        JOIN sizes sb ON sa.source < sb.source
+        LEFT JOIN inter i
+          ON i.source_a = sa.source AND i.source_b = sb.source
+        ORDER BY source_a, source_b
+    """,
+    "pack_efficiency_report": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                       AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tok,
+                   (sum(n_tok) OVER (ORDER BY doc_id) - n_tok)::BIGINT
+                       AS tok_offset
+            FROM t
+        ), m AS (
+            SELECT doc_id, n_tok,
+                   tok_offset // {PACK_CAP} AS bin_first,
+                   (tok_offset + n_tok - 1) // {PACK_CAP} AS bin_last
+            FROM c
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+               CAST(max(bin_last) + 1 AS BIGINT) AS n_bins,
+               CAST((max(bin_last) + 1) * {PACK_CAP} AS BIGINT) AS capacity,
+               CASE WHEN max(bin_last) IS NULL THEN NULL
+                    ELSE CAST((2 * 10000 * sum(n_tok)
+                               + (max(bin_last) + 1) * {PACK_CAP})
+                         // (2 * (max(bin_last) + 1) * {PACK_CAP})
+                         AS BIGINT)
+               END AS fill_e4,
+               CAST(sum(CASE WHEN bin_first < bin_last THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_spanning,
+               CAST((max(bin_last) + 1) * {PACK_CAP} - sum(n_tok)
+                    AS BIGINT) AS waste_tokens
+        FROM m
+    """,
+    "mmr_diversify_topk": _mmr_oracle(),
+}

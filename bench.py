@@ -120,6 +120,11 @@ HEADLINERS = [
     "source_embedding_drift",
     "dup_inflation_report",
     "hll_distinct_prod_m",
+    # r10 additions (overlap prices the gram self-join; MMR the
+    # broadcast top-k + greedy chain; pack report rides sequence_pack)
+    "cross_source_ngram_overlap",
+    "pack_efficiency_report",
+    "mmr_diversify_topk",
 ]
 
 
@@ -139,6 +144,12 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # The 13 comparator keys get extra reps (5+ medians) AND a min-of-N
+    # "best" figure: four same-day r9 runs spanned 7.1-9.5 s on the
+    # subset total, a host-noise band wider than a plausible regression,
+    # so the round-over-round delta needs a tighter statistic (r9
+    # verdict item 8). Membership of R1_SUBSET itself stays untouched.
+    reps_r1 = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_R1", "5")))
     timings: dict[str, float] = {}
     # Cold = max sample. The pair-dedup operators reuse their materialized
     # result cache across reps (the documented contract), so the median is
@@ -146,17 +157,19 @@ def main() -> None:
     # Publishing both keeps the warm-reuse contract machine-readable
     # (r5 verdict item 7) instead of a footnote in SURVEY.
     cold: dict[str, float] = {}
+    best: dict[str, float] = {}
     for name in HEADLINERS:
         fn = qs.get(name)
         if fn is None:
             continue
         samples = []
-        for _ in range(reps):
+        for _ in range(reps_r1 if name in R1_SUBSET else reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         cold[name] = round(max(samples), 3)
+        best[name] = round(min(samples), 3)
         print(
             f"  {name}: {timings[name]}s "
             f"(runs: {[round(s, 3) for s in sorted(samples)]})",
@@ -170,10 +183,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold": cold,
+        "best": best,
         "r1_subset_total": round(
             sum(timings.get(k, 0.0) for k in R1_SUBSET), 3
         ),
+        "r1_subset_best": round(
+            sum(best.get(k, 0.0) for k in R1_SUBSET), 3
+        ),
         "reps": reps,
+        "reps_r1": reps_r1,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(payload))

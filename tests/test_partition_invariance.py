@@ -42,6 +42,10 @@ KEYS = [
     "source_embedding_drift",
     "dup_inflation_report",
     "hll_distinct_prod_m",
+    # r10 additions: pair census, prefix-sum telemetry, greedy argmax
+    "cross_source_ngram_overlap",
+    "pack_efficiency_report",
+    "mmr_diversify_topk",
 ]
 
 
