@@ -42,6 +42,9 @@ _R10_PRIORITY: list[str] = [
     "cross_source_ngram_overlap",
     "pack_efficiency_report",
     "mmr_diversify_topk",
+    "corpus_budget_waterfill",
+    "lang_mix_by_source",
+    "event_heatmap_cells",
     # --- 2. r6-stale driver rows (rotate, freshness floor -> r7) ---
     "ingest_routed",
     "dq_completeness",

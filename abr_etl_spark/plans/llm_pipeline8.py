@@ -446,3 +446,258 @@ ORACLES = {
     """,
     "mmr_diversify_topk": _mmr_oracle(),
 }
+
+
+# ---------------------------------------------------------------- wave 2
+
+#: token budget as an exact fraction of the corpus (6/10 = keep 60%).
+BUDGET_NUM = 6
+BUDGET_DEN = 10
+
+
+def corpus_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources: given a
+    budget B = {BUDGET_NUM}/{BUDGET_DEN} of the corpus' tokens, each
+    source gets min(its tokens, fair water level) -- small sources keep
+    everything, large sources are capped at a common level, leftover
+    units go one-each to the first capped sources. THE allocation rule
+    behind "keep curated sources whole, downsample the crawl to fit the
+    budget"; corpus_mix applies fixed per-source rates, this COMPUTES
+    the rates from a global budget.
+
+    Exact-integer algebra, identical on both engines: order sources by
+    (tokens asc, source asc); level_i = (B - prefix_{{i-1}}) DIV
+    (P - i + 1); a source is kept whole iff tokens <= level. Kept is
+    provably a PREFIX of that order (if i is capped, level_{{i+1}} <=
+    level_i < tokens_i <= tokens_{{i+1}} caps i+1 too), hence
+    sum_kept <= B and the residual base/remainder split never exceeds
+    a capped source's tokens. Invariants pytest-checked via hypothesis.
+
+    Scale shape: one map-side-combined token count per source, then
+    windows over the P-row source frame (single-partition window is
+    bounded by SOURCE CARDINALITY, not corpus size) and two broadcast
+    1-row aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.coalesce(
+            F.expr(f"sum(size({th.sp_tokens('text')}))").cast("long"),
+            F.lit(0),
+        ).alias("tokens_available")
+    )
+    tot = per_src.agg(
+        F.coalesce(F.sum("tokens_available"), F.lit(0)).alias("__tot"),
+        F.count("*").alias("__p"),
+    )
+    w = Window.orderBy(
+        F.col("tokens_available").asc(), F.col("source").asc()
+    )
+    t = (
+        per_src.crossJoin(broadcast(tot))
+        .withColumn(
+            "__budget",
+            F.expr(f"({BUDGET_NUM} * __tot) DIV {BUDGET_DEN}"),
+        )
+        .withColumn("__i", F.row_number().over(w))
+        .withColumn("__prefix", F.sum("tokens_available").over(w))
+        .withColumn(
+            "__level",
+            F.expr(
+                "(__budget - (__prefix - tokens_available))"
+                " DIV (__p - __i + 1)"
+            ),
+        )
+        .withColumn(
+            "__kept",
+            (F.col("tokens_available") <= F.col("__level")).cast("int"),
+        )
+    )
+    kept_agg = t.agg(
+        F.coalesce(
+            F.sum(F.col("__kept") * F.col("tokens_available")), F.lit(0)
+        ).alias("__sum_kept"),
+        F.coalesce(F.sum("__kept"), F.lit(0)).alias("__n_kept"),
+    )
+    w2 = Window.orderBy(
+        F.col("tokens_available").asc(), F.col("source").asc()
+    )
+    return (
+        t.crossJoin(broadcast(kept_agg))
+        .withColumn("__n_rest", F.col("__p") - F.col("__n_kept"))
+        .withColumn(
+            "__base",
+            F.expr(
+                "CASE WHEN __n_rest = 0 THEN 0"
+                " ELSE (__budget - __sum_kept) DIV __n_rest END"
+            ),
+        )
+        .withColumn(
+            "__rem",
+            F.expr(
+                "CASE WHEN __n_rest = 0 THEN 0"
+                " ELSE (__budget - __sum_kept) % __n_rest END"
+            ),
+        )
+        .withColumn("__j", F.row_number().over(w2) - F.col("__n_kept"))
+        .withColumn(
+            "tokens_allocated",
+            F.expr(
+                "CASE WHEN __kept = 1 THEN tokens_available"
+                " ELSE __base + CASE WHEN __j <= __rem THEN 1 ELSE 0 END"
+                " END"
+            ),
+        )
+        .withColumn(
+            "kept_full",
+            (F.col("tokens_allocated") == F.col("tokens_available"))
+            .cast("int"),
+        )
+        .select(
+            "source", "tokens_available", "tokens_allocated", "kept_full"
+        )
+        .orderBy("source")
+    )
+
+
+def lang_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, lang, n_docs, share_e4): each language's half-up 1e-4
+    share of its source's docs -- the corpus-mix monitoring face of
+    lang_id (which classifies; this reports the declared mix)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("source")
+    return (
+        counts.withColumn("__src_docs", F.sum("n_docs").over(w))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            F.expr(
+                "(2 * 10000 * n_docs + __src_docs) DIV (2 * __src_docs)"
+            ).alias("share_e4"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def event_heatmap_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dow, hour, n_events, n_users) -- the 2-D activity histogram
+    behind every ops heatmap; dow from the shared anchor-date
+    arithmetic (engine dayofweek() definitions disagree), one map-side
+    combined aggregate."""
+    from abr_etl_spark.plans.analytics8 import _DOW_ANCHOR
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr(
+                f"pmod(datediff(CAST(ts AS DATE), "
+                f"DATE '{_DOW_ANCHOR}'), 7)"
+            )
+            .cast("long")
+            .alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+            "user_id",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+QUERIES.update(
+    {
+        "corpus_budget_waterfill": corpus_budget_waterfill,
+        "lang_mix_by_source": lang_mix_by_source,
+        "event_heatmap_cells": event_heatmap_cells,
+    }
+)
+
+_DK_NTOK = f"len({th.dk_tokens('text')})"
+
+ORACLES.update(
+    {
+        "corpus_budget_waterfill": f"""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(coalesce(sum({_DK_NTOK}), 0) AS BIGINT)
+                       AS tokens_available
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(coalesce(sum(tokens_available), 0) AS BIGINT)
+                       AS total,
+                   CAST(count(*) AS BIGINT) AS p
+            FROM per_src
+        ), t AS (
+            SELECT source, tokens_available,
+                   ({BUDGET_NUM} * tot.total) // {BUDGET_DEN} AS budget,
+                   tot.p AS p,
+                   row_number() OVER (
+                       ORDER BY tokens_available ASC, source ASC) AS i,
+                   sum(tokens_available) OVER (
+                       ORDER BY tokens_available ASC, source ASC) AS prefix
+            FROM per_src, tot
+        ), lv AS (
+            SELECT *,
+                   (budget - (prefix - tokens_available)) // (p - i + 1)
+                       AS level,
+                   CASE WHEN tokens_available <=
+                        (budget - (prefix - tokens_available)) // (p - i + 1)
+                        THEN 1 ELSE 0 END AS kept
+            FROM t
+        ), ka AS (
+            SELECT CAST(coalesce(sum(kept * tokens_available), 0)
+                        AS BIGINT) AS sum_kept,
+                   CAST(coalesce(sum(kept), 0) AS BIGINT) AS n_kept
+            FROM lv
+        )
+        SELECT source,
+               tokens_available,
+               CAST(CASE WHEN kept = 1 THEN tokens_available
+                    ELSE (CASE WHEN p - ka.n_kept = 0 THEN 0
+                          ELSE (budget - ka.sum_kept) // (p - ka.n_kept)
+                          END)
+                       + (CASE WHEN i - ka.n_kept <=
+                               (CASE WHEN p - ka.n_kept = 0 THEN 0
+                                ELSE (budget - ka.sum_kept)
+                                     % (p - ka.n_kept) END)
+                          THEN 1 ELSE 0 END)
+                    END AS BIGINT) AS tokens_allocated,
+               CAST(CASE WHEN (CASE WHEN kept = 1 THEN tokens_available
+                    ELSE (CASE WHEN p - ka.n_kept = 0 THEN 0
+                          ELSE (budget - ka.sum_kept) // (p - ka.n_kept)
+                          END)
+                       + (CASE WHEN i - ka.n_kept <=
+                               (CASE WHEN p - ka.n_kept = 0 THEN 0
+                                ELSE (budget - ka.sum_kept)
+                                     % (p - ka.n_kept) END)
+                          THEN 1 ELSE 0 END)
+                    END) = tokens_available THEN 1 ELSE 0 END
+                    AS INTEGER) AS kept_full
+        FROM lv, ka
+        ORDER BY source
+    """,
+        "lang_mix_by_source": """
+        WITH c AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source, lang
+        )
+        SELECT source, lang, n_docs,
+               CAST((2 * 10000 * n_docs
+                     + sum(n_docs) OVER (PARTITION BY source))
+                    // (2 * sum(n_docs) OVER (PARTITION BY source))
+                    AS BIGINT) AS share_e4
+        FROM c ORDER BY source, lang
+    """,
+        "event_heatmap_cells": """
+        SELECT CAST(((CAST(ts AS DATE) - DATE '1992-01-06') % 7 + 7) % 7
+                    AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY dow, hour
+    """,
+    }
+)

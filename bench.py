@@ -121,10 +121,13 @@ HEADLINERS = [
     "dup_inflation_report",
     "hll_distinct_prod_m",
     # r10 additions (overlap prices the gram self-join; MMR the
-    # broadcast top-k + greedy chain; pack report rides sequence_pack)
+    # broadcast top-k + greedy chain; pack report rides sequence_pack;
+    # waterfill prices the per-source count + P-row window algebra)
     "cross_source_ngram_overlap",
     "pack_efficiency_report",
     "mmr_diversify_topk",
+    "corpus_budget_waterfill",
+    "event_heatmap_cells",
 ]
 
 

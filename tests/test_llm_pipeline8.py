@@ -181,3 +181,122 @@ def test_mmr_scores_monotone_within_query(spark):
         assert set(picks) == {1, 2, 3}
         assert picks[1]["score_e7"] == lp8.MMR_WREL * picks[1]["rel_e6"]
         assert picks[2]["score_e7"] >= picks[3]["score_e7"]
+
+
+def test_waterfill_hand_case(spark, tmp_path):
+    """tokens (10, 40, 50), budget 60% of 100 = 60: the small source
+    keeps all 10, the two large ones split 50 as 25 each."""
+    docs = [
+        (1, " ".join(["t"] * 10), "en", "small", 20),
+        (2, " ".join(["t"] * 40), "en", "mid", 80),
+        (3, " ".join(["t"] * 50), "en", "big", 100),
+    ]
+    con = _lake(spark, tmp_path, docs=docs)
+    try:
+        rows = {
+            r["source"]: r
+            for r in lp8.corpus_budget_waterfill(
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert rows["small"]["tokens_allocated"] == 10
+        assert rows["small"]["kept_full"] == 1
+        assert rows["mid"]["tokens_allocated"] == 25
+        assert rows["big"]["tokens_allocated"] == 25
+        assert sum(r["tokens_allocated"] for r in rows.values()) == 60
+        assert_matches_oracle(
+            lp8.corpus_budget_waterfill(spark, str(tmp_path)),
+            con,
+            lp8.ORACLES["corpus_budget_waterfill"],
+            key="corpus_budget_waterfill/hand",
+        )
+    finally:
+        con.close()
+
+
+def test_waterfill_invariants_hypothesis():
+    """Water-fill invariants over arbitrary small corpora, checked on
+    the DuckDB text (the shared algorithm; Spark parity is the gate's
+    job): total allocated == min(budget, total); never negative, never
+    above a source's tokens; all capped sources sit within one unit of
+    each other (the water level)."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=500),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def run(tokens):
+        con = duckdb.connect()
+        rows = []
+        for i, n in enumerate(tokens):
+            rows.append((i, " ".join(["t"] * n) if n else "", f"s{i:02d}"))
+        frame = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+        con.register("documents", frame)
+        out = con.execute(
+            lp8.ORACLES["corpus_budget_waterfill"]
+        ).fetchall()
+        con.close()
+        # the tokenizer counts the empty string as one token -- build
+        # the expected availability the same way
+        avail = {f"s{i:02d}": max(n, 1) for i, n in enumerate(tokens)}
+        total = sum(avail.values())
+        budget = (lp8.BUDGET_NUM * total) // lp8.BUDGET_DEN
+        got = {s: (t, a, k) for s, t, a, k in out}
+        assert set(got) == set(avail)
+        alloc_total = 0
+        capped = []
+        for s, (t, a, k) in got.items():
+            assert t == avail[s]
+            assert 0 <= a <= t, (s, a, t)
+            assert k == (1 if a == t else 0)
+            alloc_total += a
+            if a < t:
+                capped.append(a)
+        assert alloc_total == min(budget, total)
+        if capped:
+            assert max(capped) - min(capped) <= 1
+
+    run()
+
+
+def test_lang_mix_and_heatmap_conservation(spark, tmp_path):
+    docs = [
+        (1, "x", "en", "a", 1),
+        (2, "x", "en", "a", 1),
+        (3, "x", "de", "a", 1),
+        (4, "x", "fr", "b", 1),
+    ]
+    con = _lake(spark, tmp_path, docs=docs)
+    try:
+        rows = {
+            (r["source"], r["lang"]): r
+            for r in lp8.lang_mix_by_source(spark, str(tmp_path)).collect()
+        }
+        assert rows[("a", "en")]["share_e4"] == 6667
+        assert rows[("a", "de")]["share_e4"] == 3333
+        assert rows[("b", "fr")]["share_e4"] == 10000
+        assert_matches_oracle(
+            lp8.lang_mix_by_source(spark, str(tmp_path)),
+            con,
+            lp8.ORACLES["lang_mix_by_source"],
+            key="lang_mix_by_source/hand",
+        )
+    finally:
+        con.close()
+    hm = lp8.event_heatmap_cells(spark, "/root/testdata/sf0.001").collect()
+    from abr_etl_spark.sources.lake import load_table
+
+    assert sum(r["n_events"] for r in hm) == load_table(
+        spark, "/root/testdata/sf0.001", "events"
+    ).count()
+    for r in hm:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
+        assert 1 <= r["n_users"] <= r["n_events"]

@@ -42,10 +42,12 @@ KEYS = [
     "source_embedding_drift",
     "dup_inflation_report",
     "hll_distinct_prod_m",
-    # r10 additions: pair census, prefix-sum telemetry, greedy argmax
+    # r10 additions: pair census, prefix-sum telemetry, greedy argmax,
+    # water-fill allocation (windowed prefix + remainder distribution)
     "cross_source_ngram_overlap",
     "pack_efficiency_report",
     "mmr_diversify_topk",
+    "corpus_budget_waterfill",
 ]
 
 
