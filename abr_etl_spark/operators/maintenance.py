@@ -377,6 +377,41 @@ MERGE_BUCKETS = 64
 
 _EPOCH_COL = "__epoch"
 _BUCKET_COL = "__bucket"
+#: sidecar dir holding one tiny text file per bucket with the last
+#: epoch that rewrote it -- the METADATA the idempotence gate reads
+#: instead of scanning bucket rows (leading underscore: invisible to
+#: Spark's file listing, like _SUCCESS / _zorder_manifest).
+_MARKS_DIR = "_epoch_marks"
+
+
+def _mark_path(path: str, b: int) -> str:
+    import os
+
+    return os.path.join(path, _MARKS_DIR, str(int(b)))
+
+
+def _write_mark(path: str, b: int, epoch: int) -> None:
+    """Atomically stamp bucket ``b``'s epoch marker (tmp + rename, so a
+    crash never leaves a torn marker -- a missing marker just falls
+    back to the row-scan gate)."""
+    import os
+
+    d = os.path.join(path, _MARKS_DIR)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp_{int(b)}")
+    with open(tmp, "w") as fh:
+        fh.write(str(int(epoch)))
+    os.replace(tmp, _mark_path(path, b))
+
+
+def _read_mark(path: str, b: int) -> int | None:
+    import os
+
+    p = _mark_path(path, b)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(fh.read().strip())
 
 
 def _bucket_expr(key: str, n_buckets: int):
@@ -404,28 +439,40 @@ def merge_snapshot(
     its bucket. A merge touches ONLY the buckets containing delta keys:
 
     1. affected buckets  = distinct bucket ids of the delta's keys
-       (<= n_buckets rows collected -- metadata scale);
-    2. idempotence gate  = per-bucket max(__epoch) read from just those
-       partitions; buckets already at >= epoch are SKIPPED, so
-       re-running a week (checkpoint replay, operator retry) is a
-       no-op per bucket -- write_epoch_idempotent's contract, keyed on
-       the bucket instead of the date partition, and a crash that
-       stamped only some buckets resumes with exactly the unstamped
-       ones;
+       (<= n_buckets rows collected -- metadata scale). NULL join keys
+       are REJECTED here (ValueError): an anti-join can never match a
+       NULL key, so a NULL-key upsert would silently append a duplicate
+       every epoch instead of replacing -- the contract is keys are
+       non-null, enforced at entry;
+    2. idempotence gate  = per-bucket epoch MARKER files
+       (``_epoch_marks/<bucket>``, one int each) read driver-side --
+       pure metadata, no parquet rows touched; buckets already at
+       >= epoch are SKIPPED, so re-running a week (checkpoint replay,
+       operator retry) costs a few stat calls, not a 25 GB bucket
+       scan. Pre-marker tables (bucket dir without a marker) fall back
+       to the row-scan ``max(__epoch)`` gate for just those buckets
+       and gain markers on their next rewrite;
     3. merge             = (current-bucket rows anti-joined on ALL
        delta keys) UNION upserts -- upsert semantics, so replaying a
        delta against a table that already absorbed it reproduces the
        same table;
-    4. commit            = merged buckets land in a staging dir, then
-       swap in with per-bucket directory renames (the metadata-scale
-       commit every table format performs; a bucket whose merge came
-       out EMPTY -- all rows removed -- is cleared, which plain
-       dynamic-partition overwrite would silently leave stale).
+    4. commit            = merged buckets land in a staging dir; after
+       Spark's ``_SUCCESS`` lands, a ``_OUTCOME.json`` records each
+       pending bucket's fate (written vs cleared-empty), and only then
+       do the per-bucket swaps run: old dir renamed ASIDE, staged dir
+       renamed in, aside deleted, marker stamped. A crash at ANY point
+       resumes losslessly on replay: staging without ``_SUCCESS`` is
+       discarded and re-merged (no renames ever started); staging with
+       ``_SUCCESS`` re-enters the commit loop, which finishes exactly
+       the unmarked buckets from the recorded outcome (an interrupted
+       swap is healed from the aside copy -- the old dir is never the
+       only copy while the new one is in flight).
 
     Scale shape: one partition-pruned scan of the affected buckets, one
     anti-join against the (small) delta key set -- AQE broadcasts it in
     the common deltas<<snapshot case -- and a bucket-local rewrite.
-    Untouched buckets are never read.
+    Untouched buckets are never read; a fully-replayed epoch reads no
+    buckets at all.
 
     Returns ``{"written": w, "skipped": s, "cleared": c}`` bucket
     counts.
@@ -440,46 +487,93 @@ def merge_snapshot(
         .withColumn(_BUCKET_COL, _bucket_expr(key, n_buckets))
     )
     if not os.path.isdir(path):
+        if not upserts.select(key).where(F.col(key).isNull()).isEmpty():
+            raise ValueError(
+                f"merge_snapshot: NULL values in key column {key!r} -- "
+                "the upsert contract requires non-null keys"
+            )
         stamped.write.partitionBy(_BUCKET_COL).parquet(path)
-        n = stamped.select(_BUCKET_COL).distinct().count()
-        return {"written": n, "skipped": 0, "cleared": 0}
+        buckets = [
+            r["b"]
+            for r in stamped.select(F.col(_BUCKET_COL).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        for b in buckets:
+            _write_mark(path, b, epoch)
+        return {"written": len(buckets), "skipped": 0, "cleared": 0}
+
+    stale = [
+        d
+        for d in os.listdir(path)
+        if d.startswith(".staging_epoch_") and d != f".staging_epoch_{epoch}"
+    ]
+    if stale:
+        raise RuntimeError(
+            f"merge_snapshot: unfinished commit(s) {stale} under {path}; "
+            "replay those epochs (same call, same delta) before applying "
+            "a different one"
+        )
 
     all_keys = upserts.select(key)
     if removed_keys is not None:
         all_keys = all_keys.unionByName(removed_keys.select(key))
-    affected = sorted(
-        r["b"]
-        for r in all_keys.select(_bucket_expr(key, n_buckets).alias("b"))
-        .distinct()
+    stats = (
+        all_keys.select(
+            _bucket_expr(key, n_buckets).alias("b"),
+            F.col(key).isNull().alias("n"),
+        )
+        .groupBy("b")
+        .agg(F.max("n").alias("has_null"))
         .collect()
     )
+    if any(r["has_null"] for r in stats):
+        raise ValueError(
+            f"merge_snapshot: NULL values in key column {key!r} -- "
+            "the upsert contract requires non-null keys"
+        )
+    affected = sorted(r["b"] for r in stats)
     if not affected:
         return {"written": 0, "skipped": 0, "cleared": 0}
-    part_dirs = [
-        f"{path}/{_BUCKET_COL}={b}"
-        for b in affected
-        if os.path.isdir(f"{path}/{_BUCKET_COL}={b}")
-    ]
+
+    # ---- idempotence gate: marker files first (metadata-only), row
+    # scan only for pre-marker buckets
     done: set[int] = set()
-    if part_dirs:
+    fallback: list[int] = []
+    for b in affected:
+        m = _read_mark(path, b)
+        if m is not None:
+            if m >= epoch:
+                done.add(b)
+        elif os.path.isdir(f"{path}/{_BUCKET_COL}={b}"):
+            fallback.append(b)
+    if fallback:
         marks = (
             spark.read.option("basePath", path)
-            .parquet(*part_dirs)
+            .parquet(*[f"{path}/{_BUCKET_COL}={b}" for b in fallback])
             .groupBy(_BUCKET_COL)
             .agg(F.max(_EPOCH_COL).alias("e"))
             .collect()
         )
-        done = {r[_BUCKET_COL] for r in marks if r["e"] >= epoch}
+        done |= {r[_BUCKET_COL] for r in marks if r["e"] >= epoch}
     pending = [b for b in affected if b not in done]
+    staging = f"{path}/.staging_epoch_{epoch}"
     if not pending:
+        shutil.rmtree(staging, ignore_errors=True)  # fully-committed leftover
         return {"written": 0, "skipped": len(done), "cleared": 0}
+
+    if os.path.isdir(staging):
+        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            # crashed AFTER the merged write: resume the rename commit
+            w, c = _commit_staging(path, staging, epoch, pending)
+            return {"written": w, "skipped": len(done), "cleared": c}
+        shutil.rmtree(staging)  # crashed DURING the write: no renames ran
 
     pending_dirs = [
         f"{path}/{_BUCKET_COL}={b}"
         for b in pending
         if os.path.isdir(f"{path}/{_BUCKET_COL}={b}")
     ]
-    pending_set = set(pending)
     fresh = stamped.where(F.col(_BUCKET_COL).isin(pending))
     if pending_dirs:
         current = (
@@ -495,24 +589,74 @@ def merge_snapshot(
         merged = survivors.unionByName(fresh)
     else:
         merged = fresh
-    staging = f"{path}/.staging_epoch_{epoch}"
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)
     merged.write.partitionBy(_BUCKET_COL).parquet(staging)
+    written, cleared = _commit_staging(path, staging, epoch, pending)
+    assert written + cleared == len(pending)
+    return {"written": written, "skipped": len(done), "cleared": cleared}
+
+
+def _commit_staging(
+    path: str, staging: str, epoch: int, pending: list[int]
+) -> tuple[int, int]:
+    """Resume-safe rename commit for merge_snapshot.
+
+    Records each pending bucket's outcome (written / cleared) in
+    ``staging/_OUTCOME.json`` BEFORE any rename, then swaps buckets in
+    one at a time via an aside copy, stamping the bucket's epoch marker
+    last. Idempotent at every crash point: already-marked buckets are
+    skipped; a swap interrupted between its two renames finds the new
+    dir in staging or the old dir aside and finishes from there. The
+    old bucket dir is deleted only after the new one is in place.
+    """
+    import json
+    import os
+    import shutil
+
+    outcome_p = os.path.join(staging, "_OUTCOME.json")
+    if not os.path.exists(outcome_p):
+        # first entry (or crash between _SUCCESS and outcome): no rename
+        # has run yet, so the marker-derived pending set is authoritative
+        outcome = {
+            str(b): (
+                "written"
+                if os.path.isdir(f"{staging}/{_BUCKET_COL}={b}")
+                else "cleared"
+            )
+            for b in pending
+        }
+        tmp = outcome_p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(outcome, fh)
+        os.replace(tmp, outcome_p)
+    else:
+        with open(outcome_p) as fh:
+            outcome = json.load(fh)
     written = cleared = 0
-    for b in pending:
+    for b_str, kind in sorted(outcome.items(), key=lambda kv: int(kv[0])):
+        b = int(b_str)
+        m = _read_mark(path, b)
+        if m is not None and m >= epoch:
+            continue  # committed before the crash
         src = f"{staging}/{_BUCKET_COL}={b}"
         dst = f"{path}/{_BUCKET_COL}={b}"
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        if os.path.isdir(src):
-            os.rename(src, dst)
+        aside = f"{path}/.old_{epoch}_{b}"
+        if kind == "written":
+            if os.path.isdir(src):
+                if os.path.isdir(dst):
+                    os.rename(dst, aside)
+                os.rename(src, dst)
+            # src gone but unmarked: swap finished, crash hit before the
+            # marker -- just heal the aside + stamp
+            if os.path.isdir(aside):
+                shutil.rmtree(aside)
             written += 1
         else:
-            cleared += 1  # merge emptied the bucket entirely
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            cleared += 1
+        _write_mark(path, b, epoch)
     shutil.rmtree(staging, ignore_errors=True)
-    assert written + cleared == len(pending_set)
-    return {"written": written, "skipped": len(done), "cleared": cleared}
+    return written, cleared
 
 
 def read_merged_snapshot(spark: SparkSession, path: str) -> DataFrame:

@@ -3,7 +3,9 @@
 
     kill-switch check -> routed ingest -> per-dataset transform ->
     partitioned lake write -> (per-dataset post actions) delta ->
-    stable-named CSV export
+    stable-named CSV export -> CDC apply (merge_snapshot current-state
+    table, bootstrapped from the first snapshot) -> per-bucket
+    compaction of exactly the buckets the week rewrote
 
 Transport concerns (SFTP download, S3 sync, CloudWatch) are out of engine
 scope -- the data path is complete. The kill switch mirrors the
@@ -17,7 +19,8 @@ import logging
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from abr_etl_spark.operators import delta, maintenance
 from abr_etl_spark.sources import lake, routed_ingest
@@ -44,6 +47,22 @@ class WeeklyConfig:
     #: also land the raw .txt as DATA/<ds>/importdate=<d>/ABR_<ds>.txt.gz
     #: (byte-layout parity with the reference lake, load.go:19-21).
     raw_gz: bool = False
+    #: root for materialized current-state tables (<merge_dir>/<ds>):
+    #: when set, each delta dataset's computed CDC (updated+added,
+    #: removed) is APPLIED via maintenance.merge_snapshot -- the full
+    #: downstream half the reference's consumers build by hand. The
+    #: first snapshot bootstraps the table; each later week merges with
+    #: epoch = int(yyyymmdd), so replaying a week is a per-bucket
+    #: metadata no-op.
+    merge_dir: str | None = None
+    #: hash-bucket count for the merged tables (tests shrink it; at
+    #: scale see maintenance.MERGE_BUCKETS sizing note).
+    merge_buckets: int = maintenance.MERGE_BUCKETS
+    #: after a merge, compact exactly the buckets THIS epoch rewrote
+    #: (marker == epoch) back to ~target-sized files -- the weekly
+    #: small-file hygiene pass, scoped so untouched buckets never
+    #: rewrite.
+    compact_merged: bool = False
     results: dict = field(default_factory=dict)
 
 
@@ -151,6 +170,42 @@ def check_disabled(lake_root: str) -> None:
                 raise PipelineDisabled(f"ETL disabled -- {marker}")
 
 
+def _merge_and_compact(
+    spark: SparkSession,
+    cfg: WeeklyConfig,
+    ds: str,
+    upserts: DataFrame,
+    removed_keys: DataFrame | None,
+    date: str,
+) -> dict:
+    """Apply one week's CDC to <merge_dir>/<ds> (epoch = yyyymmdd as
+    int, so replays gate on the bucket markers) and, when configured,
+    compact exactly the buckets this epoch rewrote."""
+    path = os.path.join(cfg.merge_dir, ds)
+    epoch = int(date.replace("-", ""))
+    rep = maintenance.merge_snapshot(
+        spark,
+        path,
+        upserts,
+        removed_keys,
+        key=cfg.key_col,
+        epoch=epoch,
+        n_buckets=cfg.merge_buckets,
+    )
+    if cfg.compact_merged and rep["written"]:
+        compacted = 0
+        for b in range(cfg.merge_buckets):
+            bdir = os.path.join(path, f"{maintenance._BUCKET_COL}={b}")
+            if (
+                os.path.isdir(bdir)
+                and maintenance._read_mark(path, b) == epoch
+            ):
+                maintenance.compact_partition(spark, bdir)
+                compacted += 1
+        rep = {**rep, "compacted": compacted}
+    return rep
+
+
 def run_weekly(spark: SparkSession, cfg: WeeklyConfig) -> WeeklyConfig:
     """Execute the weekly flow; per-dataset results land in cfg.results."""
     check_disabled(cfg.lake_root)
@@ -183,6 +238,17 @@ def run_weekly(spark: SparkSession, cfg: WeeklyConfig) -> WeeklyConfig:
             newest, previous = lake.newest_previous(table)
         except ValueError as exc:
             log.info("dataset %s: %s", ds, exc)
+            if cfg.merge_dir:
+                # first week: bootstrap the current-state table from the
+                # single snapshot (no delta to apply yet)
+                dates = lake.discover_partitions_listing(table_path)
+                if len(dates) == 1:
+                    snap = table.where(
+                        F.col("importdate") == dates[0]
+                    ).drop("importdate")
+                    cfg.results[ds]["merge"] = _merge_and_compact(
+                        spark, cfg, ds, snap, None, dates[0]
+                    )
             continue
         new_df, old_df = delta.snapshot_pair(
             table, cfg.key_col, newest=newest, previous=previous
@@ -192,6 +258,14 @@ def run_weekly(spark: SparkSession, cfg: WeeklyConfig) -> WeeklyConfig:
         cfg.results[ds].update(
             {"newest": newest, "previous": previous}
         )
+        if cfg.merge_dir:
+            ups = updated.unionByName(added).drop("importdate")
+            rem = delta.delta_removed(new_df, old_df, cfg.key_col).select(
+                cfg.key_col
+            )
+            cfg.results[ds]["merge"] = _merge_and_compact(
+                spark, cfg, ds, ups, rem, newest
+            )
         if cfg.export_dir:
             for action, frame in (("updated", updated), ("added", added)):
                 out_dir = os.path.join(

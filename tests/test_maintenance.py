@@ -310,7 +310,11 @@ def test_stats_manifest_on_plain_lake_partition(spark, tmp_path):
     )
     rows = got.where(F.col("k").between(20_000, 29_999)).count()
     assert rows == 10_000
-    assert 0 < kept <= 2  # 10% range -> at most 2 of 10 range files
+    # 10% of the key range: repartitionByRange SAMPLES boundaries, so
+    # the range can straddle up to 3 of the 10 files on an unlucky
+    # sample (r10 advice: observed kept=3 once) -- still a strict
+    # minority of the 10, which is the property under test
+    assert 0 < kept <= 3
 
 
 def test_merge_snapshot_weekly_replay(spark, tmp_path):
@@ -407,3 +411,198 @@ def test_merge_snapshot_clears_emptied_bucket(spark, tmp_path):
         .count()
         == 0
     )
+
+
+# ------------------------------------------------- merge_snapshot hardening
+
+
+def _mk_state(spark, path, n=100, buckets=4):
+    base = spark.createDataFrame(
+        [(k, k * 2) for k in range(1, n + 1)], "pid long, amt long"
+    )
+    from abr_etl_spark.operators.maintenance import merge_snapshot
+
+    merge_snapshot(spark, path, base, None, key="pid", epoch=1, n_buckets=buckets)
+    return base
+
+
+def _rows(spark, path):
+    from abr_etl_spark.operators.maintenance import read_merged_snapshot
+
+    return {tuple(r) for r in read_merged_snapshot(spark, path).collect()}
+
+
+def test_merge_snapshot_rejects_null_keys(spark, tmp_path):
+    """NULL join keys can never anti-join-match, so a NULL-key upsert
+    would duplicate every epoch -- the contract rejects them at entry
+    (r10 advice item 2), on both the bootstrap and incremental paths."""
+    import pytest
+
+    from abr_etl_spark.operators.maintenance import merge_snapshot
+
+    bad = spark.createDataFrame(
+        [(1, 10), (None, 20)], "pid long, amt long"
+    )
+    p1 = str(tmp_path / "null_boot")
+    with pytest.raises(ValueError, match="NULL"):
+        merge_snapshot(spark, p1, bad, None, key="pid", epoch=1, n_buckets=4)
+
+    p2 = str(tmp_path / "null_incr")
+    _mk_state(spark, p2, n=10)
+    with pytest.raises(ValueError, match="NULL"):
+        merge_snapshot(spark, p2, bad, None, key="pid", epoch=2, n_buckets=4)
+    # and a NULL in removed_keys is rejected the same way
+    with pytest.raises(ValueError, match="NULL"):
+        merge_snapshot(
+            spark,
+            p2,
+            bad.where("pid is not null"),
+            spark.createDataFrame([(None,)], "pid long"),
+            key="pid",
+            epoch=2,
+            n_buckets=4,
+        )
+
+
+def test_merge_snapshot_replay_reads_no_bucket_rows(spark, tmp_path, monkeypatch):
+    """The idempotence gate is METADATA-ONLY (r10 verdict item 3): a
+    fully-replayed epoch consults the per-bucket marker files and never
+    opens a parquet scan -- proved by poisoning DataFrameReader.parquet
+    for the replay call."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from abr_etl_spark.operators import delta as d
+    from abr_etl_spark.operators.maintenance import merge_snapshot
+
+    path = str(tmp_path / "state_meta")
+    base = _mk_state(spark, path, n=200, buckets=8)
+    s1 = base.where("pid % 7 != 0")
+    ups = d.delta_updated(s1, base, "pid").unionByName(
+        d.delta_added(s1, base, "pid")
+    )
+    rem = d.delta_removed(s1, base, "pid").select("pid")
+    # deltas are computed BEFORE poisoning (they read nothing from path)
+    ups = spark.createDataFrame(ups.collect(), ups.schema)
+    rem = spark.createDataFrame(rem.collect(), rem.schema)
+    r2 = merge_snapshot(spark, path, ups, rem, key="pid", epoch=2, n_buckets=8)
+    assert r2["written"] + r2["cleared"] > 0
+
+    def boom(self, *a, **k):
+        raise AssertionError("replayed epoch must not read parquet")
+
+    monkeypatch.setattr(DataFrameReader, "parquet", boom)
+    r2b = merge_snapshot(spark, path, ups, rem, key="pid", epoch=2, n_buckets=8)
+    assert r2b == {"written": 0, "skipped": r2["written"] + r2["cleared"] + r2["skipped"], "cleared": 0}
+    monkeypatch.undo()
+    assert _rows(spark, path) == {tuple(r) for r in s1.collect()}
+
+
+def _crash_rename_after(monkeypatch, n_calls):
+    """Patch os.rename to die after its n-th successful call."""
+    import os
+
+    real = os.rename
+    state = {"left": n_calls}
+
+    def flaky(src, dst):
+        if state["left"] == 0:
+            raise RuntimeError("injected crash")
+        state["left"] -= 1
+        return real(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky)
+
+
+def test_merge_snapshot_crash_between_renames_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """r10 advice item 1 (medium): a crash between 'old dir aside' and
+    'staged dir in' must not lose the bucket -- the replay completes the
+    recorded commit instead of rmtree-ing the staging dir."""
+    import pytest
+
+    from abr_etl_spark.operators.maintenance import merge_snapshot
+
+    path = str(tmp_path / "state_crash1")
+    base = _mk_state(spark, path, n=200, buckets=4)
+    # touch every bucket so several swaps are in flight
+    ups = spark.createDataFrame(
+        [(k, k * 100) for k in range(1, 201, 3)], "pid long, amt long"
+    )
+    expected = {
+        (k, k * 100) if k % 3 == 1 else (k, k * 2) for k in range(1, 201)
+    }
+    # crash after the FIRST bucket's aside rename (its swap is half-done)
+    _crash_rename_after(monkeypatch, 1)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_snapshot(spark, path, ups, None, key="pid", epoch=2, n_buckets=4)
+    monkeypatch.undo()
+    # replay with the same delta: commit resumes, nothing lost
+    r = merge_snapshot(spark, path, ups, None, key="pid", epoch=2, n_buckets=4)
+    assert r["written"] + r["skipped"] + r["cleared"] == 4
+    assert _rows(spark, path) == expected
+    # and a second replay is a metadata no-op
+    r2 = merge_snapshot(spark, path, ups, None, key="pid", epoch=2, n_buckets=4)
+    assert r2 == {"written": 0, "skipped": 4, "cleared": 0}
+
+
+def test_merge_snapshot_crash_before_marker_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER a bucket's swap but BEFORE its marker stamp: the
+    replay re-enters the commit loop, heals the aside copy, stamps the
+    marker, and the table is exactly the post-merge snapshot."""
+    import pytest
+
+    from abr_etl_spark.operators import maintenance
+    from abr_etl_spark.operators.maintenance import merge_snapshot
+
+    path = str(tmp_path / "state_crash2")
+    base = _mk_state(spark, path, n=200, buckets=4)
+    ups = spark.createDataFrame(
+        [(k, -k) for k in range(1, 201, 5)], "pid long, amt long"
+    )
+    expected = {
+        (k, -k) if k % 5 == 1 else (k, k * 2) for k in range(1, 201)
+    }
+    real_mark = maintenance._write_mark
+    calls = {"n": 0}
+
+    def flaky_mark(p, b, e):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash")
+        return real_mark(p, b, e)
+
+    monkeypatch.setattr(maintenance, "_write_mark", flaky_mark)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_snapshot(spark, path, ups, None, key="pid", epoch=2, n_buckets=4)
+    monkeypatch.undo()
+    merge_snapshot(spark, path, ups, None, key="pid", epoch=2, n_buckets=4)
+    assert _rows(spark, path) == expected
+
+
+def test_merge_snapshot_stale_staging_from_other_epoch_raises(
+    spark, tmp_path, monkeypatch
+):
+    """Applying epoch 3 while epoch 2's commit sits half-finished would
+    silently diverge -- the engine refuses and names the leftover."""
+    import pytest
+
+    from abr_etl_spark.operators.maintenance import merge_snapshot
+
+    path = str(tmp_path / "state_stale")
+    _mk_state(spark, path, n=50, buckets=4)
+    ups = spark.createDataFrame([(1, 111)], "pid long, amt long")
+    _crash_rename_after(monkeypatch, 0)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_snapshot(spark, path, ups, None, key="pid", epoch=2, n_buckets=4)
+    monkeypatch.undo()
+    with pytest.raises(RuntimeError, match="staging_epoch_2"):
+        merge_snapshot(spark, path, ups, None, key="pid", epoch=3, n_buckets=4)
+    # replaying epoch 2 heals, after which epoch 3 applies cleanly
+    merge_snapshot(spark, path, ups, None, key="pid", epoch=2, n_buckets=4)
+    ups3 = spark.createDataFrame([(2, 222)], "pid long, amt long")
+    merge_snapshot(spark, path, ups3, None, key="pid", epoch=3, n_buckets=4)
+    got = _rows(spark, path)
+    assert (1, 111) in got and (2, 222) in got

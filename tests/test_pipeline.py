@@ -129,3 +129,82 @@ def test_unzip_drop_duplicate_basename_extracts_nothing(tmp_path):
     with pytest.raises(ValueError, match="duplicate basename"):
         pipeline.unzip_drop(str(zp), str(dest))
     assert os.listdir(dest) == []
+
+
+def test_run_weekly_cdc_chain_two_drops(spark, tmp_path):
+    """r10 verdict item 2: the WHOLE weekly chain composes -- ingest ->
+    transform -> delta -> merge_snapshot -> compaction -- replayed over
+    two weekly drops arriving one at a time. After each week the merged
+    current-state table equals that week's snapshot (= snapshot_latest
+    minus removed keys), and re-running the week is a per-bucket
+    metadata no-op."""
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.operators import delta as d
+    from abr_etl_spark.operators.maintenance import read_merged_snapshot
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    week1 = ["pid|abn"] + [f"p{i}|{i}" for i in range(20)]
+    # week 2: p0-p4 updated, p18/p19 removed, q1 added
+    week2 = (
+        ["pid|abn"]
+        + [f"p{i}|{i if i >= 5 else 999}" for i in range(18)]
+        + ["q1|1001"]
+    )
+    cfg_kw = dict(
+        drop_dir=str(drop),
+        lake_root=str(tmp_path / "lake"),
+        datasets=("Agency_Data",),
+        merge_dir=str(tmp_path / "merged"),
+        merge_buckets=4,
+        compact_merged=True,
+    )
+
+    def merged_rows():
+        return {
+            (r["pid"], r["abn"])
+            for r in read_merged_snapshot(
+                spark, str(tmp_path / "merged/Agency_Data")
+            ).collect()
+        }
+
+    # ---- week 1: bootstrap
+    (drop / "VIC190422_ABR_Agency_Data.txt").write_text("\n".join(week1) + "\n")
+    out1 = pipeline.run_weekly(spark, pipeline.WeeklyConfig(**cfg_kw))
+    rep1 = out1.results["Agency_Data"]["merge"]
+    assert rep1["written"] > 0 and rep1["skipped"] == 0
+    assert merged_rows() == {(f"p{i}", i) for i in range(20)}
+
+    # ---- week 2 drop lands; full chain incl. delta + merge + compaction
+    (drop / "VIC190429_ABR_Agency_Data.txt").write_text("\n".join(week2) + "\n")
+    out2 = pipeline.run_weekly(spark, pipeline.WeeklyConfig(**cfg_kw))
+    rep2 = out2.results["Agency_Data"]["merge"]
+    assert rep2["written"] + rep2["cleared"] > 0
+    assert rep2.get("compacted", 0) == rep2["written"]
+    want2 = {(f"p{i}", 999 if i < 5 else i) for i in range(18)} | {
+        ("q1", 1001)
+    }
+    assert merged_rows() == want2
+
+    # the merged table IS snapshot_latest minus the removed keys
+    table = spark.read.parquet(str(tmp_path / "lake/DATA/Agency_Data"))
+    latest = d.snapshot_latest(table, "pid")
+    removed = d.delta_removed(
+        *d.snapshot_pair(table, "pid", newest="2019-04-29", previous="2019-04-22"),
+        "pid",
+    ).select("pid")
+    expect = {
+        (r["pid"], r["abn"])
+        for r in latest.join(removed, "pid", "left_anti")
+        .select("pid", "abn")
+        .collect()
+    }
+    assert merged_rows() == expect
+
+    # ---- replaying week 2 (operator retry) is a per-bucket no-op
+    out3 = pipeline.run_weekly(spark, pipeline.WeeklyConfig(**cfg_kw))
+    rep3 = out3.results["Agency_Data"]["merge"]
+    assert rep3["written"] == 0 and rep3["cleared"] == 0
+    assert rep3["skipped"] == rep2["written"] + rep2["cleared"] + rep2["skipped"]
+    assert merged_rows() == want2
