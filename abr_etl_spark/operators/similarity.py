@@ -478,6 +478,111 @@ def kmeans_centroids(
     return centroids
 
 
+#: env var naming a directory for persisted IVF centroid sidecars;
+#: unset -> indexes live only in the session memo below.
+IVF_INDEX_ENV = "SPARK_GRAFT_INDEX_DIR"
+
+#: (applicationId, fingerprint) -> (collected centroid rows, weakref to
+#: the SparkContext) -- the same memo discipline as llm_pipeline's
+#: _CC_CACHE: weakref-liveness eviction so a stopped session's entry
+#: never serves a new one. Rows (k x dim floats) are metadata-scale.
+_KMEANS_INDEX_MEMO: dict = {}
+
+
+def _kmeans_fingerprint(source_path: str, k: int, iters: int) -> str:
+    """Freshness key for a persisted IVF index: the source parquet's
+    (path, size, mtime) plus the quantizer params -- any data rewrite
+    or param change misses and rebuilds."""
+    import os
+
+    st = os.stat(source_path)
+    return (
+        f"{os.path.abspath(source_path)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|k={k}|iters={iters}|v1"
+    )
+
+
+def kmeans_index(
+    spark,
+    df: DataFrame,
+    k: int,
+    *,
+    iters: int,
+    source_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_dir: str | None = None,
+) -> DataFrame:
+    """kmeans_centroids behind a PERSISTED index: the coarse quantizer
+    is computed once, collected (k x dim floats -- metadata scale), and
+    served as a broadcast-friendly local relation from then on.
+
+    Lookup order: session memo (keyed on the fingerprint below) ->
+    sidecar JSON under ``index_dir`` (or $SPARK_GRAFT_INDEX_DIR) ->
+    compute via Lloyd k-means and persist. The sidecar stores the
+    fingerprint of the SOURCE parquet (path+size+mtime) and the params;
+    a stale or mismatched sidecar is rebuilt, never trusted. Float32
+    centroid values round-trip exactly (float32 -> Python double ->
+    JSON -> float32), so an index probe is bit-identical to a fresh
+    k-means -- pytest-proved in tests/test_kmeans_ivf.py.
+
+    This is what turns ann_ivf_kmeans into a true INDEX probe: at
+    100 TB the k-means (several full-corpus passes) runs once per
+    ingest epoch, and every later search session pays only a sidecar
+    read."""
+    import hashlib
+    import json
+    import os
+    import weakref
+
+    fp = _kmeans_fingerprint(source_path, k, iters)
+    schema = f"centroid_id int, {vec_col} array<float>"
+    memo_key = (spark.sparkContext.applicationId, fp)
+    entry = _KMEANS_INDEX_MEMO.get(memo_key)
+    if entry is not None and entry[1]() is not None:
+        return spark.createDataFrame(entry[0], schema)
+    for mk, (_, ref) in list(_KMEANS_INDEX_MEMO.items()):
+        if ref() is None:
+            _KMEANS_INDEX_MEMO.pop(mk, None)
+
+    index_dir = (
+        index_dir if index_dir is not None else os.environ.get(IVF_INDEX_ENV)
+    )
+    sidecar = (
+        os.path.join(
+            index_dir,
+            f"ivf_{hashlib.sha256(fp.encode()).hexdigest()[:24]}.json",
+        )
+        if index_dir
+        else None
+    )
+    rows = None
+    if sidecar and os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            payload = json.load(fh)
+        if payload.get("fingerprint") == fp:
+            rows = [(int(c), list(map(float, v))) for c, v in payload["centroids"]]
+    if rows is None:
+        cents = kmeans_centroids(
+            df, k, id_col=id_col, vec_col=vec_col, iters=iters
+        )
+        rows = [
+            (r["centroid_id"], list(r[vec_col]))
+            for r in cents.orderBy("centroid_id").collect()
+        ]
+        if sidecar:
+            os.makedirs(index_dir, exist_ok=True)
+            tmp = sidecar + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"fingerprint": fp, "centroids": [[c, v] for c, v in rows]},
+                    fh,
+                )
+            os.replace(tmp, sidecar)
+    _KMEANS_INDEX_MEMO[memo_key] = (rows, weakref.ref(spark.sparkContext))
+    return spark.createDataFrame(rows, schema)
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

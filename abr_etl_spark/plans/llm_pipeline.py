@@ -128,8 +128,12 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just the plan shape."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERY_VECS)
-    cent = similarity.kmeans_centroids(
-        e, KMEANS_K, iters=KMEANS_ITERS
+    cent = similarity.kmeans_index(
+        spark,
+        e,
+        KMEANS_K,
+        iters=KMEANS_ITERS,
+        source_path=f"{sf_dir}/embeddings.parquet",
     ).withColumnRenamed("centroid_id", "vec_id")
     return similarity.ivf_ann_topk(e, q, cent, k=ANN_K)
 
@@ -148,8 +152,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays clustering AND pair generation exactly.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cent = similarity.kmeans_centroids(
-        e, KMEANS_K, iters=KMEANS_ITERS
+    cent = similarity.kmeans_index(
+        spark,
+        e,
+        KMEANS_K,
+        iters=KMEANS_ITERS,
+        source_path=f"{sf_dir}/embeddings.parquet",
     ).withColumnRenamed("centroid_id", "vec_id")
     assigned = similarity.ivf_assign(e, cent).select(
         F.col("centroid_id").alias("cell"),

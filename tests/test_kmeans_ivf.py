@@ -45,3 +45,99 @@ def test_kmeans_handles_k_larger_than_distinct_points(spark):
     df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
     cents = kmeans_centroids(df, 3, iters=2).collect()
     assert len(cents) == 3  # empty cells keep their previous centroid
+
+
+def test_kmeans_index_persists_and_reuses(spark, tmp_path, monkeypatch):
+    """r10 verdict item 6: the IVF quantizer is a PERSISTED index. The
+    first call computes + writes the sidecar; a later session (memo
+    cleared, kmeans_centroids poisoned) serves centroids from disk,
+    bit-identical, running zero k-means jobs. A source rewrite or param
+    change invalidates the fingerprint and rebuilds."""
+    import json
+    import os
+
+    from abr_etl_spark.operators import similarity
+
+    idx = str(tmp_path / "index")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def rows(df):
+        return [
+            (r["centroid_id"], list(r["embedding"]))
+            for r in df.orderBy("centroid_id").collect()
+        ]
+
+    first = rows(
+        similarity.kmeans_index(
+            spark, e, 8, iters=2,
+            source_path=f"{SF}/embeddings.parquet", index_dir=idx,
+        )
+    )
+    sidecars = [f for f in os.listdir(idx) if f.endswith(".json")]
+    assert len(sidecars) == 1
+    assert first == rows(kmeans_centroids(e, 8, iters=2))
+
+    # "second session": clear the memo AND poison the k-means -- any
+    # recompute would raise, so equality proves a pure index probe
+    similarity._KMEANS_INDEX_MEMO.clear()
+
+    def boom(*a, **k):
+        raise AssertionError("index probe must not run k-means")
+
+    monkeypatch.setattr(similarity, "kmeans_centroids", boom)
+    again = rows(
+        similarity.kmeans_index(
+            spark, e, 8, iters=2,
+            source_path=f"{SF}/embeddings.parquet", index_dir=idx,
+        )
+    )
+    assert again == first
+
+    # param change -> different fingerprint -> rebuild is attempted
+    import pytest
+
+    similarity._KMEANS_INDEX_MEMO.clear()
+    with pytest.raises(AssertionError, match="index probe"):
+        similarity.kmeans_index(
+            spark, e, 9, iters=2,
+            source_path=f"{SF}/embeddings.parquet", index_dir=idx,
+        )
+    monkeypatch.undo()
+
+    # a STALE sidecar (fingerprint mismatch after a source rewrite) is
+    # rebuilt, never trusted
+    sc = os.path.join(idx, sidecars[0])
+    payload = json.load(open(sc))
+    payload["fingerprint"] = "stale"
+    json.dump(payload, open(sc, "w"))
+    similarity._KMEANS_INDEX_MEMO.clear()
+    rebuilt = rows(
+        similarity.kmeans_index(
+            spark, e, 8, iters=2,
+            source_path=f"{SF}/embeddings.parquet", index_dir=idx,
+        )
+    )
+    assert rebuilt == first
+    assert json.load(open(sc))["fingerprint"] != "stale"
+
+
+def test_kmeans_index_memo_serves_without_disk(spark, tmp_path, monkeypatch):
+    """Within one session the memo alone (no index_dir) already
+    dedups the quantizer across keys (ann_ivf_kmeans + dedup_semantic
+    share it): the second call runs no k-means."""
+    from abr_etl_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    first = similarity.kmeans_index(
+        spark, e, 8, iters=1, source_path=f"{SF}/embeddings.parquet"
+    ).collect()
+
+    def boom(*a, **k):
+        raise AssertionError("memo hit expected")
+
+    monkeypatch.setattr(similarity, "kmeans_centroids", boom)
+    again = similarity.kmeans_index(
+        spark, e, 8, iters=1, source_path=f"{SF}/embeddings.parquet"
+    ).collect()
+    monkeypatch.undo()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
