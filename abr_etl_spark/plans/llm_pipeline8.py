@@ -174,22 +174,18 @@ def _rel_e6(cos_col: str) -> str:
     return f"CAST(round({cos_col} * 1000000.0, 0) AS BIGINT)"
 
 
-def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MMR-diversified top-{MMR_K} per query: greedy over the exact
-    top-{MMR_CANDS} cosine candidates, score_e7 = {MMR_WREL}*rel_e6 -
-    {MMR_WDIV}*max_sim_e6 (first pick scores {MMR_WREL}*rel_e6), ties
-    broken by neighbor_id -- all comparisons in BIGINT 1e-6/1e-7 units
-    so Spark and the unrolled-CTE DuckDB oracle replay the identical
-    greedy chain. Output (query_id, pick, neighbor_id, rel_e6,
-    score_e7).
-
-    Scale: candidates come from the audited broadcast top-k; the greedy
-    loop runs MMR_K - 1 joins over (|Q| x {MMR_CANDS})-row frames --
-    constant-size work however large the corpus behind the top-k is."""
+def _mmr_inputs(
+    spark: SparkSession, sf_dir: str, cands: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MMR inputs: the exact top-``cands`` candidate list per
+    query (query_id, neighbor_id, rel_e6) and the candidate-pair
+    similarity table (query_id, i, j, sim_e6) -- both materialized
+    through the cache registry, so every lambda of a sweep (and every
+    greedy step) reuses ONE computation of the broadcast top-k."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERY_VECS)
     cand = (
-        similarity.cosine_topk(e, q, k=MMR_CANDS)
+        similarity.cosine_topk(e, q, k=cands)
         .select(
             "query_id",
             "neighbor_id",
@@ -238,11 +234,22 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tiny frames from here on: persist the two inputs every greedy step
     # re-reads so the loop's lineage doesn't re-run the broadcast top-k
-    # (registered caches -- release_result_caches() reclaims them)
+    # (registered caches -- release_result_caches() reclaims them; the
+    # canonical-plan dedup in CacheManager makes a sweep's lambdas share
+    # ONE cached copy of each)
     from abr_etl_spark.functions.cache import materialize_result
 
-    cand = materialize_result(cand)
-    sim = materialize_result(sim)
+    return materialize_result(cand), materialize_result(sim)
+
+
+def _mmr_greedy(
+    cand: DataFrame, sim: DataFrame, *, k: int, wrel: int, wdiv: int
+) -> DataFrame:
+    """Greedy MMR chain over prepared inputs: pick argmax of
+    wrel*rel_e6 - wdiv*max-sim-to-picked (first pick wrel*rel_e6),
+    ties by neighbor_id -- all BIGINT, so Spark and the unrolled-CTE
+    DuckDB oracle replay the identical chain. k-1 joins over
+    (|Q| x cands)-row frames: constant work in corpus size."""
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("rel_e6").desc(), F.col("neighbor_id").asc()
     )
@@ -254,10 +261,10 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("pick"),
             "neighbor_id",
             "rel_e6",
-            (F.lit(MMR_WREL) * F.col("rel_e6")).alias("score_e7"),
+            (F.lit(wrel) * F.col("rel_e6")).alias("score_e7"),
         )
     )
-    for t in range(2, MMR_K + 1):
+    for t in range(2, k + 1):
         sel = picked.select("query_id", F.col("neighbor_id").alias("j"))
         rem = cand.join(
             picked.select("query_id", "neighbor_id"),
@@ -271,8 +278,8 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["query_id", "neighbor_id"],
         ).withColumn(
             "score_e7",
-            F.lit(MMR_WREL) * F.col("rel_e6")
-            - F.lit(MMR_WDIV) * F.col("maxsim_e6"),
+            F.lit(wrel) * F.col("rel_e6")
+            - F.lit(wdiv) * F.col("maxsim_e6"),
         )
         wt = Window.partitionBy("query_id").orderBy(
             F.col("score_e7").desc(), F.col("neighbor_id").asc()
@@ -289,13 +296,97 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         picked = picked.unionByName(step)
-    return picked.orderBy("query_id", "pick")
+    return picked
+
+
+def mmr_diversify_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = MMR_K,
+    cands: int = MMR_CANDS,
+    wrel: int = MMR_WREL,
+    wdiv: int = MMR_WDIV,
+) -> DataFrame:
+    """MMR-diversified top-``k`` per query: greedy over the exact
+    top-``cands`` cosine candidates with integer weights (the plan key
+    pins the defaults k={MMR_K}, cands={MMR_CANDS}, lambda =
+    {MMR_WREL}/({MMR_WREL}+{MMR_WDIV}) for the oracle; callers tune all
+    four). Output (query_id, pick, neighbor_id, rel_e6, score_e7).
+
+    Scale: candidates come from the audited broadcast top-k; the greedy
+    loop is constant-size work however large the corpus behind the
+    top-k is (see _mmr_greedy)."""
+    cand, sim = _mmr_inputs(spark, sf_dir, cands)
+    return _mmr_greedy(cand, sim, k=k, wrel=wrel, wdiv=wdiv).orderBy(
+        "query_id", "pick"
+    )
+
+
+#: lambda sweep grid as exact (wrel, wdiv) integer weights summing to
+#: 10, so every lambda's scores stay in the same 1e-7 units:
+#: lambda = wrel/10 in {1.0, 0.8, 0.7, 0.5, 0.3}.
+MMR_LAMBDA_GRID: list[tuple[int, int]] = [
+    (10, 0),
+    (8, 2),
+    (7, 3),
+    (5, 5),
+    (3, 7),
+]
+
+
+def mmr_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diversity-vs-relevance trade-off curve behind MMR tuning
+    (ann_nprobe_sweep's pattern applied to the re-ranker): one row per
+    lambda -- (wrel, wdiv, n_picks, sum_rel_e6, sum_pairsim_e6), where
+    sum_rel_e6 is total picked relevance (falls as lambda drops) and
+    sum_pairsim_e6 totals the pairwise similarity AMONG picks per query
+    (intra-list redundancy -- also falls as lambda drops). lambda=1
+    reduces MMR to plain top-k (pytest-proved invariance).
+
+    Scale: the candidate top-k and pair-sim tables are computed ONCE
+    (materialized, canonical-plan-shared); each lambda adds only the
+    (|Q| x cands)-row greedy chain and two scalar aggregates."""
+    cand, sim = _mmr_inputs(spark, sf_dir, MMR_CANDS)
+    ij = sim.select("query_id", "i", "j", "sim_e6").where(
+        F.col("i") < F.col("j")
+    )
+    out = None
+    for wrel, wdiv in MMR_LAMBDA_GRID:
+        picks = _mmr_greedy(cand, sim, k=MMR_K, wrel=wrel, wdiv=wdiv)
+        rel = picks.groupBy().agg(
+            F.count("*").alias("n_picks"),
+            F.coalesce(F.sum("rel_e6"), F.lit(0)).alias("sum_rel_e6"),
+        )
+        a = picks.select("query_id", F.col("neighbor_id").alias("i"))
+        b = picks.select("query_id", F.col("neighbor_id").alias("j"))
+        div = (
+            a.join(b, "query_id")
+            .where(F.col("i") < F.col("j"))
+            .join(ij, ["query_id", "i", "j"])
+            .groupBy()
+            .agg(
+                F.coalesce(F.sum("sim_e6"), F.lit(0)).alias(
+                    "sum_pairsim_e6"
+                )
+            )
+        )
+        row = rel.crossJoin(div).select(
+            F.lit(wrel).alias("wrel"),
+            F.lit(wdiv).alias("wdiv"),
+            "n_picks",
+            "sum_rel_e6",
+            "sum_pairsim_e6",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.col("wrel").desc())
 
 
 QUERIES = {
     "cross_source_ngram_overlap": cross_source_ngram_overlap,
     "pack_efficiency_report": pack_efficiency_report,
     "mmr_diversify_topk": mmr_diversify_topk,
+    "mmr_lambda_sweep": mmr_lambda_sweep,
 }
 
 
@@ -304,13 +395,13 @@ _DK_GRAMS = th.dk_gram_hashes_from_token_hashes(
 )
 
 
-def _mmr_oracle() -> str:
-    """Unrolled greedy MMR in DuckDB: candidates from the brute-force
-    shape at k={MMR_CANDS}, then MMR_K CTE steps each taking the
-    per-query argmax of the shared integer score."""
-    rel = f"CAST(round(cos * 1000000.0, 0) AS BIGINT)"
+def _mmr_prefix_sql() -> str:
+    """Shared DuckDB CTEs: brute-force candidates at k={MMR_CANDS} and
+    the candidate-pair similarity table (computed once per statement,
+    whatever number of lambda chains hangs off them)."""
+    rel = "CAST(round(cos * 1000000.0, 0) AS BIGINT)"
     sim_cos = f"round({th.dk_cosine('ea.embedding', 'eb.embedding')}, 6)"
-    parts = [f"""
+    return f"""
     WITH scored AS MATERIALIZED (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                round({th.dk_cosine('q.embedding', 'c.embedding')}, 6)
@@ -332,9 +423,17 @@ def _mmr_oracle() -> str:
                    AND a.neighbor_id <> b.neighbor_id
         JOIN embeddings ea ON ea.vec_id = a.neighbor_id
         JOIN embeddings eb ON eb.vec_id = b.neighbor_id
-    ), s1 AS MATERIALIZED (
+    )"""
+
+
+def _mmr_chain_sql(wrel: int, wdiv: int, k: int, tag: str = "") -> str:
+    """The unrolled greedy chain for ONE (wrel, wdiv): CTE fragments
+    s1{tag}..s{k}{tag} (leading comma, appended after the shared
+    prefix), each taking the per-query argmax of the integer score."""
+    parts = [f"""
+    , s1{tag} AS MATERIALIZED (
         SELECT query_id, 1 AS pick, neighbor_id, rel_e6,
-               {MMR_WREL} * rel_e6 AS score_e7
+               {wrel} * rel_e6 AS score_e7
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id
@@ -342,12 +441,12 @@ def _mmr_oracle() -> str:
             FROM cand
         ) WHERE rn = 1
     )"""]
-    prev_union = "SELECT query_id, neighbor_id FROM s1"
-    for t in range(2, MMR_K + 1):
+    prev_union = f"SELECT query_id, neighbor_id FROM s1{tag}"
+    for t in range(2, k + 1):
         parts.append(f"""
-    , r{t} AS (
+    , r{t}{tag} AS (
         SELECT c.query_id, c.neighbor_id, c.rel_e6,
-               {MMR_WREL} * c.rel_e6 - {MMR_WDIV} * max(s.sim_e6)
+               {wrel} * c.rel_e6 - {wdiv} * max(s.sim_e6)
                    AS score_e7
         FROM cand c
         JOIN sim s ON s.query_id = c.query_id
@@ -359,24 +458,67 @@ def _mmr_oracle() -> str:
             SELECT neighbor_id FROM ({prev_union}) p
             WHERE p.query_id = c.query_id)
         GROUP BY c.query_id, c.neighbor_id, c.rel_e6
-    ), s{t} AS MATERIALIZED (
+    ), s{t}{tag} AS MATERIALIZED (
         SELECT query_id, {t} AS pick, neighbor_id, rel_e6, score_e7
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY query_id
                 ORDER BY score_e7 DESC, neighbor_id ASC) AS rn
-            FROM r{t}
+            FROM r{t}{tag}
         ) WHERE rn = 1
     )""")
-        prev_union += f" UNION ALL SELECT query_id, neighbor_id FROM s{t}"
+        prev_union += (
+            f" UNION ALL SELECT query_id, neighbor_id FROM s{t}{tag}"
+        )
+    return "".join(parts)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in DuckDB at the plan key's pinned
+    constants."""
+    chain = _mmr_chain_sql(MMR_WREL, MMR_WDIV, MMR_K)
     sel = " UNION ALL ".join(
         f"SELECT query_id, CAST(pick AS INTEGER) AS pick, neighbor_id,"
         f" rel_e6, CAST(score_e7 AS BIGINT) AS score_e7 FROM s{t}"
         for t in range(1, MMR_K + 1)
     )
-    parts.append(f"""
+    return f"""{_mmr_prefix_sql()}{chain}
     {sel}
-    ORDER BY query_id, pick""")
+    ORDER BY query_id, pick"""
+
+
+def _mmr_sweep_oracle() -> str:
+    """One statement, one shared prefix, {len(MMR_LAMBDA_GRID)} greedy
+    chains: per lambda the picked set p_<tag> and its two exact-integer
+    axes (total relevance, total intra-list pair similarity)."""
+    parts = [_mmr_prefix_sql()]
+    selects = []
+    for wrel, wdiv in MMR_LAMBDA_GRID:
+        tag = f"_w{wrel}"
+        parts.append(_mmr_chain_sql(wrel, wdiv, MMR_K, tag))
+        picks_union = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id, rel_e6 FROM s{t}{tag}"
+            for t in range(1, MMR_K + 1)
+        )
+        parts.append(f"""
+    , p{tag} AS MATERIALIZED ({picks_union})""")
+        selects.append(f"""
+    SELECT CAST({wrel} AS INTEGER) AS wrel,
+           CAST({wdiv} AS INTEGER) AS wdiv,
+           (SELECT CAST(count(*) AS BIGINT) FROM p{tag}) AS n_picks,
+           (SELECT CAST(coalesce(sum(rel_e6), 0) AS BIGINT) FROM p{tag})
+               AS sum_rel_e6,
+           CAST(coalesce((SELECT sum(s.sim_e6)
+                FROM p{tag} a
+                JOIN p{tag} b ON a.query_id = b.query_id
+                             AND a.neighbor_id < b.neighbor_id
+                JOIN sim s ON s.query_id = a.query_id
+                          AND s.i = a.neighbor_id
+                          AND s.j = b.neighbor_id), 0) AS BIGINT)
+               AS sum_pairsim_e6""")
+    parts.append(" UNION ALL ".join(selects))
+    parts.append("""
+    ORDER BY wrel DESC""")
     return "".join(parts)
 
 
@@ -445,6 +587,7 @@ ORACLES = {
         FROM m
     """,
     "mmr_diversify_topk": _mmr_oracle(),
+    "mmr_lambda_sweep": _mmr_sweep_oracle(),
 }
 
 

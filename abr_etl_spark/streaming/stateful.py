@@ -61,7 +61,8 @@ def running_counts_stateful(events: DataFrame) -> DataFrame:
 # ImportError where protobuf is absent and the equivalence test skips.
 # (Same semantics as running_counts_stateful above; a deployment on a
 # protobuf-equipped cluster can switch between them freely.)
-# Availability re-checks: r8 absent, r9 absent, r10 absent (2026-08-14)
+# Availability re-checks: r8 absent, r9 absent, r10 absent, r11 absent
+# (2026-08-14)
 # -- the gated twin stays pytest-skipped; promote to a driver-checked
 # key the round protobuf appears.
 

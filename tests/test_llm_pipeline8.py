@@ -300,3 +300,44 @@ def test_lang_mix_and_heatmap_conservation(spark, tmp_path):
     for r in hm:
         assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
         assert 1 <= r["n_users"] <= r["n_events"]
+
+
+def test_mmr_lambda_one_reduces_to_topk(spark):
+    """r10 verdict item 7 invariance: wdiv=0 (lambda=1) makes the greedy
+    chain pick exactly the plain top-k by (rel_e6 desc, neighbor_id) --
+    MMR with no diversity term IS relevance ranking."""
+    cand, sim = lp8._mmr_inputs(spark, SF_ORACLE, lp8.MMR_CANDS)
+    picks = lp8._mmr_greedy(cand, sim, k=3, wrel=10, wdiv=0).collect()
+    got = {
+        (r["query_id"], r["pick"]): r["neighbor_id"] for r in picks
+    }
+    # independent top-k: rank the candidate list directly
+    rows = cand.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (-r["rel_e6"], r["neighbor_id"])
+        )
+    assert by_q
+    for q, lst in by_q.items():
+        for pick, (_, nid) in enumerate(sorted(lst)[:3], start=1):
+            assert got[(q, pick)] == nid
+    # and every score is exactly 10 * rel (no diversity term leaked in)
+    rel = {(r["query_id"], r["neighbor_id"]): r["rel_e6"] for r in rows}
+    for r in picks:
+        assert r["score_e7"] == 10 * rel[(r["query_id"], r["neighbor_id"])]
+
+
+def test_mmr_lambda_sweep_tradeoff_axes(spark):
+    """The sweep's two axes move the way the trade-off says they must:
+    relevance is maximal at lambda=1 and non-increasing as the diversity
+    weight grows; intra-list pair similarity is maximal at lambda=1."""
+    out = lp8.mmr_lambda_sweep(spark, SF_ORACLE).collect()
+    assert [r["wrel"] for r in out] == [10, 8, 7, 5, 3]
+    n = out[0]["n_picks"]
+    assert n > 0 and all(r["n_picks"] == n for r in out)
+    rels = [r["sum_rel_e6"] for r in out]
+    assert rels[0] == max(rels)
+    assert all(a >= b for a, b in zip(rels, rels[1:]))
+    sims = [r["sum_pairsim_e6"] for r in out]
+    assert sims[0] == max(sims)

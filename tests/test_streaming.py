@@ -554,3 +554,65 @@ def test_stateful_checkpoint_recovery_resumes_to_fixpoint(spark, tmp_path):
     assert spanning
     for u in spanning:
         assert want[u] == h1[u] + h2[u]
+
+
+def test_dedup_within_watermark_checkpoint_recovery(spark, tmp_path):
+    """r10 verdict item 5: the BUILTIN state-store path
+    (dropDuplicatesWithinWatermark, vs the applyInPandasWithState proof
+    above) also survives kill+resume. Query A drains drops 1-2 and
+    dies; query B restarts from the same checkpoint and drains drops
+    3-4, where drop 3 REPLAYS drop 1's rows byte-for-byte -- they must
+    be suppressed, which is impossible unless B recovered A's dedup
+    state from the checkpoint."""
+    import glob as _glob
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    stage = str(tmp_path / "stage")
+    ev.repartition(3, "event_id").write.parquet(stage)
+    parts = sorted(_glob.glob(f"{stage}/part-*.parquet"))
+    assert len(parts) == 3
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain_once():
+        stream = stream_ops.read_event_stream(spark, str(src))
+        q = (
+            stream_ops.dedup_stream(
+                stream, ["event_id"], watermark="3650 days"
+            )
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(out)
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # ---- query A: drops 1-2 (parts 0 and 1)
+    shutil.copy(parts[0], src / "d0.parquet")
+    shutil.copy(parts[1], src / "d1.parquet")
+    drain_once()
+    first_half = {
+        r["event_id"] for r in spark.read.parquet(parts[0], parts[1]).collect()
+    }
+    got1 = spark.read.parquet(out).groupBy("event_id").count().collect()
+    assert {r["event_id"] for r in got1} == first_half
+    assert max(r["count"] for r in got1) == 1
+
+    # ---- query B (new object, same checkpoint): drop 3 = REPLAY of
+    # drop 1's file, drop 4 = genuinely new rows
+    shutil.copy(parts[0], src / "d2_replay.parquet")
+    shutil.copy(parts[2], src / "d3.parquet")
+    drain_once()
+    want = {r["event_id"] for r in spark.read.parquet(*parts).collect()}
+    got2 = spark.read.parquet(out).groupBy("event_id").count().collect()
+    assert {r["event_id"] for r in got2} == want
+    # the replayed rows were dropped by RECOVERED state: every id exactly
+    # once, including every id of the replayed file
+    assert max(r["count"] for r in got2) == 1
