@@ -167,6 +167,17 @@ def sp_dot(a: str, b: str) -> str:
     )
 
 
+def sp_l2sq(a: str, b: str) -> str:
+    """Squared L2 distance, sequential summation -- the PQ encoding
+    metric; term shape (x - y) * (x - y) matches dk_l2sq exactly."""
+    da = f"transform({a}, x -> cast(x as double))"
+    db = f"transform({b}, x -> cast(x as double))"
+    return (
+        f"aggregate(zip_with({da}, {db}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (s, v) -> s + v)"
+    )
+
+
 def sp_norm(a: str) -> str:
     """L2 norm, identical operation order to the norm inside sp_cosine --
     precompute this per ROW so the per-PAIR hot path runs one aggregate
@@ -266,6 +277,31 @@ def dk_simhash(th: str, bits: int = SIMHASH_BITS) -> str:
         f"list_transform(range(0, {bits}), b -> "
         f"CASE WHEN ({bit_vote}) > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)), "
         f"(acc, x) -> acc + x)"
+    )
+
+
+def dk_dot(a: str, b: str) -> str:
+    """Double-precision dot product, same left-fold order as sp_dot
+    (the fold inside dk_cosine, exposed standalone)."""
+    da = f"list_transform({a}, x -> x::DOUBLE)"
+    db = f"list_transform({b}, x -> x::DOUBLE)"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(0, len({a})), i -> {da}[i + 1] * {db}[i + 1])), "
+        f"(s, v) -> s + v)"
+    )
+
+
+def dk_l2sq(a: str, b: str) -> str:
+    """Squared L2 distance, same left-fold order and (x - y) * (x - y)
+    term shape as sp_l2sq."""
+    da = f"list_transform({a}, x -> x::DOUBLE)"
+    db = f"list_transform({b}, x -> x::DOUBLE)"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(0, len({a})), i -> "
+        f"({da}[i + 1] - {db}[i + 1]) * ({da}[i + 1] - {db}[i + 1]))), "
+        f"(s, v) -> s + v)"
     )
 
 

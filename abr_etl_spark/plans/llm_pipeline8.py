@@ -1,6 +1,12 @@
-"""LLM-training-data pipeline, part 8 (round 10).
+"""LLM-training-data pipeline, part 8 (rounds 10-11).
 
-Three operators a corpus-assembly team runs between dedup and packing:
+Round 11 adds ``mmr_lambda_sweep`` (the diversity-vs-relevance tuning
+curve over exact-integer lambda weights; one shared candidate/pair
+computation, five greedy chains) and ``ann_pq_adc`` (product-
+quantization ANN with asymmetric distance -- Jegou et al. 2011 -- the
+16-byte-code regime where the shuffle carries codes, never vectors).
+
+Operators a corpus-assembly team runs between dedup and packing:
 
 - ``cross_source_ngram_overlap``: the source-pair redundancy MATRIX --
   vocabulary Jaccard over word-3-gram hashes for every source pair.
@@ -44,7 +50,7 @@ from pyspark.sql.functions import broadcast
 
 from abr_etl_spark.functions import texthash as th
 from abr_etl_spark.operators import similarity
-from abr_etl_spark.plans.llm_pipeline import N_QUERY_VECS
+from abr_etl_spark.plans.llm_pipeline import ANN_K, N_QUERY_VECS
 from abr_etl_spark.plans.llm_pipeline4 import PACK_CAP
 from abr_etl_spark.sources.lake import load_table
 
@@ -841,6 +847,196 @@ ORACLES.update(
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY dow, hour
+    """,
+    }
+)
+
+
+# ---------------------------------------------------------------- wave 3
+
+#: product quantization: PQ_M subspaces of PQ_SUB dims (64-dim
+#: embeddings), PQ_K codewords per subspace. Codebooks here are the
+#: PQ_K lowest-id vectors' subvectors (the same deterministic-seed
+#: device ann_ivf uses for its quantizer, so the DuckDB oracle replays
+#: codebook construction exactly); a production build k-means each
+#: subspace -- kmeans_index is the slot to persist those.
+PQ_M = 4
+PQ_SUB = 16
+PQ_K = 8
+
+
+def _pq_e6(expr: str) -> str:
+    """round-to-6 then exact 1e-6 BIGINT units (the _rel_e6 device for
+    PQ distances/projections)."""
+    return f"CAST(round(round({expr}, 6) * 1000000.0, 0) AS BIGINT)"
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou, Douze & Schmid 2011): corpus vectors are ENCODED once as
+    {PQ_M} codeword ids (argmin squared-L2 per subspace, ties by
+    codeword id); a query builds a {PQ_M} x {PQ_K} lookup table of
+    subvector dot products, and each corpus vector's approximate inner
+    product is the sum of {PQ_M} table entries -- never touching the
+    corpus floats again. Output (query_id, rank, neighbor_id, adc_e6):
+    top-{ANN_K} per query by ADC score (desc, neighbor_id tiebreak).
+
+    All comparisons in exact 1e-6 BIGINT units (sequential-fold
+    sp_l2sq/sp_dot match dk_l2sq/dk_dot bit-for-bit before rounding),
+    so encoding, LUT and ranking replay identically in DuckDB.
+
+    Scale shape: the codebook and LUT are metadata-size broadcasts
+    ({PQ_M}x{PQ_K} and |Q|x{PQ_M}x{PQ_K} rows); encoding is one
+    map-side pass over the corpus (n x {PQ_M} x {PQ_K} rows through a
+    partial-aggregated argmin); the ADC scan joins the n x {PQ_M} code
+    table against the broadcast LUT and sums map-side -- the 16-byte-
+    per-vector regime that makes PQ the 100 TB ANN workhorse: the
+    shuffle carries codes and scores, never embeddings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sub = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    sel = e.select("vec_id", "embedding").orderBy(
+        F.col("vec_id").asc()
+    ).limit(PQ_K)
+    ids = sel.groupBy().agg(
+        F.array_sort(F.collect_list("vec_id")).alias("__ids")
+    )
+    codebook = (
+        sel.crossJoin(broadcast(ids))
+        .select(
+            (F.array_position(F.col("__ids"), F.col("vec_id")) - 1)
+            .cast("int")
+            .alias("c"),
+            "embedding",
+        )
+        .crossJoin(broadcast(sub))
+        .select(
+            "m",
+            "c",
+            F.expr(
+                f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
+            ).alias("cvec"),
+        )
+    )
+    xsub = (
+        e.select("vec_id", "embedding")
+        .crossJoin(broadcast(sub))
+        .select(
+            "vec_id",
+            "m",
+            F.expr(
+                f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
+            ).alias("xv"),
+        )
+    )
+    codes = (
+        xsub.join(broadcast(codebook), "m")
+        .select(
+            "vec_id",
+            "m",
+            F.struct(
+                F.expr(_pq_e6(th.sp_l2sq("xv", "cvec"))).alias("d_e6"),
+                F.col("c"),
+            ).alias("__dc"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("__dc").alias("__mn"))
+        .select("vec_id", "m", F.col("__mn.c").alias("c"))
+    )
+    lut = (
+        e.where(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(broadcast(sub))
+        .select(
+            "query_id",
+            "m",
+            F.expr(
+                f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
+            ).alias("qv"),
+        )
+        .join(broadcast(codebook), "m")
+        .select(
+            "query_id",
+            "m",
+            "c",
+            F.expr(_pq_e6(th.sp_dot("qv", "cvec"))).alias("p_e6"),
+        )
+    )
+    scores = (
+        codes.join(broadcast(lut), ["m", "c"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("p_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_e6",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES.update({"ann_pq_adc": ann_pq_adc})
+
+_PQ_SLICE = f"m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}"
+
+ORACLES.update(
+    {
+        "ann_pq_adc": f"""
+        WITH seeds AS MATERIALIZED (
+            SELECT embedding,
+                   CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                        AS INTEGER) AS c
+            FROM embeddings ORDER BY vec_id ASC LIMIT {PQ_K}
+        ), sub AS (
+            SELECT CAST(unnest(range({PQ_M})) AS INTEGER) AS m
+        ), cb AS MATERIALIZED (
+            SELECT m, c, embedding[{_PQ_SLICE}] AS cvec
+            FROM seeds, sub
+        ), dists AS (
+            SELECT e.vec_id, cb.m, cb.c,
+                   CAST(round(round(
+                       {th.dk_l2sq(f'e.embedding[{_PQ_SLICE}]', 'cvec')}
+                   , 6) * 1000000.0, 0) AS BIGINT) AS d_e6
+            FROM embeddings e, cb
+        ), codes AS MATERIALIZED (
+            SELECT vec_id, m, c FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, m
+                    ORDER BY d_e6 ASC, c ASC) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ), lut AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, cb.m, cb.c,
+                   CAST(round(round(
+                       {th.dk_dot(f'q.embedding[{_PQ_SLICE}]', 'cvec')}
+                   , 6) * 1000000.0, 0) AS BIGINT) AS p_e6
+            FROM embeddings q, cb
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ), scores AS (
+            SELECT l.query_id, s.vec_id,
+                   CAST(sum(l.p_e6) AS BIGINT) AS adc_e6
+            FROM codes s
+            JOIN lut l ON l.m = s.m AND l.c = s.c
+            WHERE l.query_id <> s.vec_id
+            GROUP BY l.query_id, s.vec_id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank,
+               vec_id AS neighbor_id, adc_e6
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_e6 DESC, vec_id ASC) AS rank
+            FROM scores
+        ) WHERE rank <= {ANN_K}
+        ORDER BY query_id, rank
     """,
     }
 )

