@@ -1040,3 +1040,129 @@ ORACLES.update(
     """,
     }
 )
+
+
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idf-WEIGHTED Jaccard rescoring of the near-dup pair set: every
+    surviving tau-pair gets, beside its plain jaccard, the weighted
+    score sum_{common} w(s) / sum_{union} w(s) with the rational
+    idf surrogate w(s) = N DIV df(s) (rare shingles weigh ~N, corpus
+    boilerplate weighs ~1; no libm). This is the ranking curation
+    teams review dup clusters by -- template-heavy pairs (high plain
+    jaccard, low weighted) sink below genuinely-copied prose.
+    Output (doc_a, doc_b, jaccard, wjaccard_e4), half-up 1e-4 units.
+
+    Scale shape: pairs come from the banded/df-capped candidate
+    machinery (shared pair cache with dedup_ngram_jaccard); the
+    weighted pass touches only PAIR DOCS -- both shingle sides are
+    semi-joined against the broadcast pair list before the one
+    (doc, shingle) equi-join -- so its cost scales with the survivor
+    count, not the corpus. Weight sums are BIGINT; at extreme corpora
+    (sum w ~ N * shingles/doc > 2^49) apply the documented
+    DECIMAL(38,0) widening before the 2*10000 fold."""
+    from abr_etl_spark.operators import dedup
+    from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sh = dedup.shingle_df(d, "text", "doc_id", 3)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    tot = d.agg(F.count("*").alias("__n"))
+    wdf = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("__df"))
+        .crossJoin(broadcast(tot))
+        .select("s", F.expr("__n DIV __df").alias("w"))
+    )
+    ws = ex.join(wdf, "s")
+    per_doc = ws.groupBy("doc_id").agg(F.sum("w").alias("wsum"))
+    wa = ws.select(F.col("doc_id").alias("doc_a"), "s", "w").join(
+        broadcast(pairs.select("doc_a").distinct()), "doc_a", "left_semi"
+    )
+    wb = ws.select(F.col("doc_id").alias("doc_b"), "s").join(
+        broadcast(pairs.select("doc_b").distinct()), "doc_b", "left_semi"
+    )
+    common_w = (
+        wa.join(broadcast(pairs.select("doc_a", "doc_b")), "doc_a")
+        .join(wb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("wc"))
+    )
+    return (
+        pairs.join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_a"), F.col("wsum").alias("wa")
+            ),
+            "doc_a",
+        )
+        .join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_b"), F.col("wsum").alias("wb")
+            ),
+            "doc_b",
+        )
+        .join(common_w, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.expr(
+                "(2 * 10000 * wc + (wa + wb - wc))"
+                " DIV (2 * (wa + wb - wc))"
+            ).alias("wjaccard_e4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES.update({"dedup_weighted_jaccard": dedup_weighted_jaccard})
+
+
+def _weighted_jaccard_oracle() -> str:
+    from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU
+
+    sh = th.dk_shingles("text", 3)
+    return f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, {sh} AS sh FROM documents
+        ), e AS MATERIALIZED (
+            SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t
+        ), n AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        ), wdf AS MATERIALIZED (
+            SELECT s, (SELECT n FROM n) // CAST(count(*) AS BIGINT) AS w
+            FROM e GROUP BY s
+        ), ws AS MATERIALIZED (
+            SELECT e.doc_id, e.s, w.w FROM e JOIN wdf w USING (s)
+        ), pd AS (
+            SELECT doc_id, CAST(sum(w) AS BIGINT) AS wsum
+            FROM ws GROUP BY doc_id
+        ), common AS MATERIALIZED (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b,
+                   count(*) AS c
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), cw AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(sum(a.w) AS BIGINT) AS wc
+            FROM ws a JOIN ws b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(c.c::DOUBLE / (c.n_a + c.n_b - c.c), 4) AS jaccard,
+               CAST((2 * 10000 * cw.wc + (wa.wsum + wb.wsum - cw.wc))
+                    // (2 * (wa.wsum + wb.wsum - cw.wc)) AS BIGINT)
+                   AS wjaccard_e4
+        FROM common c
+        JOIN cw USING (doc_a, doc_b)
+        JOIN pd wa ON wa.doc_id = c.doc_a
+        JOIN pd wb ON wb.doc_id = c.doc_b
+        WHERE c.c::DOUBLE / (c.n_a + c.n_b - c.c) >= {JACCARD_TAU}
+        ORDER BY doc_a, doc_b
+    """
+
+
+ORACLES.update({"dedup_weighted_jaccard": _weighted_jaccard_oracle()})

@@ -385,3 +385,56 @@ def test_pq_adc_approximates_exact_ranking(spark):
     n = e.count()
     assert recall > 5 * (5 / n)  # far above random
     assert recall >= 0.2
+
+
+def test_weighted_jaccard_hand_case(spark, tmp_path, monkeypatch):
+    """Weighting demotes boilerplate-heavy pairs: two docs sharing only
+    CORPUS-WIDE boilerplate shingles score lower weighted than plain,
+    while a pair sharing RARE prose scores higher. Identical docs score
+    10000 on both axes."""
+    import os
+
+    from abr_etl_spark.plans import llm_pipeline8 as l8
+
+    boiler = "click here to subscribe to the newsletter today"
+    rare_a = "quantum ducks migrate beneath veiled auroras yearly"
+    docs = [
+        # pair (0,1): identical -> jaccard 1, weighted 1
+        (0, f"{rare_a} {boiler}", "en", "s0", 1),
+        (1, f"{rare_a} {boiler}", "en", "s0", 1),
+        # docs 2..9: all contain the boilerplate, unique prose otherwise
+    ] + [
+        (
+            i,
+            f"{boiler} unique token{i}a token{i}b token{i}c token{i}d"
+            f" token{i}e token{i}f",
+            "en",
+            "s1",
+            1,
+        )
+        for i in range(2, 10)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "lake"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["wjaccard_e4"])
+        for r in l8.dedup_weighted_jaccard(spark, str(d)).collect()
+    }
+    assert out[(0, 1)] == (1.0, 10000)
+    # every reported weighted score is a valid e4 share
+    assert all(0 <= w <= 10000 for _, w in out.values())
+
+
+def test_weighted_jaccard_matches_oracle_smoke(spark, ddb):
+    from abr_etl_spark.plans import llm_pipeline8 as l8
+
+    assert_matches_oracle(
+        l8.dedup_weighted_jaccard(spark, SF_ORACLE),
+        ddb,
+        l8.ORACLES["dedup_weighted_jaccard"],
+        key="dedup_weighted_jaccard",
+    )
