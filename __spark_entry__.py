@@ -20,80 +20,97 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-10 priority head, ordered by how badly each key needs a fresh
-# CORRECTNESS row under the driver's ~50-row budget (r9 verdict item 1):
-# 1. the 5 keys that have NEVER had a driver row (they landed after r9's
-#    ~50-row budget line; the r9 judge's local re-run is their only
-#    external signal so far);
-# 2. the 44 keys whose newest driver row dates to round 6 (freshness
-#    floor rises to r7 once these land);
-# 3. r9-born keys holding only a single driver row, plus keys whose plan
-#    or oracle text changed this round (values unchanged at test sf).
-# Everything after the budget line keeps module order; all keys pass the
-# local full-registry gate regardless.
-_R10_PRIORITY: list[str] = [
-    # --- 1. never driver-checked (r9 verdict item 1 head) ---
-    "bpe_encode_corpus",
-    "hll_distinct_prod_m",
-    "stream_topk_windowed",
-    "source_embedding_drift",
-    "dup_inflation_report",
-    # --- 1b. born this round (first external row) ---
+# Round-11 priority head (r10 verdict item 1), ordered by how badly
+# each key needs a fresh CORRECTNESS row under the driver's ~50-row
+# budget:
+# 1. the 5 keys whose newest driver row dates to round 6 (the stale
+#    tail r10's budget line cut);
+# 2. single-row r9/r10-born keys (one driver row ever);
+# 3. born or plan-changed this round (mmr_lambda_sweep / ann_pq_adc /
+#    dedup_weighted_jaccard are new; ann_ivf_kmeans and dedup_semantic
+#    now probe the persisted kmeans_index -- values unchanged);
+# 4. the r7-stale tail, oldest rows first.
+# Everything after the budget line keeps module order; all keys pass
+# the local full-registry gate regardless.
+_R11_PRIORITY: list[str] = [
+    # --- 1. r6-stale driver rows ---
+    "pii_report",
+    "doc_ngram_novelty",
+    "dsir_importance",
+    "stream_running_counts",
+    "stream_sliding_avg",
+    # --- 2. single-row r9/r10-born keys ---
     "cross_source_ngram_overlap",
     "pack_efficiency_report",
     "mmr_diversify_topk",
     "corpus_budget_waterfill",
     "lang_mix_by_source",
     "event_heatmap_cells",
-    # --- 2. r6-stale driver rows (rotate, freshness floor -> r7) ---
-    "ingest_routed",
-    "dq_completeness",
-    "dq_uniqueness",
-    "set_ops",
-    "datetime_funcs",
-    "null_semantics",
-    "zscore_window",
-    "json_props_agg",
-    "array_agg_per_group",
-    "string_funcs",
-    "q21_waiting_suppliers",
-    "asof_next_view",
-    "cumulative_distinct_users",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_semantic",
-    "dedup_canonical",
-    "dedup_incremental_probe",
-    "dedup_lines",
-    "ann_bruteforce",
-    "ann_lsh",
-    "ann_lsh_multiprobe",
-    "ann_ivf",
-    "text_stats",
-    "lang_id",
-    "quality_score",
-    "fingerprint",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "chunk_documents",
-    "redact_pii",
-    "sample_deterministic",
-    "sample_stratified",
-    "dup_spans",
-    "tfidf_top_terms",
-    "corpus_mix",
-    "sequence_pack_chunks",
-    "pii_report",
-    "doc_ngram_novelty",
-    "dsir_importance",
-    "stream_running_counts",
-    "stream_sliding_avg",
-    # --- 3. single-row r9-born keys + r10 plan/oracle-text changes ---
-    "embedding_whiten_topk",
     "ann_nprobe_sweep",
     "simhash_recall_by_tau",
+    "embedding_whiten_topk",
+    "bpe_encode_corpus",
+    "hll_distinct_prod_m",
+    "stream_topk_windowed",
+    "source_embedding_drift",
+    "dup_inflation_report",
+    # --- 3. r11 new / plan-changed ---
+    "mmr_lambda_sweep",
+    "ann_pq_adc",
+    "dedup_weighted_jaccard",
+    "ann_ivf_kmeans",
+    "dedup_semantic",
+    # --- 4. r7-stale tail ---
+    "anomaly_mad",
+    "asof_interpolate",
+    "attribution_linear",
+    "basket_pairs",
+    "bm25_topk",
+    "bpe_pair_counts",
+    "bucketed_join_revenue",
+    "cohort_ltv",
+    "conversion_lag_stats",
+    "corpus_pipeline",
+    "cross_split_leakage",
+    "daily_value_bands",
+    "dedup_cluster_sizes",
+    "dedup_embedding",
+    "dedup_family_agreement",
+    "degree_distribution",
+    "delta_apply_roundtrip",
+    "embedding_quantize",
+    "embedding_top_eigvec",
+    "heavy_hitters_cms",
+    "hot_keys_report",
+    "inverted_postings",
+    "jaccard_topk_similar",
+    "knn_classify",
+    "lake_partitions",
+    "linreg_normal_eq",
+    "lm_score_bigram",
+    "map_funcs",
+    "mom_growth",
+    "multimodal_features",
+    "new_vs_returning",
+    "pagerank_suppliers",
+    "percentile_normalize",
+    "q11_important_stock",
+    "q13_order_distribution",
+    "q20_dominant_suppliers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quality_filter_pipeline",
+    "quantile_sketch_hash",
+    "repetition_score",
+    "rfm_segments",
+    "scd2_point_in_time",
+    "stream_dedup_exact",
+    "stream_first_seen",
+    "stream_session_windows",
+    "stream_window_counts",
+    "time_weighted_avg",
+    "weighted_sample_systematic",
+    "window_funcs",
 ]
 
 
@@ -188,8 +205,8 @@ def _registry() -> tuple[dict, dict]:
 
     # Priority ordering: the driver checks queries in registry order under a
     # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
-    # first (see _R10_PRIORITY), then everything else in module order.
-    ordered = {k: queries[k] for k in _R10_PRIORITY if k in queries}
+    # first (see _R11_PRIORITY), then everything else in module order.
+    ordered = {k: queries[k] for k in _R11_PRIORITY if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
     return ordered, oracles
 

@@ -48,6 +48,11 @@ KEYS = [
     "pack_efficiency_report",
     "mmr_diversify_topk",
     "corpus_budget_waterfill",
+    # r11 additions: five greedy chains + scalar trade-off axes,
+    # PQ argmin encoding + ADC rank, idf-weighted rescoring
+    "mmr_lambda_sweep",
+    "ann_pq_adc",
+    "dedup_weighted_jaccard",
 ]
 
 
