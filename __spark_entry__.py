@@ -58,6 +58,7 @@ _R11_PRIORITY: list[str] = [
     "mmr_lambda_sweep",
     "ann_pq_adc",
     "dedup_weighted_jaccard",
+    "lsh_band_sweep",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

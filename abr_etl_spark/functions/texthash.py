@@ -245,6 +245,20 @@ def dk_minhash(shingles_expr: str, k: int = MINHASH_K) -> str:
     )
 
 
+def dk_minhash_from_hashes(hashes_expr: str, k: int = MINHASH_K) -> str:
+    """dk_minhash over an ALREADY-HASHED shingle list column: inlining
+    dk_minhash's hash text into the per-permutation lambda re-runs the
+    char-level polyhash k times per shingle -- materialize the hash
+    list once (a CTE column) and permute that. Identical values to
+    sp_minhash over sp_shingle_hashes (same fold, same seeds)."""
+    a, b = perm_seeds(k)
+    return (
+        f"list_transform(range(0, {k}), i -> "
+        f"list_min(list_transform({hashes_expr}, h -> "
+        f"({_list(a)}[i + 1] * h + {_list(b)}[i + 1]) % {P})))"
+    )
+
+
 def dk_band_sigs(mh_expr: str, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
     return (
         f"list_transform(range(0, {bands}), bnd -> "

@@ -1166,3 +1166,165 @@ def _weighted_jaccard_oracle() -> str:
 
 
 ORACLES.update({"dedup_weighted_jaccard": _weighted_jaccard_oracle()})
+
+
+#: LSH band-layout grid: (bands, rows_per_band) with bands*rows = 64
+#: = MINHASH_K, so all three layouts SLICE THE SAME signature --
+#: s-curve thresholds ~ (1/b)^(1/r): ~0.50, ~0.77, ~0.92.
+LSH_GRID: list[tuple[int, int]] = [(16, 4), (8, 8), (4, 16)]
+
+
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band-layout axis of LSH tuning (dedup_threshold_sweep covers
+    the tau axis): for each (bands, rows_per_band) layout of the SAME
+    64-perm minhash signature, the candidate-pair count the banding
+    generates and its recall against the exact tau-pair truth --
+    (bands, rows_per_band, n_candidates, n_hits, n_true, recall_e4).
+    More bands of fewer rows -> lower collision threshold -> more
+    candidates and recall -> verification cost; THE table an operator
+    reads before committing a layout.
+
+    Scale shape: ONE signature computation (materialized, shared by all
+    layouts -- each layout only re-slices it); per layout one band
+    equi-join (the same shuffle shape as dedup_minhash_lsh) reduced to
+    three scalar counts; truth comes from the shared materialized pair
+    cache. Signatures use the ORACLE-REPLICABLE polyhash shingle chain
+    (hypothesis-proven sp_minhash == dk_minhash parity), not
+    minhash_signatures' engine-native xxhash64 -- candidate COUNTS
+    depend on the hash family, so this key must replay it exactly
+    (dedup_minhash_lsh only checks verified output pairs and can use
+    the fast hash)."""
+    from abr_etl_spark.functions.cache import materialize_result
+    from abr_etl_spark.operators import dedup
+    from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU
+
+    d = load_table(spark, sf_dir, "documents")
+    # materialize the polyhashed shingle lists BEFORE the 64-perm map:
+    # CollapseProject would otherwise inline the char-level polyhash
+    # into the per-permutation lambda and run it 64x per shingle (the
+    # sp_shingle_hashes docstring's warning, enforced here with a
+    # persist barrier -- measured 38.8s -> ~5s for this key's build)
+    hashed = materialize_result(
+        d.select(
+            "doc_id",
+            F.expr(
+                th.sp_shingle_hashes(th.sp_shingles("text"))
+            ).alias("__shh"),
+        )
+    )
+    sigs = materialize_result(
+        hashed.select(
+            "doc_id", F.expr(th.sp_minhash("__shh")).alias("mh")
+        )
+    )
+    truth = materialize_result(
+        dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU).select(
+            "doc_a", "doc_b"
+        )
+    )
+    n_true = truth.groupBy().agg(F.count("*").alias("n_true"))
+    out = None
+    for b, r in LSH_GRID:
+        banded = sigs.select(
+            "doc_id",
+            F.posexplode(F.expr(th.sp_band_sigs("mh", b, r))).alias(
+                "band_idx", "band_sig"
+            ),
+        )
+        cand = materialize_result(
+            banded.alias("x")
+            .join(banded.alias("y"), ["band_idx", "band_sig"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        n_cand = cand.groupBy().agg(F.count("*").alias("n_candidates"))
+        n_hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi").groupBy().agg(
+            F.count("*").alias("n_hits")
+        )
+        row = (
+            n_cand.crossJoin(n_hits)
+            .crossJoin(n_true)
+            .select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_candidates",
+                "n_hits",
+                "n_true",
+                F.expr(
+                    "CASE WHEN n_true = 0 THEN NULL"
+                    " ELSE (2 * 10000 * n_hits + n_true) DIV (2 * n_true)"
+                    " END"
+                ).alias("recall_e4"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.col("bands").desc())
+
+
+QUERIES.update({"lsh_band_sweep": lsh_band_sweep})
+
+
+def _lsh_band_sweep_oracle() -> str:
+    from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU
+
+    sh = th.dk_shingles("text", 3)
+    parts = [f"""
+    WITH hh AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform({sh}, s -> {th.dk_polyhash('s')}) AS shh
+        FROM documents
+    ), m AS MATERIALIZED (
+        SELECT doc_id, {th.dk_minhash_from_hashes('shh')} AS mh FROM hh
+    ), e AS (
+        SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+        FROM (SELECT doc_id, {sh} AS sh FROM documents)
+    ), truth AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b,
+                   count(*) AS c
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ) WHERE c::DOUBLE / (n_a + n_b - c) >= {JACCARD_TAU}
+    ), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth)"""]
+    selects = []
+    for b, r in LSH_GRID:
+        parts.append(f"""
+    , banded_{b} AS (
+        SELECT doc_id, i AS band_idx, bs[i + 1] AS band_sig
+        FROM (SELECT doc_id, {th.dk_band_sigs('mh', b, r)} AS bs FROM m),
+             (SELECT unnest(range({b})) AS i)
+    ), cand_{b} AS MATERIALIZED (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM banded_{b} x
+        JOIN banded_{b} y ON x.band_idx = y.band_idx
+                         AND x.band_sig = y.band_sig
+                         AND x.doc_id < y.doc_id
+    )""")
+        selects.append(f"""
+    SELECT CAST({b} AS INTEGER) AS bands,
+           CAST({r} AS INTEGER) AS rows_per_band,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_{b})
+               AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_{b} c
+            JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+               AS n_hits,
+           (SELECT n_true FROM nt) AS n_true,
+           CASE WHEN (SELECT n_true FROM nt) = 0 THEN NULL
+                ELSE CAST((2 * 10000 * (SELECT count(*) FROM cand_{b} c
+                           JOIN truth t ON t.doc_a = c.doc_a
+                                       AND t.doc_b = c.doc_b)
+                           + (SELECT n_true FROM nt))
+                     // (2 * (SELECT n_true FROM nt)) AS BIGINT)
+           END AS recall_e4""")
+    parts.append(" UNION ALL ".join(selects))
+    parts.append("""
+    ORDER BY bands DESC""")
+    return "".join(parts)
+
+
+ORACLES.update({"lsh_band_sweep": _lsh_band_sweep_oracle()})

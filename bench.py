@@ -128,6 +128,14 @@ HEADLINERS = [
     "mmr_diversify_topk",
     "corpus_budget_waterfill",
     "event_heatmap_cells",
+    # r11 additions (the sweep sits after mmr_diversify_topk so its
+    # median prices five greedy chains over the SHARED materialized
+    # candidate/pair caches; PQ prices encode + LUT + ADC scan; the
+    # weighted rescoring rides the dedup pair cache)
+    "mmr_lambda_sweep",
+    "ann_pq_adc",
+    "dedup_weighted_jaccard",
+    "lsh_band_sweep",
 ]
 
 

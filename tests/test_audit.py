@@ -34,8 +34,8 @@ def test_driver_registry_contract():
     assert set(oracles) == set(qs), (
         set(oracles) ^ set(qs)
     )
-    missing = [k for k in entry._R10_PRIORITY if k not in qs]
+    missing = [k for k in entry._R11_PRIORITY if k not in qs]
     assert not missing, missing
     # priority head has no duplicates (duplicates silently waste the
     # driver's ~50-row budget)
-    assert len(entry._R10_PRIORITY) == len(set(entry._R10_PRIORITY))
+    assert len(entry._R11_PRIORITY) == len(set(entry._R11_PRIORITY))

@@ -438,3 +438,20 @@ def test_weighted_jaccard_matches_oracle_smoke(spark, ddb):
         l8.ORACLES["dedup_weighted_jaccard"],
         key="dedup_weighted_jaccard",
     )
+
+
+def test_lsh_band_sweep_monotone(spark):
+    """More bands of fewer rows -> the collision threshold drops, so
+    candidates and recall are non-increasing as bands shrink; the
+    (16,4) layout (s-curve ~0.5) catches every tau=0.9 truth pair at
+    this sf (miss probability ~3e-4 per pair)."""
+    out = lp8.lsh_band_sweep(spark, SF_ORACLE).collect()
+    assert [(r["bands"], r["rows_per_band"]) for r in out] == lp8.LSH_GRID
+    cands = [r["n_candidates"] for r in out]
+    hits = [r["n_hits"] for r in out]
+    assert all(a >= b for a, b in zip(cands, cands[1:]))
+    assert all(a >= b for a, b in zip(hits, hits[1:]))
+    n_true = out[0]["n_true"]
+    assert n_true > 0 and all(r["n_true"] == n_true for r in out)
+    assert out[0]["n_hits"] == n_true and out[0]["recall_e4"] == 10000
+    assert all(r["n_hits"] <= r["n_candidates"] for r in out)

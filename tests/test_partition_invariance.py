@@ -53,6 +53,7 @@ KEYS = [
     "mmr_lambda_sweep",
     "ann_pq_adc",
     "dedup_weighted_jaccard",
+    "lsh_band_sweep",
 ]
 
 
