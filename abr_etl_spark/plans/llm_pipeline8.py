@@ -351,41 +351,89 @@ def mmr_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduces MMR to plain top-k (pytest-proved invariance).
 
     Scale: the candidate top-k and pair-sim tables are computed ONCE
-    (materialized, canonical-plan-shared); each lambda adds only the
-    (|Q| x cands)-row greedy chain and two scalar aggregates."""
+    (materialized, canonical-plan-shared), and ALL lambdas run through
+    ONE greedy chain -- the lambda grid is crossed into the candidate
+    frame as (wrel, wdiv) key columns, so each greedy step is a single
+    window over (lambda, query) partitions instead of five sequential
+    per-lambda chains (measured 17.1 s -> ~3 s warm: the chain is
+    stage-latency-bound, not data-bound, and 5x rows in one stage is
+    free while 5x stages are not)."""
     cand, sim = _mmr_inputs(spark, sf_dir, MMR_CANDS)
+    lam = broadcast(
+        spark.createDataFrame(MMR_LAMBDA_GRID, "wrel int, wdiv int")
+    )
+    keys = ["wrel", "wdiv", "query_id"]
+    c5 = cand.crossJoin(lam)
+    w1 = Window.partitionBy(*keys).orderBy(
+        F.col("rel_e6").desc(), F.col("neighbor_id").asc()
+    )
+    picked = (
+        c5.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") == 1)
+        .select(
+            *keys,
+            "neighbor_id",
+            "rel_e6",
+            (F.col("wrel").cast("long") * F.col("rel_e6")).alias(
+                "score_e7"
+            ),
+        )
+    )
+    for t in range(2, MMR_K + 1):
+        sel = picked.select(*keys, F.col("neighbor_id").alias("j"))
+        rem = c5.join(
+            picked.select(*keys, "neighbor_id"),
+            [*keys, "neighbor_id"],
+            "left_anti",
+        )
+        maxsim = (
+            sim.join(sel, ["query_id", "j"])
+            .groupBy(*keys, F.col("i").alias("neighbor_id"))
+            .agg(F.max("sim_e6").alias("maxsim_e6"))
+        )
+        scored = rem.join(maxsim, [*keys, "neighbor_id"]).withColumn(
+            "score_e7",
+            F.col("wrel").cast("long") * F.col("rel_e6")
+            - F.col("wdiv").cast("long") * F.col("maxsim_e6"),
+        )
+        wt = Window.partitionBy(*keys).orderBy(
+            F.col("score_e7").desc(), F.col("neighbor_id").asc()
+        )
+        step = (
+            scored.withColumn("__rn", F.row_number().over(wt))
+            .where(F.col("__rn") == 1)
+            .select(*keys, "neighbor_id", "rel_e6", "score_e7")
+        )
+        picked = picked.unionByName(step)
+    rel = picked.groupBy("wrel", "wdiv").agg(
+        F.count("*").alias("n_picks"),
+        F.coalesce(F.sum("rel_e6"), F.lit(0)).alias("sum_rel_e6"),
+    )
+    a = picked.select(*keys, F.col("neighbor_id").alias("i"))
+    b = picked.select(*keys, F.col("neighbor_id").alias("j"))
     ij = sim.select("query_id", "i", "j", "sim_e6").where(
         F.col("i") < F.col("j")
     )
-    out = None
-    for wrel, wdiv in MMR_LAMBDA_GRID:
-        picks = _mmr_greedy(cand, sim, k=MMR_K, wrel=wrel, wdiv=wdiv)
-        rel = picks.groupBy().agg(
-            F.count("*").alias("n_picks"),
-            F.coalesce(F.sum("rel_e6"), F.lit(0)).alias("sum_rel_e6"),
-        )
-        a = picks.select("query_id", F.col("neighbor_id").alias("i"))
-        b = picks.select("query_id", F.col("neighbor_id").alias("j"))
-        div = (
-            a.join(b, "query_id")
-            .where(F.col("i") < F.col("j"))
-            .join(ij, ["query_id", "i", "j"])
-            .groupBy()
-            .agg(
-                F.coalesce(F.sum("sim_e6"), F.lit(0)).alias(
-                    "sum_pairsim_e6"
-                )
-            )
-        )
-        row = rel.crossJoin(div).select(
-            F.lit(wrel).alias("wrel"),
-            F.lit(wdiv).alias("wdiv"),
+    div = (
+        a.join(b, keys)
+        .where(F.col("i") < F.col("j"))
+        .join(ij, ["query_id", "i", "j"])
+        .groupBy("wrel", "wdiv")
+        .agg(F.sum("sim_e6").alias("__ps"))
+    )
+    return (
+        rel.join(div, ["wrel", "wdiv"], "left")
+        .select(
+            "wrel",
+            "wdiv",
             "n_picks",
             "sum_rel_e6",
-            "sum_pairsim_e6",
+            F.coalesce("__ps", F.lit(0).cast("long")).alias(
+                "sum_pairsim_e6"
+            ),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy(F.col("wrel").desc())
+        .orderBy(F.col("wrel").desc())
+    )
 
 
 QUERIES = {
