@@ -561,13 +561,21 @@ def kmeans_index(
         with open(sidecar) as fh:
             payload = json.load(fh)
         if payload.get("fingerprint") == fp:
-            rows = [(int(c), list(map(float, v))) for c, v in payload["centroids"]]
+            rows = [
+                (int(c), None if v is None else list(map(float, v)))
+                for c, v in payload["centroids"]
+            ]
     if rows is None:
         cents = kmeans_centroids(
             df, k, id_col=id_col, vec_col=vec_col, iters=iters
         )
+        # NULL-payload lakes yield NULL centroid vectors (the degenerate-
+        # lake net's contract: keys run, downstream cosines are NULL)
         rows = [
-            (r["centroid_id"], list(r[vec_col]))
+            (
+                r["centroid_id"],
+                None if r[vec_col] is None else list(r[vec_col]),
+            )
             for r in cents.orderBy("centroid_id").collect()
         ]
         if sidecar:
