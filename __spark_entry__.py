@@ -59,6 +59,7 @@ _R11_PRIORITY: list[str] = [
     "ann_pq_adc",
     "dedup_weighted_jaccard",
     "lsh_band_sweep",
+    "pq_recall_sweep",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

@@ -428,6 +428,65 @@ def merge_snapshot(
     epoch: int,
     n_buckets: int = MERGE_BUCKETS,
 ) -> dict:
+    """Single-writer guard around _merge_snapshot_locked: two merges
+    interleaving their staging writes and bucket renames on one table
+    would corrupt it silently, so a sidecar lock file
+    (``<path>.__merge_lock``, O_CREAT|O_EXCL -- atomic on every POSIX
+    filesystem) serializes writers. A lock whose recorded pid is dead
+    on THIS host is stale (the holder crashed between acquire and its
+    finally) and is stolen once; a live holder raises. At cluster
+    scale the same slot is a lease with a TTL in the table's catalog
+    entry -- the acquire/validate/steal protocol is identical.
+    See _merge_snapshot_locked for the merge semantics."""
+    import os
+
+    lock = path.rstrip("/") + ".__merge_lock"
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as fh:
+                    holder = int(fh.read().split("pid=")[1].split()[0])
+                os.kill(holder, 0)  # raises if dead
+                alive = True
+            except (ProcessLookupError, ValueError, IndexError, OSError):
+                alive = False
+            if alive or attempt == 1:
+                raise RuntimeError(
+                    f"merge_snapshot: another writer holds {lock}; "
+                    "concurrent merges on one table are not allowed "
+                    "(remove the lock only if the holder is gone)"
+                )
+            os.unlink(lock)  # stale: holder crashed; steal once
+    try:
+        os.write(fd, f"pid={os.getpid()} epoch={epoch}".encode())
+        os.close(fd)
+        return _merge_snapshot_locked(
+            spark,
+            path,
+            upserts,
+            removed_keys,
+            key=key,
+            epoch=epoch,
+            n_buckets=n_buckets,
+        )
+    finally:
+        if os.path.exists(lock):
+            os.unlink(lock)
+
+
+def _merge_snapshot_locked(
+    spark: SparkSession,
+    path: str,
+    upserts: DataFrame,
+    removed_keys: DataFrame | None,
+    *,
+    key: str,
+    epoch: int,
+    n_buckets: int = MERGE_BUCKETS,
+) -> dict:
     """Maintain a materialized CURRENT-STATE table from CDC deltas --
     the writer the reference's downstream consumers run weekly
     (agency-delta.go emits deltas precisely so someone can apply them;

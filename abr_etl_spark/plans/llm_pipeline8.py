@@ -1376,3 +1376,220 @@ def _lsh_band_sweep_oracle() -> str:
 
 
 ORACLES.update({"lsh_band_sweep": _lsh_band_sweep_oracle()})
+
+
+#: codebook sizes for the PQ recall sweep -- nested prefixes of the
+#: same 16 seed vectors, so one codebook build serves every config.
+PQ_K_GRID = [4, 8, 16]
+
+
+def pq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codebook-size axis of PQ tuning (ann_nprobe_sweep's pattern
+    for the quantizer): recall@{ANN_K} of ADC ranking vs exact-cosine
+    truth for {PQ_K_GRID} codewords per subspace -- (pq_k, n_true,
+    n_hits, recall_e4). Larger codebooks quantize finer, so recall is
+    non-decreasing in pq_k (pytest); the cost axis is implicit (log2 k
+    bits per subspace per vector).
+
+    Vectorized like mmr_lambda_sweep: the K grid is crossed in as a key
+    column and every config's encode/LUT/ADC/rank runs through ONE
+    chain of (k, ...)-partitioned operators; config k uses the first k
+    rows of the SHARED 16-seed codebook (nested prefixes), so the
+    codebook builds once. Truth is the exact brute-force top-{ANN_K}
+    (the recall_at_k_eval contract)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    kmax = max(PQ_K_GRID)
+    ks = broadcast(
+        spark.createDataFrame([(k,) for k in PQ_K_GRID], "pq_k int")
+    )
+    sub = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    sel = e.select("vec_id", "embedding").orderBy(
+        F.col("vec_id").asc()
+    ).limit(kmax)
+    ids = sel.groupBy().agg(
+        F.array_sort(F.collect_list("vec_id")).alias("__ids")
+    )
+    codebook = (
+        sel.crossJoin(broadcast(ids))
+        .select(
+            (F.array_position(F.col("__ids"), F.col("vec_id")) - 1)
+            .cast("int")
+            .alias("c"),
+            "embedding",
+        )
+        .crossJoin(broadcast(sub))
+        .select(
+            "m",
+            "c",
+            F.expr(
+                f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
+            ).alias("cvec"),
+        )
+    )
+    xsub = (
+        e.select("vec_id", "embedding")
+        .crossJoin(broadcast(sub))
+        .select(
+            "vec_id",
+            "m",
+            F.expr(
+                f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
+            ).alias("xv"),
+        )
+    )
+    codes = (
+        xsub.join(broadcast(codebook), "m")
+        .crossJoin(ks)
+        .where(F.col("c") < F.col("pq_k"))
+        .select(
+            "pq_k",
+            "vec_id",
+            "m",
+            F.struct(
+                F.expr(_pq_e6(th.sp_l2sq("xv", "cvec"))).alias("d_e6"),
+                F.col("c"),
+            ).alias("__dc"),
+        )
+        .groupBy("pq_k", "vec_id", "m")
+        .agg(F.min("__dc").alias("__mn"))
+        .select("pq_k", "vec_id", "m", F.col("__mn.c").alias("c"))
+    )
+    lut = (
+        e.where(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(broadcast(sub))
+        .select(
+            "query_id",
+            "m",
+            F.expr(
+                f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
+            ).alias("qv"),
+        )
+        .join(broadcast(codebook), "m")
+        .select(
+            "query_id",
+            "m",
+            "c",
+            F.expr(_pq_e6(th.sp_dot("qv", "cvec"))).alias("p_e6"),
+        )
+    )
+    scores = (
+        codes.join(broadcast(lut), ["m", "c"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("pq_k", "query_id", "vec_id")
+        .agg(F.sum("p_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("pq_k", "query_id").orderBy(
+        F.col("adc_e6").desc(), F.col("vec_id").asc()
+    )
+    approx = (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= ANN_K)
+        .select("pq_k", "query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    q = e.where(F.col("vec_id") < N_QUERY_VECS)
+    truth = similarity.cosine_topk(e, q, k=ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    n_true = truth.groupBy().agg(F.count("*").alias("n_true"))
+    return (
+        approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("pq_k")
+        .agg(F.count("*").alias("n_hits"))
+        .crossJoin(broadcast(n_true))
+        .select(
+            "pq_k",
+            "n_true",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_true = 0 THEN NULL"
+                " ELSE (2 * 10000 * n_hits + n_true) DIV (2 * n_true)"
+                " END"
+            ).alias("recall_e4"),
+        )
+        .orderBy("pq_k")
+    )
+
+
+QUERIES.update({"pq_recall_sweep": pq_recall_sweep})
+
+
+def _pq_recall_sweep_oracle() -> str:
+    kmax = max(PQ_K_GRID)
+    kvals = ", ".join(f"({k})" for k in PQ_K_GRID)
+    return f"""
+        WITH ks AS (SELECT CAST(k AS INTEGER) AS pq_k FROM (VALUES {kvals}) v(k)),
+        seeds AS MATERIALIZED (
+            SELECT embedding,
+                   CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                        AS INTEGER) AS c
+            FROM embeddings ORDER BY vec_id ASC LIMIT {kmax}
+        ), sub AS (
+            SELECT CAST(unnest(range({PQ_M})) AS INTEGER) AS m
+        ), cb AS MATERIALIZED (
+            SELECT m, c, embedding[{_PQ_SLICE}] AS cvec
+            FROM seeds, sub
+        ), dists AS (
+            SELECT ks.pq_k, e.vec_id, cb.m, cb.c,
+                   CAST(round(round(
+                       {th.dk_l2sq(f'e.embedding[{_PQ_SLICE}]', 'cvec')}
+                   , 6) * 1000000.0, 0) AS BIGINT) AS d_e6
+            FROM embeddings e, cb, ks
+            WHERE cb.c < ks.pq_k
+        ), codes AS MATERIALIZED (
+            SELECT pq_k, vec_id, m, c FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY pq_k, vec_id, m
+                    ORDER BY d_e6 ASC, c ASC) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ), lut AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, cb.m, cb.c,
+                   CAST(round(round(
+                       {th.dk_dot(f'q.embedding[{_PQ_SLICE}]', 'cvec')}
+                   , 6) * 1000000.0, 0) AS BIGINT) AS p_e6
+            FROM embeddings q, cb
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ), approx AS MATERIALIZED (
+            SELECT pq_k, query_id, vec_id AS neighbor_id FROM (
+                SELECT s.pq_k, s.query_id, s.vec_id,
+                       row_number() OVER (
+                           PARTITION BY s.pq_k, s.query_id
+                           ORDER BY s.adc_e6 DESC, s.vec_id ASC) AS rn
+                FROM (
+                    SELECT c.pq_k, l.query_id, c.vec_id,
+                           CAST(sum(l.p_e6) AS BIGINT) AS adc_e6
+                    FROM codes c
+                    JOIN lut l ON l.m = c.m AND l.c = c.c
+                    WHERE l.query_id <> c.vec_id
+                    GROUP BY c.pq_k, l.query_id, c.vec_id
+                ) s
+            ) WHERE rn <= {ANN_K}
+        ), truth AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({th.dk_cosine('q.embedding', 'c.embedding')}, 6) DESC,
+                                    c.vec_id ASC) AS rn
+                FROM embeddings c, embeddings q
+                WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+            ) WHERE rn <= {ANN_K}
+        ), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth)
+        SELECT a.pq_k,
+               (SELECT n_true FROM nt) AS n_true,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CASE WHEN (SELECT n_true FROM nt) = 0 THEN NULL
+                    ELSE CAST((2 * 10000 * count(*)
+                               + (SELECT n_true FROM nt))
+                         // (2 * (SELECT n_true FROM nt)) AS BIGINT)
+               END AS recall_e4
+        FROM approx a
+        JOIN truth t ON t.query_id = a.query_id
+                    AND t.neighbor_id = a.neighbor_id
+        GROUP BY a.pq_k
+        ORDER BY pq_k
+    """
+
+
+ORACLES.update({"pq_recall_sweep": _pq_recall_sweep_oracle()})

@@ -287,3 +287,51 @@ def run_stream_to_memory(
     )
     q.processAllAvailable()
     return q
+
+
+def stream_cdc_apply(
+    stream: DataFrame,
+    path: str,
+    *,
+    key: str,
+    checkpoint: str,
+    removed_flag: str | None = None,
+    n_buckets: int = 8,
+):
+    """Streaming CDC-apply sink: each micro-batch of upserts (and,
+    when ``removed_flag`` names a boolean column, deletions) is merged
+    into the maintenance.merge_snapshot current-state table with
+    epoch = batch_id -- Structured Streaming guarantees batch ids are
+    stable across checkpoint recovery, so a REPLAYED micro-batch hits
+    the per-bucket epoch markers and is a metadata no-op (the
+    exactly-once contract write_epoch_idempotent gives lake appends,
+    extended to upsert/delete semantics). Returns the started query.
+
+    Scale shape per batch: exactly merge_snapshot's -- partition-pruned
+    read of affected buckets, broadcast anti-join, bucket-local
+    rewrite; untouched buckets never read, replays read only markers.
+    """
+    from abr_etl_spark.operators.maintenance import merge_snapshot
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if removed_flag is not None:
+            ups = batch_df.where(~F.col(removed_flag)).drop(removed_flag)
+            rem = batch_df.where(F.col(removed_flag)).select(key)
+        else:
+            ups, rem = batch_df, None
+        merge_snapshot(
+            batch_df.sparkSession,
+            path,
+            ups,
+            rem,
+            key=key,
+            epoch=int(epoch_id),
+            n_buckets=n_buckets,
+        )
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(apply_batch)
+        .start()
+    )

@@ -136,6 +136,7 @@ HEADLINERS = [
     "ann_pq_adc",
     "dedup_weighted_jaccard",
     "lsh_band_sweep",
+    "pq_recall_sweep",
 ]
 
 

@@ -455,3 +455,16 @@ def test_lsh_band_sweep_monotone(spark):
     assert n_true > 0 and all(r["n_true"] == n_true for r in out)
     assert out[0]["n_hits"] == n_true and out[0]["recall_e4"] == 10000
     assert all(r["n_hits"] <= r["n_candidates"] for r in out)
+
+
+def test_pq_recall_sweep_monotone_in_codebook_size(spark):
+    """Finer codebooks quantize better: recall@k is non-decreasing in
+    pq_k, and every config's hits are bounded by the truth size."""
+    out = lp8.pq_recall_sweep(spark, SF_ORACLE).collect()
+    assert [r["pq_k"] for r in out] == lp8.PQ_K_GRID
+    n_true = out[0]["n_true"]
+    assert n_true > 0 and all(r["n_true"] == n_true for r in out)
+    recalls = [r["recall_e4"] for r in out]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert all(0 <= r["n_hits"] <= n_true for r in out)
+    assert recalls[-1] >= 2000  # 16 codewords: well above chance

@@ -606,3 +606,42 @@ def test_merge_snapshot_stale_staging_from_other_epoch_raises(
     merge_snapshot(spark, path, ups3, None, key="pid", epoch=3, n_buckets=4)
     got = _rows(spark, path)
     assert (1, 111) in got and (2, 222) in got
+
+
+def test_merge_snapshot_single_writer_lock(spark, tmp_path, monkeypatch):
+    """Two interleaved merges on one table would corrupt it -- the
+    sidecar lock serializes writers: a held lock (live pid) raises, a
+    stale lock (dead pid) is stolen exactly once, and the lock never
+    outlives the call (success OR failure)."""
+    import os
+
+    import pytest
+
+    from abr_etl_spark.operators.maintenance import merge_snapshot
+
+    path = str(tmp_path / "state_lock")
+    base = _mk_state(spark, path, n=50, buckets=4)
+    lock = path + ".__merge_lock"
+    assert not os.path.exists(lock)  # released after the bootstrap
+
+    ups = spark.createDataFrame([(1, 111)], "pid long, amt long")
+    # live holder: this very process -> refused
+    with open(lock, "w") as fh:
+        fh.write(f"pid={os.getpid()} epoch=9")
+    with pytest.raises(RuntimeError, match="another writer"):
+        merge_snapshot(spark, path, ups, None, key="pid", epoch=2, n_buckets=4)
+    os.unlink(lock)
+
+    # stale holder (dead pid): stolen, merge proceeds
+    with open(lock, "w") as fh:
+        fh.write("pid=999999999 epoch=9")
+    rep = merge_snapshot(spark, path, ups, None, key="pid", epoch=2, n_buckets=4)
+    assert rep["written"] == 1
+    assert not os.path.exists(lock)
+    assert (1, 111) in _rows(spark, path)
+
+    # a crash inside the merge still releases the lock (finally)
+    bad = spark.createDataFrame([(None, 5)], "pid long, amt long")
+    with pytest.raises(ValueError, match="NULL"):
+        merge_snapshot(spark, path, bad, None, key="pid", epoch=3, n_buckets=4)
+    assert not os.path.exists(lock)

@@ -54,6 +54,7 @@ KEYS = [
     "ann_pq_adc",
     "dedup_weighted_jaccard",
     "lsh_band_sweep",
+    "pq_recall_sweep",
 ]
 
 

@@ -616,3 +616,66 @@ def test_dedup_within_watermark_checkpoint_recovery(spark, tmp_path):
     # the replayed rows were dropped by RECOVERED state: every id exactly
     # once, including every id of the replayed file
     assert max(r["count"] for r in got2) == 1
+
+
+def test_stream_cdc_apply_maintains_current_state(spark, tmp_path):
+    """The streaming half of the CDC story (§7.15, landed early): a
+    file stream of upsert/delete records drives merge_snapshot via
+    foreachBatch with epoch = batch_id. After draining, the merged
+    table equals the fold of all changes; killing the query and
+    replaying the SAME files through a fresh query object with the
+    same checkpoint re-delivers batches whose epochs the bucket
+    markers already hold -- the table is unchanged (no duplicate
+    applies)."""
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    table = str(tmp_path / "cdc_state")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "pid long, amt long, deleted boolean"
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def drain():
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = stream_ops.stream_cdc_apply(
+            stream, table, key="pid", checkpoint=ckpt, removed_flag="deleted",
+            n_buckets=4,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def state():
+        from abr_etl_spark.operators.maintenance import read_merged_snapshot
+
+        return {
+            (r["pid"], r["amt"])
+            for r in read_merged_snapshot(spark, table).collect()
+        }
+
+    drop("d0", [(k, k * 10, False) for k in range(1, 21)])
+    drain()
+    assert state() == {(k, k * 10) for k in range(1, 21)}
+
+    # second drop: updates, an insert, and deletions
+    drop("d1", [(1, 111, False), (21, 210, False), (5, 0, True), (6, 0, True)])
+    drain()
+    want = (
+        {(k, k * 10) for k in range(2, 21) if k not in (5, 6)}
+        | {(1, 111), (21, 210)}
+    )
+    assert state() == want
+
+    # kill + fresh checkpoint dir replay of the SAME files: every batch
+    # re-applies, but epochs gate per bucket -- state unchanged
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    drain()
+    assert state() == want
