@@ -441,6 +441,9 @@ def merge_snapshot(
     import os
 
     lock = path.rstrip("/") + ".__merge_lock"
+    parent = os.path.dirname(lock)
+    if parent:
+        os.makedirs(parent, exist_ok=True)  # bootstrap: table dir's parent
     for attempt in (0, 1):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
