@@ -60,6 +60,7 @@ _R11_PRIORITY: list[str] = [
     "dedup_weighted_jaccard",
     "lsh_band_sweep",
     "pq_recall_sweep",
+    "sessionize_gap_sweep",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

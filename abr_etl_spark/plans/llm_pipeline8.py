@@ -1593,3 +1593,120 @@ def _pq_recall_sweep_oracle() -> str:
 
 
 ORACLES.update({"pq_recall_sweep": _pq_recall_sweep_oracle()})
+
+
+#: inactivity-gap grid for the sessionization sweep (seconds).
+SESSION_GAP_GRID = [300, 1800, 7200]
+
+
+def sessionize_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gap-parameter axis of sessionization (the tuning curve
+    behind `sessionize`'s fixed 30-min rule): per inactivity gap in
+    {SESSION_GAP_GRID} seconds -- (gap_s, n_sessions, n_singletons,
+    n_events, sum_duration_s, mean_events_e4). Too small a gap shatters
+    sessions (singletons explode); too large merges visits; this table
+    is how the 1800 default gets defended.
+
+    Vectorized like the other r11 sweeps: the gap grid is crossed in as
+    a key column and every gap's lag/flag/cumsum/rollup runs through
+    ONE chain of (gap, user)-partitioned windows -- the lag and cumsum
+    share one Exchange+Sort exactly as `sessionize` does, on 3x rows
+    instead of 3x sequential plans."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    gaps = broadcast(
+        spark.createDataFrame(
+            [(g,) for g in SESSION_GAP_GRID], "gap_s long"
+        )
+    )
+    w = Window.partitionBy("gap_s", "user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    flagged = (
+        e.crossJoin(gaps)
+        .withColumn("__ts_s", F.col("ts").cast("long"))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.lag("__ts_s").over(w).isNull()
+                | (F.col("__ts_s") - F.lag("__ts_s").over(w) > F.col("gap_s")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    per_sess = flagged.groupBy("gap_s", "user_id", "session_id").agg(
+        F.count("*").alias("n_ev"),
+        (F.max("__ts_s") - F.min("__ts_s")).alias("dur_s"),
+    )
+    return (
+        per_sess.groupBy("gap_s")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(
+                F.when(F.col("n_ev") == 1, 1).otherwise(0)
+            ).alias("n_singletons"),
+            F.sum("n_ev").alias("n_events"),
+            F.sum("dur_s").alias("sum_duration_s"),
+        )
+        .withColumn(
+            "mean_events_e4",
+            F.expr(
+                "(2 * 10000 * n_events + n_sessions)"
+                " DIV (2 * n_sessions)"
+            ),
+        )
+        .orderBy("gap_s")
+    )
+
+
+QUERIES.update({"sessionize_gap_sweep": sessionize_gap_sweep})
+
+_GAP_VALUES = ", ".join(f"({g})" for g in SESSION_GAP_GRID)
+
+ORACLES.update(
+    {
+        "sessionize_gap_sweep": f"""
+        WITH base AS (
+            SELECT g.gap_s, e.user_id, e.ts, e.event_id,
+                   CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s
+            FROM events e,
+                 (SELECT CAST(gap_s AS BIGINT) AS gap_s
+                  FROM (VALUES {_GAP_VALUES}) v(gap_s)) g
+        ), flagged AS (
+            SELECT gap_s, user_id, ts, event_id, ts_s,
+                   CASE WHEN lag(ts_s) OVER w IS NULL
+                             OR ts_s - lag(ts_s) OVER w > gap_s
+                        THEN 1 ELSE 0 END AS new_session
+            FROM base
+            WINDOW w AS (PARTITION BY gap_s, user_id
+                         ORDER BY ts ASC, event_id ASC)
+        ), sessions AS (
+            SELECT gap_s, user_id, ts_s,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY gap_s, user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM flagged
+        ), per_sess AS (
+            SELECT gap_s, user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_ev,
+                   CAST(max(ts_s) - min(ts_s) AS BIGINT) AS dur_s
+            FROM sessions GROUP BY 1, 2, 3
+        )
+        SELECT gap_s,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singletons,
+               CAST(sum(n_ev) AS BIGINT) AS n_events,
+               CAST(sum(dur_s) AS BIGINT) AS sum_duration_s,
+               CAST((2 * 10000 * sum(n_ev) + count(*)) // (2 * count(*))
+                    AS BIGINT) AS mean_events_e4
+        FROM per_sess
+        GROUP BY gap_s
+        ORDER BY gap_s
+    """,
+    }
+)

@@ -137,6 +137,7 @@ HEADLINERS = [
     "dedup_weighted_jaccard",
     "lsh_band_sweep",
     "pq_recall_sweep",
+    "sessionize_gap_sweep",
 ]
 
 

@@ -468,3 +468,23 @@ def test_pq_recall_sweep_monotone_in_codebook_size(spark):
     assert all(a <= b for a, b in zip(recalls, recalls[1:]))
     assert all(0 <= r["n_hits"] <= n_true for r in out)
     assert recalls[-1] >= 2000  # 16 codewords: well above chance
+
+
+def test_sessionize_gap_sweep_monotone_and_consistent(spark):
+    """Larger gaps merge sessions: n_sessions and n_singletons are
+    non-increasing in gap_s, mean session length non-decreasing,
+    n_events constant; the 1800 row agrees with `sessionize`."""
+    from abr_etl_spark.plans.analytics import sessionize
+
+    out = lp8.sessionize_gap_sweep(spark, SF_ORACLE).collect()
+    assert [r["gap_s"] for r in out] == lp8.SESSION_GAP_GRID
+    ns = [r["n_sessions"] for r in out]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    sing = [r["n_singletons"] for r in out]
+    assert all(a >= b for a, b in zip(sing, sing[1:]))
+    me = [r["mean_events_e4"] for r in out]
+    assert all(a <= b for a, b in zip(me, me[1:]))
+    ev = [r["n_events"] for r in out]
+    assert len(set(ev)) == 1 and ev[0] > 0
+    base = sessionize(spark, SF_ORACLE).count()
+    assert out[1]["n_sessions"] == base  # gap=1800 IS sessionize

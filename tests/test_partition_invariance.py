@@ -55,6 +55,7 @@ KEYS = [
     "dedup_weighted_jaccard",
     "lsh_band_sweep",
     "pq_recall_sweep",
+    "sessionize_gap_sweep",
 ]
 
 
