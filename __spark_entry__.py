@@ -57,6 +57,7 @@ _R11_PRIORITY: list[str] = [
     # --- 3. r11 new / plan-changed ---
     "mmr_lambda_sweep",
     "ann_pq_adc",
+    "ann_pq_kmeans",
     "dedup_weighted_jaccard",
     "lsh_band_sweep",
     "pq_recall_sweep",

@@ -591,6 +591,240 @@ def kmeans_index(
     return spark.createDataFrame(rows, schema)
 
 
+def pq_subspace_kmeans(
+    df: DataFrame,
+    *,
+    n_sub: int,
+    sub_dim: int,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic per-subspace Lloyd k-means for PRODUCT-QUANTIZATION
+    codebooks (Jegou, Douze & Schmid 2011 train their codebooks exactly
+    this way; the seed-slice codebook ann_pq_adc ships is the iters=0
+    special case of this).
+
+    Init: subspace ``m``'s codewords are the ``k`` lowest-id vectors'
+    m-th subvectors -- the identical deterministic-seed device
+    kmeans_centroids uses, so no RNG and the oracle replays it. Every
+    Lloyd iteration runs ALL subspaces in ONE declarative chain keyed
+    on the composite (m, c): assign each of the n x n_sub subvectors to
+    its nearest codeword by exact-1e-6-unit squared L2 (sequential-fold
+    sp_l2sq, ties by codeword id -- the same comparator the ADC scan
+    uses), then recompute codewords as per-(m, c) per-dimension means
+    in exact integer micro-units (sum of floor(val*1e6 + 0.5) BIGINT,
+    one double division at the end) so Spark partial-agg order and
+    DuckDB sequential order agree bit-for-bit. Empty cells keep their
+    previous codeword. localCheckpoint between iterations cuts lineage
+    (the codebook is n_sub x k rows -- metadata scale).
+
+    Returns (m, c, cvec) with m in 0..n_sub-1, c in 0..k-1, cvec a
+    sub_dim-float array -- directly consumable by the ADC pipeline.
+
+    Scale shape: one corpus pass per iteration (n x n_sub rows through
+    a broadcast join + partial-aggregated argmin, then a (m, c, dim)
+    hash agg); nothing quadratic, no driver loop over subspaces."""
+    sub = (
+        df.sparkSession.range(n_sub)
+        .select(F.col("id").cast("int").alias("m"))
+    )
+    sel = df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k)
+    ids = sel.groupBy().agg(
+        F.array_sort(F.collect_list(id_col)).alias("__ids")
+    )
+    cb = (
+        sel.crossJoin(broadcast(ids))
+        .select(
+            (F.array_position(F.col("__ids"), F.col(id_col)) - 1)
+            .cast("int")
+            .alias("c"),
+            F.col(vec_col),
+        )
+        .crossJoin(broadcast(sub))
+        .select(
+            "m",
+            "c",
+            F.expr(
+                f"slice({vec_col}, m * {sub_dim} + 1, {sub_dim})"
+            ).alias("cvec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    xsub = (
+        df.select(id_col, vec_col)
+        .crossJoin(broadcast(sub))
+        .select(
+            F.col(id_col),
+            "m",
+            F.expr(
+                f"slice({vec_col}, m * {sub_dim} + 1, {sub_dim})"
+            ).alias("xv"),
+        )
+    )
+    d_e6 = (
+        f"CAST(round(round({th.sp_l2sq('xv', 'cvec')}, 6) * 1000000.0, 0)"
+        f" AS BIGINT)"
+    )
+    for _ in range(iters):
+        assigned = (
+            xsub.join(broadcast(cb), "m")
+            .select(
+                F.col(id_col),
+                "m",
+                F.struct(
+                    F.expr(d_e6).alias("d_e6"), F.col("c"), F.col("xv")
+                ).alias("__dcx"),
+            )
+            .groupBy(id_col, "m")
+            .agg(F.min("__dcx").alias("__mn"))
+            .select(
+                "m", F.col("__mn.c").alias("c"), F.col("__mn.xv").alias("xv")
+            )
+        )
+        means = (
+            assigned.select("m", "c", F.posexplode("xv").alias("dim", "val"))
+            .groupBy("m", "c", "dim")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("val").cast("double") * 1000000 + F.lit(0.5)
+                    ).cast("long")
+                ).alias("__su"),
+                F.count("val").alias("__cnt"),
+            )
+            .withColumn(
+                "mu",
+                F.col("__su").cast("double")
+                / F.col("__cnt")
+                / F.lit(1000000.0),
+            )
+            .groupBy("m", "c")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, mu))), "
+                    "x -> cast(x.mu as float))"
+                ).alias("__new_vec")
+            )
+        )
+        cb = (
+            cb.join(means, ["m", "c"], "left")
+            .select(
+                "m",
+                "c",
+                F.coalesce("__new_vec", F.col("cvec")).alias("cvec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def _pq_fingerprint(
+    source_path: str, n_sub: int, sub_dim: int, k: int, iters: int
+) -> str:
+    """Freshness key for a persisted PQ codebook sidecar: source parquet
+    (path, size, mtime) + every codebook parameter."""
+    import os
+
+    st = os.stat(source_path)
+    return (
+        f"{os.path.abspath(source_path)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|pq m={n_sub} sub={sub_dim} k={k} iters={iters}|v1"
+    )
+
+
+def pq_index(
+    spark,
+    df: DataFrame,
+    *,
+    n_sub: int,
+    sub_dim: int,
+    k: int,
+    iters: int,
+    source_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_dir: str | None = None,
+) -> DataFrame:
+    """pq_subspace_kmeans behind the same PERSISTED-index discipline as
+    kmeans_index: session memo (weakref-evicted) -> fingerprinted
+    sidecar JSON under ``index_dir`` / $SPARK_GRAFT_INDEX_DIR ->
+    compute + persist. The codebook is n_sub x k rows of sub_dim
+    float32s -- metadata scale -- and float32 values round-trip the
+    JSON exactly (float32 -> double -> JSON -> float32), so an index
+    probe is bit-identical to a fresh subspace k-means
+    (tests/test_kmeans_ivf.py proves the no-jobs reuse).
+
+    At 100 TB this is what makes PQ an INDEX: codebook training
+    (iters corpus passes) runs once per ingest epoch; every later
+    search session pays a sidecar read, then encodes/scans with
+    broadcast codebooks only."""
+    import hashlib
+    import json
+    import os
+    import weakref
+
+    fp = _pq_fingerprint(source_path, n_sub, sub_dim, k, iters)
+    schema = "m int, c int, cvec array<float>"
+    memo_key = (spark.sparkContext.applicationId, fp)
+    entry = _KMEANS_INDEX_MEMO.get(memo_key)
+    if entry is not None and entry[1]() is not None:
+        return spark.createDataFrame(entry[0], schema)
+    for mk, (_, ref) in list(_KMEANS_INDEX_MEMO.items()):
+        if ref() is None:
+            _KMEANS_INDEX_MEMO.pop(mk, None)
+
+    index_dir = (
+        index_dir if index_dir is not None else os.environ.get(IVF_INDEX_ENV)
+    )
+    sidecar = (
+        os.path.join(
+            index_dir,
+            f"pq_{hashlib.sha256(fp.encode()).hexdigest()[:24]}.json",
+        )
+        if index_dir
+        else None
+    )
+    rows = None
+    if sidecar and os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            payload = json.load(fh)
+        if payload.get("fingerprint") == fp:
+            rows = [
+                (int(m), int(c), None if v is None else list(map(float, v)))
+                for m, c, v in payload["codebook"]
+            ]
+    if rows is None:
+        cb = pq_subspace_kmeans(
+            df,
+            n_sub=n_sub,
+            sub_dim=sub_dim,
+            k=k,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        rows = [
+            (r["m"], r["c"], None if r["cvec"] is None else list(r["cvec"]))
+            for r in cb.orderBy("m", "c").collect()
+        ]
+        if sidecar:
+            os.makedirs(index_dir, exist_ok=True)
+            tmp = sidecar + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "fingerprint": fp,
+                        "codebook": [[m, c, v] for m, c, v in rows],
+                    },
+                    fh,
+                )
+            os.replace(tmp, sidecar)
+    _KMEANS_INDEX_MEMO[memo_key] = (rows, weakref.ref(spark.sparkContext))
+    return spark.createDataFrame(rows, schema)
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -912,6 +912,10 @@ PQ_M = 4
 PQ_SUB = 16
 PQ_K = 8
 
+#: Lloyd iterations for the TRAINED-codebook variant (ann_pq_kmeans);
+#: 1 keeps the unrolled DuckDB replay tractable, same as KMEANS_ITERS.
+PQ_KM_ITERS = 1
+
 
 def _pq_e6(expr: str) -> str:
     """round-to-6 then exact 1e-6 BIGINT units (the _rel_e6 device for
@@ -919,51 +923,14 @@ def _pq_e6(expr: str) -> str:
     return f"CAST(round(round({expr}, 6) * 1000000.0, 0) AS BIGINT)"
 
 
-def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance computation
-    (Jegou, Douze & Schmid 2011): corpus vectors are ENCODED once as
-    {PQ_M} codeword ids (argmin squared-L2 per subspace, ties by
-    codeword id); a query builds a {PQ_M} x {PQ_K} lookup table of
-    subvector dot products, and each corpus vector's approximate inner
-    product is the sum of {PQ_M} table entries -- never touching the
-    corpus floats again. Output (query_id, rank, neighbor_id, adc_e6):
-    top-{ANN_K} per query by ADC score (desc, neighbor_id tiebreak).
-
-    All comparisons in exact 1e-6 BIGINT units (sequential-fold
-    sp_l2sq/sp_dot match dk_l2sq/dk_dot bit-for-bit before rounding),
-    so encoding, LUT and ranking replay identically in DuckDB.
-
-    Scale shape: the codebook and LUT are metadata-size broadcasts
-    ({PQ_M}x{PQ_K} and |Q|x{PQ_M}x{PQ_K} rows); encoding is one
-    map-side pass over the corpus (n x {PQ_M} x {PQ_K} rows through a
-    partial-aggregated argmin); the ADC scan joins the n x {PQ_M} code
-    table against the broadcast LUT and sums map-side -- the 16-byte-
-    per-vector regime that makes PQ the 100 TB ANN workhorse: the
-    shuffle carries codes and scores, never embeddings."""
-    e = load_table(spark, sf_dir, "embeddings")
-    sub = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
-    sel = e.select("vec_id", "embedding").orderBy(
-        F.col("vec_id").asc()
-    ).limit(PQ_K)
-    ids = sel.groupBy().agg(
-        F.array_sort(F.collect_list("vec_id")).alias("__ids")
-    )
-    codebook = (
-        sel.crossJoin(broadcast(ids))
-        .select(
-            (F.array_position(F.col("__ids"), F.col("vec_id")) - 1)
-            .cast("int")
-            .alias("c"),
-            "embedding",
-        )
-        .crossJoin(broadcast(sub))
-        .select(
-            "m",
-            "c",
-            F.expr(
-                f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
-            ).alias("cvec"),
-        )
+def _pq_adc_topk(e: DataFrame, codebook: DataFrame) -> DataFrame:
+    """The shared PQ-ADC pipeline downstream of ANY (m, c, cvec)
+    codebook: encode the corpus (argmin e6-L2 per subspace, ties by
+    codeword id), build the query LUT of subvector dot products, scan
+    codes against the broadcast LUT, top-ANN_K per query. Both PQ keys
+    (seed-slice and k-means codebooks) run exactly this plan."""
+    sub = e.sparkSession.range(PQ_M).select(
+        F.col("id").cast("int").alias("m")
     )
     xsub = (
         e.select("vec_id", "embedding")
@@ -1031,7 +998,84 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES.update({"ann_pq_adc": ann_pq_adc})
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou, Douze & Schmid 2011): corpus vectors are ENCODED once as
+    {PQ_M} codeword ids (argmin squared-L2 per subspace, ties by
+    codeword id); a query builds a {PQ_M} x {PQ_K} lookup table of
+    subvector dot products, and each corpus vector's approximate inner
+    product is the sum of {PQ_M} table entries -- never touching the
+    corpus floats again. Output (query_id, rank, neighbor_id, adc_e6):
+    top-{ANN_K} per query by ADC score (desc, neighbor_id tiebreak).
+
+    All comparisons in exact 1e-6 BIGINT units (sequential-fold
+    sp_l2sq/sp_dot match dk_l2sq/dk_dot bit-for-bit before rounding),
+    so encoding, LUT and ranking replay identically in DuckDB.
+
+    Scale shape: the codebook and LUT are metadata-size broadcasts
+    ({PQ_M}x{PQ_K} and |Q|x{PQ_M}x{PQ_K} rows); encoding is one
+    map-side pass over the corpus (n x {PQ_M} x {PQ_K} rows through a
+    partial-aggregated argmin); the ADC scan joins the n x {PQ_M} code
+    table against the broadcast LUT and sums map-side -- the 16-byte-
+    per-vector regime that makes PQ the 100 TB ANN workhorse: the
+    shuffle carries codes and scores, never embeddings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sub = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    sel = e.select("vec_id", "embedding").orderBy(
+        F.col("vec_id").asc()
+    ).limit(PQ_K)
+    ids = sel.groupBy().agg(
+        F.array_sort(F.collect_list("vec_id")).alias("__ids")
+    )
+    codebook = (
+        sel.crossJoin(broadcast(ids))
+        .select(
+            (F.array_position(F.col("__ids"), F.col("vec_id")) - 1)
+            .cast("int")
+            .alias("c"),
+            "embedding",
+        )
+        .crossJoin(broadcast(sub))
+        .select(
+            "m",
+            "c",
+            F.expr(
+                f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
+            ).alias("cvec"),
+        )
+    )
+    return _pq_adc_topk(e, codebook)
+
+
+def ann_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_pq_adc with TRAINED codebooks: per-subspace Lloyd k-means
+    ({PQ_KM_ITERS} iteration from the same deterministic lowest-id
+    seeds), served through the persisted PQ index
+    (similarity.pq_index -- memo + fingerprinted sidecar, the
+    kmeans_index discipline), then the identical encode/LUT/ADC scan.
+    The DuckDB oracle replays the subspace k-means itself (exact-1e-6
+    L2 assignment, exact integer micro-unit means), so codebook
+    TRAINING is oracle-checked, not just the scan -- the same bar
+    ann_ivf_kmeans holds for the coarse quantizer.
+
+    Scale shape: training is {PQ_KM_ITERS} corpus pass(es) through a
+    broadcast argmin + (m, c, dim) hash agg, run once per ingest epoch
+    behind the index; the search path stays the 16-byte-per-vector ADC
+    regime."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_index(
+        spark,
+        e,
+        n_sub=PQ_M,
+        sub_dim=PQ_SUB,
+        k=PQ_K,
+        iters=PQ_KM_ITERS,
+        source_path=f"{sf_dir}/embeddings.parquet",
+    )
+    return _pq_adc_topk(e, cb)
+
+
+QUERIES.update({"ann_pq_adc": ann_pq_adc, "ann_pq_kmeans": ann_pq_kmeans})
 
 _PQ_SLICE = f"m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}"
 
@@ -1049,6 +1093,110 @@ ORACLES.update(
             SELECT m, c, embedding[{_PQ_SLICE}] AS cvec
             FROM seeds, sub
         ), dists AS (
+            SELECT e.vec_id, cb.m, cb.c,
+                   CAST(round(round(
+                       {th.dk_l2sq(f'e.embedding[{_PQ_SLICE}]', 'cvec')}
+                   , 6) * 1000000.0, 0) AS BIGINT) AS d_e6
+            FROM embeddings e, cb
+        ), codes AS MATERIALIZED (
+            SELECT vec_id, m, c FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, m
+                    ORDER BY d_e6 ASC, c ASC) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ), lut AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, cb.m, cb.c,
+                   CAST(round(round(
+                       {th.dk_dot(f'q.embedding[{_PQ_SLICE}]', 'cvec')}
+                   , 6) * 1000000.0, 0) AS BIGINT) AS p_e6
+            FROM embeddings q, cb
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ), scores AS (
+            SELECT l.query_id, s.vec_id,
+                   CAST(sum(l.p_e6) AS BIGINT) AS adc_e6
+            FROM codes s
+            JOIN lut l ON l.m = s.m AND l.c = s.c
+            WHERE l.query_id <> s.vec_id
+            GROUP BY l.query_id, s.vec_id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank,
+               vec_id AS neighbor_id, adc_e6
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_e6 DESC, vec_id ASC) AS rank
+            FROM scores
+        ) WHERE rank <= {ANN_K}
+        ORDER BY query_id, rank
+    """,
+    }
+)
+
+
+def _dk_pq_kmeans_ctes(iters: int = PQ_KM_ITERS) -> str:
+    """DuckDB replay of operators/similarity.pq_subspace_kmeans: per-
+    subspace lowest-id seed init, then per iteration (e6-L2 argmin
+    assign with codeword-id ties -> exact micro-unit per-dim means ->
+    FLOAT cast; empty cells keep the previous codeword). Same exact
+    integer mean device as _dk_kmeans_ctes so summation order can't
+    diverge. Returns CTEs ending in ``cb(m, c, cvec)``."""
+    d_e6 = (
+        f"CAST(round(round({th.dk_l2sq('x.xv', 'cb.cvec')}, 6)"
+        f" * 1000000.0, 0) AS BIGINT)"
+    )
+    ctes = [
+        f"""seeds AS MATERIALIZED (
+            SELECT embedding,
+                   CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                        AS INTEGER) AS c
+            FROM embeddings ORDER BY vec_id ASC LIMIT {PQ_K})""",
+        f"""sub AS (
+            SELECT CAST(unnest(range({PQ_M})) AS INTEGER) AS m)""",
+        f"""cb0 AS MATERIALIZED (
+            SELECT m, c, embedding[{_PQ_SLICE}] AS cvec
+            FROM seeds, sub)""",
+        f"""xs AS MATERIALIZED (
+            SELECT vec_id, m, embedding[{_PQ_SLICE}] AS xv
+            FROM embeddings, sub)""",
+    ]
+    prev = "cb0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""asn{i} AS MATERIALIZED (
+            SELECT vec_id, m, xv, c FROM (
+                SELECT x.vec_id, x.m, x.xv, cb.c,
+                       row_number() OVER (PARTITION BY x.vec_id, x.m
+                           ORDER BY {d_e6} ASC, cb.c ASC) AS rn
+                FROM xs x JOIN {prev} cb ON cb.m = x.m
+            ) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""mu{i} AS (
+            SELECT m, c, t.i AS dim,
+                   CAST(sum(CAST(floor(
+                       CAST(xv[t.i + 1] AS DOUBLE) * 1000000 + 0.5
+                   ) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS mu
+            FROM asn{i}, range({PQ_SUB}) t(i)
+            GROUP BY m, c, t.i)"""
+        )
+        ctes.append(
+            f"""cb{i} AS MATERIALIZED (
+            SELECT p.m, p.c, coalesce(n.vec, p.cvec) AS cvec
+            FROM {prev} p LEFT JOIN (
+                SELECT m, c, list(mu::FLOAT ORDER BY dim) AS vec
+                FROM mu{i} GROUP BY m, c
+            ) n ON p.m = n.m AND p.c = n.c)"""
+        )
+        prev = f"cb{i}"
+    ctes.append(f"cb AS MATERIALIZED (SELECT m, c, cvec FROM {prev})")
+    return ",\n        ".join(ctes)
+
+
+ORACLES.update(
+    {
+        "ann_pq_kmeans": f"""
+        WITH {_dk_pq_kmeans_ctes()}, dists AS (
             SELECT e.vec_id, cb.m, cb.c,
                    CAST(round(round(
                        {th.dk_l2sq(f'e.embedding[{_PQ_SLICE}]', 'cvec')}

@@ -138,6 +138,8 @@ HEADLINERS = [
     "lsh_band_sweep",
     "pq_recall_sweep",
     "sessionize_gap_sweep",
+    # trained-codebook PQ: prices the Lloyd pass + index-served ADC
+    "ann_pq_kmeans",
 ]
 
 

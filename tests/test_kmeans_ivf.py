@@ -141,3 +141,107 @@ def test_kmeans_index_memo_serves_without_disk(spark, tmp_path, monkeypatch):
     ).collect()
     monkeypatch.undo()
     assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+
+
+def test_pq_index_persists_and_reuses(spark, tmp_path, monkeypatch):
+    """SURVEY §7.15 PQ productionization: per-subspace codebooks go
+    through the same persisted-index discipline as the IVF quantizer.
+    First call trains + writes the sidecar; a 'second session' (memo
+    cleared, training poisoned) serves the codebook from disk
+    bit-identically; a fingerprint mismatch rebuilds."""
+    import json
+    import os
+
+    from abr_etl_spark.operators import similarity
+
+    idx = str(tmp_path / "pqindex")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def rows(df):
+        return [
+            (r["m"], r["c"], list(r["cvec"]))
+            for r in df.orderBy("m", "c").collect()
+        ]
+
+    kw = dict(
+        n_sub=4, sub_dim=16, k=8, iters=1,
+        source_path=f"{SF}/embeddings.parquet", index_dir=idx,
+    )
+    first = rows(similarity.pq_index(spark, e, **kw))
+    assert len(first) == 4 * 8
+    assert all(len(v) == 16 for _, _, v in first)
+    sidecars = [f for f in os.listdir(idx) if f.startswith("pq_")]
+    assert len(sidecars) == 1
+    assert first == rows(
+        similarity.pq_subspace_kmeans(e, n_sub=4, sub_dim=16, k=8, iters=1)
+    )
+
+    similarity._KMEANS_INDEX_MEMO.clear()
+
+    def boom(*a, **k):
+        raise AssertionError("index probe must not train codebooks")
+
+    monkeypatch.setattr(similarity, "pq_subspace_kmeans", boom)
+    again = rows(similarity.pq_index(spark, e, **kw))
+    assert again == first
+    monkeypatch.undo()
+
+    # stale sidecar -> rebuilt, never trusted
+    sc = os.path.join(idx, sidecars[0])
+    payload = json.load(open(sc))
+    payload["fingerprint"] = "stale"
+    json.dump(payload, open(sc, "w"))
+    similarity._KMEANS_INDEX_MEMO.clear()
+    rebuilt = rows(similarity.pq_index(spark, e, **kw))
+    assert rebuilt == first
+    assert json.load(open(sc))["fingerprint"] != "stale"
+
+
+def test_pq_subspace_kmeans_improves_quantization(spark):
+    """One Lloyd iteration must not worsen the PQ objective (total
+    squared quantization error over all (vector, subspace) cells) vs
+    the seed-slice codebook -- Lloyd monotonicity, up to the e6/float32
+    rounding grain. iters=0 reproduces the seed slices exactly."""
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark.functions import texthash as th
+    from abr_etl_spark.operators import similarity
+    from pyspark.sql.functions import broadcast
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sub = spark.range(4).select(F.col("id").cast("int").alias("m"))
+    xsub = e.crossJoin(broadcast(sub)).select(
+        "vec_id", "m",
+        F.expr("slice(embedding, m * 16 + 1, 16)").alias("xv"),
+    )
+
+    def objective(cb):
+        d = (
+            xsub.join(broadcast(cb), "m")
+            .select(
+                "vec_id", "m",
+                F.expr(th.sp_l2sq("xv", "cvec")).alias("d"),
+            )
+            .groupBy("vec_id", "m")
+            .agg(F.min("d").alias("dmin"))
+            .agg(F.sum("dmin").alias("J"))
+            .collect()[0]["J"]
+        )
+        return d
+
+    seeds = similarity.pq_subspace_kmeans(
+        e, n_sub=4, sub_dim=16, k=8, iters=0
+    )
+    trained = similarity.pq_subspace_kmeans(
+        e, n_sub=4, sub_dim=16, k=8, iters=1
+    )
+    j0, j1 = objective(seeds), objective(trained)
+    assert j1 <= j0 * 1.0001
+    assert j1 < j0  # at this sf the seeds are far from stationary
+
+    # iters=0 IS the seed-slice codebook ann_pq_adc ships
+    lo = e.orderBy("vec_id").limit(8).collect()
+    lo_sorted = sorted(lo, key=lambda r: r["vec_id"])
+    for r in seeds.orderBy("m", "c").collect():
+        exp = lo_sorted[r["c"]]["embedding"][r["m"] * 16 : r["m"] * 16 + 16]
+        assert list(r["cvec"]) == list(exp)

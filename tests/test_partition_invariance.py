@@ -56,6 +56,8 @@ KEYS = [
     "lsh_band_sweep",
     "pq_recall_sweep",
     "sessionize_gap_sweep",
+    # trained PQ codebooks: partial-agg micro-unit means + e6 argmin
+    "ann_pq_kmeans",
 ]
 
 
