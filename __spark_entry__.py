@@ -58,6 +58,7 @@ _R11_PRIORITY: list[str] = [
     "mmr_lambda_sweep",
     "ann_pq_adc",
     "ann_pq_kmeans",
+    "ann_ivf_pq",
     "dedup_weighted_jaccard",
     "lsh_band_sweep",
     "pq_recall_sweep",

@@ -178,6 +178,21 @@ def sp_l2sq(a: str, b: str) -> str:
     )
 
 
+def sp_l2sq_res(a: str, b: str, w: str) -> str:
+    """Squared L2 between the RESIDUAL (a - b) and codeword w, all in
+    double, sequential fold -- the IVFADC encoding metric (Jegou et al.
+    2011: PQ runs on residuals to the coarse centroid). Term shape
+    t = (x - y); u = t - z; u * u matches dk_l2sq_res exactly, so the
+    residual is never materialized as a float array on either side."""
+    da = f"transform({a}, x -> cast(x as double))"
+    db = f"transform({b}, x -> cast(x as double))"
+    dw = f"transform({w}, x -> cast(x as double))"
+    return (
+        f"aggregate(zip_with(zip_with({da}, {db}, (x, y) -> x - y), {dw}, "
+        f"(r, z) -> (r - z) * (r - z)), 0.0D, (s, v) -> s + v)"
+    )
+
+
 def sp_norm(a: str) -> str:
     """L2 norm, identical operation order to the norm inside sp_cosine --
     precompute this per ROW so the per-PAIR hot path runs one aggregate
@@ -315,6 +330,20 @@ def dk_l2sq(a: str, b: str) -> str:
         f"list_reduce(list_prepend(0.0::DOUBLE, "
         f"list_transform(range(0, len({a})), i -> "
         f"({da}[i + 1] - {db}[i + 1]) * ({da}[i + 1] - {db}[i + 1]))), "
+        f"(s, v) -> s + v)"
+    )
+
+
+def dk_l2sq_res(a: str, b: str, w: str) -> str:
+    """Squared L2 between the residual (a - b) and w, same left-fold
+    order and ((x - y) - z) * ((x - y) - z) term shape as sp_l2sq_res."""
+    da = f"list_transform({a}, x -> x::DOUBLE)"
+    db = f"list_transform({b}, x -> x::DOUBLE)"
+    dw = f"list_transform({w}, x -> x::DOUBLE)"
+    term = f"(({da}[i + 1] - {db}[i + 1]) - {dw}[i + 1])"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(0, len({a})), i -> {term} * {term})), "
         f"(s, v) -> s + v)"
     )
 

@@ -1238,6 +1238,237 @@ ORACLES.update(
 )
 
 
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jegou, Douze & Schmid 2011 SS7): the COMPOUND index that
+    is the actual 100 TB ANN architecture -- an IVF coarse quantizer
+    routes every vector to a cell, PQ encodes each vector's RESIDUAL to
+    its cell centroid ({PQ_M} codeword ids), and a query scans only its
+    own cell (nprobe=1, ann_ivf's candidate rule) scoring candidates by
+    asymmetric distance on residuals: q.x ~ q.centroid + q.residual_hat
+    = one per-query dot with the cell centroid plus {PQ_M} LUT lookups.
+    Output (query_id, rank, neighbor_id, score_e6): top-{ANN_K} per
+    query by that score (desc, neighbor_id tiebreak).
+
+    Determinism/parity: the coarse quantizer is the deterministic
+    subset ann_ivf uses (vec_id % 50 == 0, cosine-argmax assignment);
+    residual codewords are the {PQ_K} lowest-id vectors' residuals per
+    subspace, built as double arrays with the same element op order on
+    both engines; encoding argmin uses the 3-array residual fold
+    sp_l2sq_res/dk_l2sq_res (the residual is NEVER materialized as a
+    float array), everything in exact 1e-6 BIGINT units.
+
+    Scale shape: cells shard the corpus (candidates ~ n/n_cells per
+    query, not n); codes are {PQ_M} bytes-worth per vector so the scan
+    shuffle carries (cell, code, score) -- never embeddings; codebook,
+    LUT and query-cell frames are metadata-size broadcasts. This is
+    the faiss IVFxx,PQyy layout re-expressed declaratively."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cfull"),
+    )
+    cent_as_vecs = cent.select(
+        F.col("centroid_id").alias("vec_id"),
+        F.col("cfull").alias("embedding"),
+    )
+    # per-row assignment: the full-corpus pass runs ONCE (the encode
+    # scan); the query-cell frame pushes vec_id < N below the window,
+    # and the 8 codebook seeds are assigned separately (a limit cannot
+    # push through the window, so deriving them from `asg` would replay
+    # the whole argmax a second time)
+    asg = similarity.ivf_assign(e, cent_as_vecs).join(
+        broadcast(cent), "centroid_id"
+    )
+    sub = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    sel = (
+        similarity.ivf_assign(
+            e.orderBy(F.col("vec_id").asc()).limit(PQ_K), cent_as_vecs
+        )
+        .join(broadcast(cent), "centroid_id")
+        .select("vec_id", "embedding", "cfull")
+    )
+    ids = sel.groupBy().agg(
+        F.array_sort(F.collect_list("vec_id")).alias("__ids")
+    )
+    wvec_expr = (
+        f"zip_with("
+        f"transform(slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}), "
+        f"x -> cast(x as double)), "
+        f"transform(slice(cfull, m * {PQ_SUB} + 1, {PQ_SUB}), "
+        f"x -> cast(x as double)), (a, b) -> a - b)"
+    )
+    cb = (
+        sel.crossJoin(broadcast(ids))
+        .select(
+            (F.array_position(F.col("__ids"), F.col("vec_id")) - 1)
+            .cast("int")
+            .alias("c"),
+            "embedding",
+            "cfull",
+        )
+        .crossJoin(broadcast(sub))
+        .select("m", "c", F.expr(wvec_expr).alias("wvec"))
+    )
+    codes = (
+        asg.crossJoin(broadcast(sub))
+        .select(
+            "vec_id",
+            "centroid_id",
+            "m",
+            F.expr(
+                f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
+            ).alias("xv"),
+            F.expr(
+                f"slice(cfull, m * {PQ_SUB} + 1, {PQ_SUB})"
+            ).alias("cv"),
+        )
+        .join(broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "m",
+            F.struct(
+                F.expr(_pq_e6(th.sp_l2sq_res("xv", "cv", "wvec"))).alias(
+                    "d_e6"
+                ),
+                F.col("c"),
+            ).alias("__dc"),
+        )
+        .groupBy("vec_id", "centroid_id", "m")
+        .agg(F.min("__dc").alias("__mn"))
+        .select("vec_id", "centroid_id", "m", F.col("__mn.c").alias("c"))
+    )
+    lut = (
+        e.where(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(broadcast(sub))
+        .select(
+            "query_id",
+            "m",
+            F.expr(
+                f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
+            ).alias("qv"),
+        )
+        .join(broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "c",
+            F.expr(_pq_e6(th.sp_dot("qv", "wvec"))).alias("p_e6"),
+        )
+    )
+    qcell = asg.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        "centroid_id",
+        F.expr(_pq_e6(th.sp_dot("embedding", "cfull"))).alias("qc_e6"),
+    )
+    scores = (
+        codes.join(broadcast(qcell), "centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .join(broadcast(lut), ["query_id", "m", "c"])
+        .groupBy("query_id", "vec_id", "qc_e6")
+        .agg(F.sum("p_e6").alias("__s"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("qc_e6") + F.col("__s")).cast("long").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            "score_e6",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES.update({"ann_ivf_pq": ann_ivf_pq})
+
+ORACLES.update(
+    {
+        "ann_ivf_pq": f"""
+        WITH cent AS MATERIALIZED (
+            SELECT vec_id AS centroid_id, embedding AS cfull
+            FROM embeddings WHERE vec_id % 50 = 0
+        ), asg AS MATERIALIZED (
+            SELECT vec_id, embedding, centroid_id, cfull FROM (
+                SELECT e.vec_id, e.embedding, c.centroid_id, c.cfull,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY round({th.dk_cosine('e.embedding', 'c.cfull')}, 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM embeddings e, cent c
+            ) WHERE rn = 1
+        ), sub AS (
+            SELECT CAST(unnest(range({PQ_M})) AS INTEGER) AS m
+        ), seeds AS MATERIALIZED (
+            SELECT embedding, cfull,
+                   CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                        AS INTEGER) AS c
+            FROM asg ORDER BY vec_id ASC LIMIT {PQ_K}
+        ), cb AS MATERIALIZED (
+            SELECT m, c,
+                   list_transform(range(0, {PQ_SUB}), i ->
+                       embedding[m * {PQ_SUB} + i + 1]::DOUBLE
+                       - cfull[m * {PQ_SUB} + i + 1]::DOUBLE) AS wvec
+            FROM seeds, sub
+        ), dists AS (
+            SELECT a.vec_id, a.centroid_id, cb.m, cb.c,
+                   CAST(round(round({th.dk_l2sq_res(f'a.embedding[{_PQ_SLICE}]', f'a.cfull[{_PQ_SLICE}]', 'cb.wvec')}
+                   , 6) * 1000000.0, 0) AS BIGINT) AS d_e6
+            FROM asg a, cb
+        ), codes AS MATERIALIZED (
+            SELECT vec_id, centroid_id, m, c FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, m
+                    ORDER BY d_e6 ASC, c ASC) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ), lut AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, cb.m, cb.c,
+                   CAST(round(round(
+                       {th.dk_dot(f'q.embedding[{_PQ_SLICE}]', 'cb.wvec')}
+                   , 6) * 1000000.0, 0) AS BIGINT) AS p_e6
+            FROM embeddings q, cb
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ), qcell AS MATERIALIZED (
+            SELECT a.vec_id AS query_id, a.centroid_id,
+                   CAST(round(round(
+                       {th.dk_dot('a.embedding', 'a.cfull')}
+                   , 6) * 1000000.0, 0) AS BIGINT) AS qc_e6
+            FROM asg a WHERE a.vec_id < {N_QUERY_VECS}
+        ), scores AS (
+            SELECT qc.query_id, s.vec_id,
+                   CAST(any_value(qc.qc_e6) + sum(l.p_e6) AS BIGINT)
+                       AS score_e6
+            FROM codes s
+            JOIN qcell qc ON qc.centroid_id = s.centroid_id
+            JOIN lut l ON l.query_id = qc.query_id
+                      AND l.m = s.m AND l.c = s.c
+            WHERE qc.query_id <> s.vec_id
+            GROUP BY qc.query_id, s.vec_id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank,
+               vec_id AS neighbor_id, score_e6
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_e6 DESC, vec_id ASC) AS rank
+            FROM scores
+        ) WHERE rank <= {ANN_K}
+        ORDER BY query_id, rank
+    """,
+    }
+)
+
+
 def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """idf-WEIGHTED Jaccard rescoring of the near-dup pair set: every
     surviving tau-pair gets, beside its plain jaccard, the weighted

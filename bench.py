@@ -140,6 +140,8 @@ HEADLINERS = [
     "sessionize_gap_sweep",
     # trained-codebook PQ: prices the Lloyd pass + index-served ADC
     "ann_pq_kmeans",
+    # IVFADC compound index: coarse routing + residual-PQ cell scan
+    "ann_ivf_pq",
 ]
 
 

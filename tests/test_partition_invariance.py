@@ -58,6 +58,8 @@ KEYS = [
     "sessionize_gap_sweep",
     # trained PQ codebooks: partial-agg micro-unit means + e6 argmin
     "ann_pq_kmeans",
+    # IVFADC: cell routing + residual argmin + LUT-sum ranking
+    "ann_ivf_pq",
 ]
 
 
