@@ -63,6 +63,7 @@ _R11_PRIORITY: list[str] = [
     "lsh_band_sweep",
     "pq_recall_sweep",
     "sessionize_gap_sweep",
+    "kmeans_k_sweep",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

@@ -50,7 +50,7 @@ from pyspark.sql.functions import broadcast
 
 from abr_etl_spark.functions import texthash as th
 from abr_etl_spark.operators import similarity
-from abr_etl_spark.plans.llm_pipeline import ANN_K, N_QUERY_VECS
+from abr_etl_spark.plans.llm_pipeline import ANN_K, EMB_DIM, N_QUERY_VECS
 from abr_etl_spark.plans.llm_pipeline4 import PACK_CAP
 from abr_etl_spark.sources.lake import load_table
 
@@ -2089,3 +2089,188 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: the k axis of k-means tuning (the elbow curve); nested seed prefixes
+#: (lowest-16-id init, k takes the first k) so ALL grid points run in
+#: one composite-(k, c)-keyed chain -- the mmr_lambda_sweep device
+#: applied to clustering.
+KSWEEP_GRID = [4, 8, 16]
+KSWEEP_MAX = max(KSWEEP_GRID)
+
+
+def kmeans_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-count axis of k-means tuning: for each k in
+    {KSWEEP_GRID}, seed-init from the k lowest-id vectors (nested
+    prefixes of ONE 16-seed set), run ONE Lloyd iteration (e6-L2
+    argmin assign -> exact micro-unit per-dim means, empty cells keep
+    their seed), then report the elbow-curve axes on the post-move
+    assignment: inertia_e6 (sum of per-vector min squared L2, exact
+    1e-6 BIGINT units), n_cells_used, and max_cell_n (balance -- a
+    skew-aware consumer picks k where max_cell_n stops improving, the
+    partition-sizing question for SemDeDup blocks and IVF cells).
+
+    Vectorized like the other tuning-curve keys: the grid is crossed
+    in as a key column, every Lloyd step keys on composite (k, c), so
+    the corpus is scanned a constant number of times regardless of
+    grid size -- never once per k.
+
+    Scale shape: two broadcast-argmin passes + one (k, c, dim) hash
+    agg; centroid frames are sum(grid) rows (28) -- metadata scale;
+    nothing quadratic in the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    kp = spark.createDataFrame(
+        [(k,) for k in KSWEEP_GRID], "k int"
+    )
+    sel = (
+        e.select("vec_id", "embedding")
+        .orderBy(F.col("vec_id").asc())
+        .limit(KSWEEP_MAX)
+    )
+    ids = sel.groupBy().agg(
+        F.array_sort(F.collect_list("vec_id")).alias("__ids")
+    )
+    cents0 = (
+        sel.crossJoin(broadcast(ids))
+        .select(
+            (F.array_position(F.col("__ids"), F.col("vec_id")) - 1)
+            .cast("int")
+            .alias("c"),
+            F.col("embedding").alias("cvec"),
+        )
+        .crossJoin(broadcast(kp))
+        .where(F.col("c") < F.col("k"))
+        .select("k", "c", "cvec")
+        .localCheckpoint(eager=True)
+    )
+    d_e6 = _pq_e6(th.sp_l2sq("embedding", "cvec"))
+
+    def assign(cents):
+        return (
+            e.select("vec_id", "embedding")
+            .crossJoin(broadcast(cents))
+            .select(
+                "vec_id",
+                "k",
+                F.struct(
+                    F.expr(d_e6).alias("d_e6"), F.col("c")
+                ).alias("__dc"),
+            )
+            .groupBy("vec_id", "k")
+            .agg(F.min("__dc").alias("__mn"))
+            .select(
+                "vec_id",
+                "k",
+                F.col("__mn.c").alias("c"),
+                F.col("__mn.d_e6").alias("d_e6"),
+            )
+        )
+
+    a1 = assign(cents0).join(
+        e.select("vec_id", "embedding"), "vec_id"
+    )
+    means = (
+        a1.select("k", "c", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("k", "c", "dim")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("val").cast("double") * 1000000 + F.lit(0.5)
+                ).cast("long")
+            ).alias("__su"),
+            F.count("val").alias("__cnt"),
+        )
+        .withColumn(
+            "mu",
+            F.col("__su").cast("double") / F.col("__cnt") / F.lit(1000000.0),
+        )
+        .groupBy("k", "c")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, mu))), "
+                "x -> cast(x.mu as float))"
+            ).alias("__new_vec")
+        )
+    )
+    cents1 = (
+        cents0.join(means, ["k", "c"], "left")
+        .select(
+            "k", "c", F.coalesce("__new_vec", F.col("cvec")).alias("cvec")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a2 = assign(cents1)
+    cell_n = a2.groupBy("k", "c").agg(
+        F.count("*").alias("__n"), F.sum("d_e6").alias("__d")
+    )
+    return (
+        cell_n.groupBy("k")
+        .agg(
+            F.sum("__d").cast("long").alias("inertia_e6"),
+            F.count("*").cast("long").alias("n_cells_used"),
+            F.max("__n").cast("long").alias("max_cell_n"),
+        )
+        .orderBy("k")
+    )
+
+
+QUERIES.update({"kmeans_k_sweep": kmeans_k_sweep})
+
+
+def _dk_kmeans_k_sweep_oracle() -> str:
+    """DuckDB replay of kmeans_k_sweep: same nested seed prefixes,
+    same composite-(k, c) single Lloyd iteration, same exact-integer
+    devices (e6-L2 argmin, micro-unit means)."""
+    d0 = (
+        f"CAST(round(round({th.dk_l2sq('e.embedding', 'cb.cvec')}, 6)"
+        f" * 1000000.0, 0) AS BIGINT)"
+    )
+    grid = ", ".join(str(k) for k in KSWEEP_GRID)
+    return f"""
+        WITH kp AS (SELECT CAST(unnest([{grid}]) AS INTEGER) AS k),
+        seeds AS MATERIALIZED (
+            SELECT embedding AS cvec,
+                   CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
+                        AS INTEGER) AS c
+            FROM embeddings ORDER BY vec_id ASC LIMIT {KSWEEP_MAX}
+        ), cents0 AS MATERIALIZED (
+            SELECT k, c, cvec FROM seeds, kp WHERE c < k
+        ), a1 AS MATERIALIZED (
+            SELECT vec_id, k, c FROM (
+                SELECT e.vec_id, cb.k, cb.c,
+                       row_number() OVER (PARTITION BY e.vec_id, cb.k
+                           ORDER BY {d0} ASC, cb.c ASC) AS rn
+                FROM embeddings e, cents0 cb
+            ) WHERE rn = 1
+        ), mu AS (
+            SELECT a1.k, a1.c, t.i AS dim,
+                   CAST(sum(CAST(floor(
+                       CAST(e.embedding[t.i + 1] AS DOUBLE) * 1000000 + 0.5
+                   ) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS mu
+            FROM a1 JOIN embeddings e USING (vec_id), range({EMB_DIM}) t(i)
+            GROUP BY a1.k, a1.c, t.i
+        ), cents1 AS MATERIALIZED (
+            SELECT p.k, p.c, coalesce(n.vec, p.cvec) AS cvec
+            FROM cents0 p LEFT JOIN (
+                SELECT k, c, list(mu::FLOAT ORDER BY dim) AS vec
+                FROM mu GROUP BY k, c
+            ) n ON p.k = n.k AND p.c = n.c
+        ), a2 AS (
+            SELECT vec_id, k, c, d_e6 FROM (
+                SELECT e.vec_id, cb.k, cb.c, {d0} AS d_e6,
+                       row_number() OVER (PARTITION BY e.vec_id, cb.k
+                           ORDER BY {d0} ASC, cb.c ASC) AS rn
+                FROM embeddings e, cents1 cb
+            ) WHERE rn = 1
+        ), cell_n AS (
+            SELECT k, c, count(*) AS n, sum(d_e6) AS d FROM a2
+            GROUP BY k, c
+        )
+        SELECT k, CAST(sum(d) AS BIGINT) AS inertia_e6,
+               CAST(count(*) AS BIGINT) AS n_cells_used,
+               CAST(max(n) AS BIGINT) AS max_cell_n
+        FROM cell_n GROUP BY k ORDER BY k
+    """
+
+
+ORACLES.update({"kmeans_k_sweep": _dk_kmeans_k_sweep_oracle()})

@@ -142,6 +142,8 @@ HEADLINERS = [
     "ann_pq_kmeans",
     # IVFADC compound index: coarse routing + residual-PQ cell scan
     "ann_ivf_pq",
+    # elbow curve: one composite-key Lloyd pass across the whole k grid
+    "kmeans_k_sweep",
 ]
 
 

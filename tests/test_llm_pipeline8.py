@@ -569,3 +569,22 @@ def test_ann_ivf_pq_ranks_within_cell_sensibly(spark):
     # measured 0.26 at sf0.01 (cells ~50 vectors -> chance ~5/50 = 0.1);
     # a 4x8 residual quantizer is lossy by design
     assert recall >= 0.2
+
+
+def test_kmeans_k_sweep_elbow_axes(spark):
+    """Elbow-curve sanity on the deterministic sweep: one row per grid
+    k; more centroids never hurt the post-move inertia at this sf
+    (nested seed prefixes); cell-balance improves; every cell is used
+    and max_cell_n can't beat the pigeonhole bound n/k."""
+    out = lp8.kmeans_k_sweep(spark, SF_ORACLE).collect()
+    assert [r["k"] for r in out] == lp8.KSWEEP_GRID
+    n = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").count()
+    inert = [r["inertia_e6"] for r in out]
+    assert all(a >= b for a, b in zip(inert, inert[1:]))
+    assert inert[-1] < inert[0]
+    mx = [r["max_cell_n"] for r in out]
+    assert all(a >= b for a, b in zip(mx, mx[1:]))
+    for r in out:
+        assert 0 < r["n_cells_used"] <= r["k"]
+        assert r["max_cell_n"] * r["k"] >= n  # pigeonhole
+        assert r["inertia_e6"] > 0

@@ -60,6 +60,8 @@ KEYS = [
     "ann_pq_kmeans",
     # IVFADC: cell routing + residual argmin + LUT-sum ranking
     "ann_ivf_pq",
+    # composite-key Lloyd sweep: micro-unit means + e6 argmin per k
+    "kmeans_k_sweep",
 ]
 
 
