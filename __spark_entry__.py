@@ -64,6 +64,7 @@ _R11_PRIORITY: list[str] = [
     "pq_recall_sweep",
     "sessionize_gap_sweep",
     "kmeans_k_sweep",
+    "vocab_coverage_sweep",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

@@ -2274,3 +2274,108 @@ def _dk_kmeans_k_sweep_oracle() -> str:
 
 
 ORACLES.update({"kmeans_k_sweep": _dk_kmeans_k_sweep_oracle()})
+
+
+#: the vocabulary-size axis of tokenizer budgeting: coverage of corpus
+#: token OCCURRENCES by the top-V token types.
+VOCAB_GRID = [100, 1000, 10000]
+VOCAB_MAX = max(VOCAB_GRID)
+
+
+def vocab_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage-vs-vocabulary-size curve -- the question a
+    tokenizer budget answers (how much of the corpus does a V-type
+    vocabulary cover?): for each V in {VOCAB_GRID}, the number of
+    corpus token occurrences covered by the top-V token types
+    (frequency desc, token asc tiebreak) and the half-up 1e-4 coverage
+    share. Output (v, n_types, covered_tokens, total_tokens,
+    coverage_e4), one row per grid point.
+
+    Scale shape: one token-count aggregate (map-side combined), then
+    TakeOrderedAndProject keeps only the top {VOCAB_MAX} types -- the
+    single global window ranks THAT bounded frame (<= {VOCAB_MAX}
+    rows; the audit's bounded-global-window class), never the full
+    vocabulary, so a 100 TB corpus with billions of types shuffles
+    type counts once and sorts nothing corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            F.explode(F.expr(th.sp_tokens("lower(text)"))).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.groupBy().agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count("*").alias("n_types_all"),
+    )
+    top = counts.orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    ).limit(VOCAB_MAX)
+    ranked = top.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        ),
+    )
+    vg = spark.createDataFrame([(v,) for v in VOCAB_GRID], "v int")
+    return (
+        ranked.crossJoin(broadcast(vg))
+        .where(F.col("rk") <= F.col("v"))
+        .groupBy("v")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("cnt").cast("long").alias("covered_tokens"),
+        )
+        .crossJoin(broadcast(total))
+        .select(
+            "v",
+            "n_types",
+            "covered_tokens",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+        )
+        .withColumn(
+            "coverage_e4",
+            F.expr(
+                "CAST((2 * 10000 * covered_tokens + total_tokens)"
+                " DIV (2 * total_tokens) AS BIGINT)"
+            ),
+        )
+        .orderBy("v")
+    )
+
+
+QUERIES.update({"vocab_coverage_sweep": vocab_coverage_sweep})
+
+ORACLES.update(
+    {
+        "vocab_coverage_sweep": f"""
+        WITH counts AS MATERIALIZED (
+            SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest({th.dk_tokens('lower(text)')}) AS tok
+                FROM documents
+            ) WHERE tok <> '' GROUP BY tok
+        ), tot AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM counts
+        ), ranked AS MATERIALIZED (
+            SELECT tok, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk
+            FROM counts
+        ), vg AS (
+            SELECT CAST(unnest([{', '.join(str(v) for v in VOCAB_GRID)}])
+                        AS INTEGER) AS v
+        )
+        SELECT v,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(cnt) AS BIGINT) AS covered_tokens,
+               CAST(any_value(total_tokens) AS BIGINT) AS total_tokens,
+               CAST((2 * 10000 * sum(cnt) + any_value(total_tokens))
+                    // (2 * any_value(total_tokens)) AS BIGINT)
+                   AS coverage_e4
+        FROM ranked, vg, tot
+        WHERE rk <= v
+        GROUP BY v ORDER BY v
+    """,
+    }
+)

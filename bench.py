@@ -144,6 +144,8 @@ HEADLINERS = [
     "ann_ivf_pq",
     # elbow curve: one composite-key Lloyd pass across the whole k grid
     "kmeans_k_sweep",
+    # tokenizer budgeting: top-V coverage from one bounded type rank
+    "vocab_coverage_sweep",
 ]
 
 

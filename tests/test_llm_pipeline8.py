@@ -588,3 +588,37 @@ def test_kmeans_k_sweep_elbow_axes(spark):
         assert 0 < r["n_cells_used"] <= r["k"]
         assert r["max_cell_n"] * r["k"] >= n  # pigeonhole
         assert r["inertia_e6"] > 0
+
+
+def test_vocab_coverage_sweep_properties(spark, tmp_path):
+    """Hand case: 10 'a', 5 'b', 1 'c' with grid {100, 1000, 10000} --
+    every grid point covers the full 3-type vocabulary (coverage
+    10000); on the real corpus coverage and n_types are non-decreasing
+    in v and coverage_e4 <= 10000."""
+    docs = [
+        (1, " ".join(["a"] * 10 + ["b"] * 5 + ["c"]), "en", "s", 16),
+    ]
+    con = _lake(spark, tmp_path, docs=docs)
+    try:
+        rows = lp8.vocab_coverage_sweep(spark, str(tmp_path)).collect()
+        assert [r["v"] for r in rows] == lp8.VOCAB_GRID
+        for r in rows:
+            assert r["n_types"] == 3
+            assert r["covered_tokens"] == 16 and r["total_tokens"] == 16
+            assert r["coverage_e4"] == 10000
+        assert_matches_oracle(
+            lp8.vocab_coverage_sweep(spark, str(tmp_path)),
+            con,
+            lp8.ORACLES["vocab_coverage_sweep"],
+            key="vocab_coverage_sweep/synthetic",
+        )
+    finally:
+        con.close()
+    out = lp8.vocab_coverage_sweep(spark, SF_ORACLE).collect()
+    cov = [r["coverage_e4"] for r in out]
+    assert all(a <= b for a, b in zip(cov, cov[1:]))
+    assert all(0 < c <= 10000 for c in cov)
+    nt = [r["n_types"] for r in out]
+    assert all(a <= b for a, b in zip(nt, nt[1:]))
+    tot = {r["total_tokens"] for r in out}
+    assert len(tot) == 1

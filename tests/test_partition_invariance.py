@@ -62,6 +62,8 @@ KEYS = [
     "ann_ivf_pq",
     # composite-key Lloyd sweep: micro-unit means + e6 argmin per k
     "kmeans_k_sweep",
+    # bounded top-V type rank: global tie-break (cnt desc, tok asc)
+    "vocab_coverage_sweep",
 ]
 
 
