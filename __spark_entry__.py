@@ -65,6 +65,7 @@ _R11_PRIORITY: list[str] = [
     "sessionize_gap_sweep",
     "kmeans_k_sweep",
     "vocab_coverage_sweep",
+    "k_anonymity_report",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

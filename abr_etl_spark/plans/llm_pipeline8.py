@@ -2379,3 +2379,100 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: re-identification thresholds for the k-anonymity audit.
+KANON_GRID = [2, 5, 10]
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (Sweeney 2002) -- the
+    privacy gate a training-data release runs before shipping: customers
+    grouped by the QI tuple (nation, market segment, account-balance
+    thousand-bucket); for each threshold k in {KANON_GRID} report how
+    many QI groups and rows sit in groups smaller than k (re-identifiable
+    at that k) and the half-up 1e-4 row share. Output (k,
+    n_groups_at_risk, n_rows_at_risk, share_e4), every grid row present
+    even when nothing is at risk.
+
+    Scale shape: ONE grouped count over the QI tuple (map-side
+    combined), reused across the whole k grid via a broadcast cross
+    join; totals ride the same aggregate. Nothing scans the table
+    twice, nothing is quadratic; at 100 TB the QI-group frame is
+    |distinct QI tuples| rows."""
+    c = load_table(spark, sf_dir, "customer")
+    g = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "CAST(floor(c_acctbal / 1000.0) AS BIGINT)"
+            ).alias("bal_k"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_k")
+        .agg(F.count("*").alias("gsz"))
+    )
+    tot = g.groupBy().agg(F.sum("gsz").alias("n_rows"))
+    kg = spark.createDataFrame([(k,) for k in KANON_GRID], "k int")
+    risk = (
+        g.crossJoin(broadcast(kg))
+        .where(F.col("gsz") < F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_groups_at_risk"),
+            F.sum("gsz").cast("long").alias("n_rows_at_risk"),
+        )
+    )
+    return (
+        kg.join(broadcast(risk), "k", "left")
+        .crossJoin(broadcast(tot))
+        .select(
+            "k",
+            F.coalesce("n_groups_at_risk", F.lit(0))
+            .cast("long")
+            .alias("n_groups_at_risk"),
+            F.coalesce("n_rows_at_risk", F.lit(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.expr(
+                "CAST((2 * 10000 * coalesce(n_rows_at_risk, 0) + n_rows)"
+                " DIV (2 * n_rows) AS BIGINT)"
+            ).alias("share_e4"),
+        )
+        .orderBy("k")
+    )
+
+
+QUERIES.update({"k_anonymity_report": k_anonymity_report})
+
+ORACLES.update(
+    {
+        "k_anonymity_report": f"""
+        WITH g AS MATERIALIZED (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+                   CAST(count(*) AS BIGINT) AS gsz
+            FROM customer GROUP BY 1, 2, 3
+        ), tot AS (
+            SELECT CAST(sum(gsz) AS BIGINT) AS n_rows FROM g
+        ), kg AS (
+            SELECT CAST(unnest([{', '.join(str(k) for k in KANON_GRID)}])
+                        AS INTEGER) AS k
+        ), risk AS (
+            SELECT kg.k,
+                   CAST(count(*) AS BIGINT) AS n_groups_at_risk,
+                   CAST(sum(gsz) AS BIGINT) AS n_rows_at_risk
+            FROM g, kg WHERE g.gsz < kg.k GROUP BY kg.k
+        )
+        SELECT kg.k,
+               CAST(coalesce(n_groups_at_risk, 0) AS BIGINT)
+                   AS n_groups_at_risk,
+               CAST(coalesce(n_rows_at_risk, 0) AS BIGINT)
+                   AS n_rows_at_risk,
+               CAST((2 * 10000 * coalesce(n_rows_at_risk, 0) + n_rows)
+                    // (2 * n_rows) AS BIGINT) AS share_e4
+        FROM kg LEFT JOIN risk ON kg.k = risk.k, tot
+        ORDER BY kg.k
+    """,
+    }
+)

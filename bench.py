@@ -146,6 +146,8 @@ HEADLINERS = [
     "kmeans_k_sweep",
     # tokenizer budgeting: top-V coverage from one bounded type rank
     "vocab_coverage_sweep",
+    # privacy audit: one QI grouped count reused across the k grid
+    "k_anonymity_report",
 ]
 
 

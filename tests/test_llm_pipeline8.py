@@ -622,3 +622,42 @@ def test_vocab_coverage_sweep_properties(spark, tmp_path):
     assert all(a <= b for a, b in zip(nt, nt[1:]))
     tot = {r["total_tokens"] for r in out}
     assert len(tot) == 1
+
+
+def test_k_anonymity_hand_case_and_monotone(spark):
+    """Monotone in k: raising the threshold can only add at-risk
+    groups/rows; share_e4 bounded; and a hand-checked tiny frame --
+    groups of size (1, 2, 3): k=2 flags only the singleton, k=5 flags
+    everything."""
+    from pyspark.sql import Row
+
+    out = lp8.k_anonymity_report(spark, SF_ORACLE).collect()
+    assert [r["k"] for r in out] == lp8.KANON_GRID
+    for axis in ("n_groups_at_risk", "n_rows_at_risk", "share_e4"):
+        vals = [r[axis] for r in out]
+        assert all(a <= b for a, b in zip(vals, vals[1:]))
+    assert all(0 <= r["share_e4"] <= 10000 for r in out)
+
+    # hand case through the same grouped-count + grid logic
+    rows = (
+        [Row(c_nationkey=1, c_mktsegment="A", c_acctbal=100.0)]
+        + [Row(c_nationkey=2, c_mktsegment="A", c_acctbal=100.0)] * 2
+        + [Row(c_nationkey=3, c_mktsegment="B", c_acctbal=100.0)] * 3
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            os.path.join(td, "customer.parquet")
+        )
+        res = {
+            r["k"]: r for r in lp8.k_anonymity_report(spark, td).collect()
+        }
+    assert res[2]["n_groups_at_risk"] == 1
+    assert res[2]["n_rows_at_risk"] == 1
+    assert res[2]["share_e4"] == (2 * 10000 * 1 + 6) // 12
+    assert res[5]["n_groups_at_risk"] == 3
+    assert res[5]["n_rows_at_risk"] == 6
+    assert res[5]["share_e4"] == 10000
+    assert res[10].asDict() == {**res[5].asDict(), "k": 10}

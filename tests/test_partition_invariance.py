@@ -64,6 +64,8 @@ KEYS = [
     "kmeans_k_sweep",
     # bounded top-V type rank: global tie-break (cnt desc, tok asc)
     "vocab_coverage_sweep",
+    # QI grouped count + grid join; left-join zero-fill determinism
+    "k_anonymity_report",
 ]
 
 
