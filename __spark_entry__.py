@@ -66,6 +66,8 @@ _R11_PRIORITY: list[str] = [
     "kmeans_k_sweep",
     "vocab_coverage_sweep",
     "k_anonymity_report",
+    "dup_quality_report",
+    "bloom_fpr_sweep",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

@@ -2476,3 +2476,292 @@ ORACLES.update(
     """,
     }
 )
+
+
+def dup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation cross-tab dedup reviews start from: does duplicated
+    content skew low-quality? Docs are banded by their EXACT-dup group
+    size (unique / small 2-4 / large 5+, the dedup_exact grouping) and
+    each band reports n_docs, n_groups, mean quality (half-up 1e-2
+    units of the integer 0..10000 quality_score) and its corpus doc
+    share_e4. Boilerplate/template floods show up as a 'large' band
+    whose mean quality undercuts 'unique' -- the signal that motivates
+    dup-aware quality weighting (CCNet-style buckets x dup counts).
+
+    Scale shape: one window count over the normalized-text partition
+    (the dedup_exact shuffle key -- a single Exchange, no join back),
+    then a 3-row aggregate; quality is computed in the same scan.
+    Exact integer arithmetic end to end."""
+    from abr_etl_spark.operators import dedup as dd
+    from abr_etl_spark.operators import text as tx
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # two-tier planted copies (the dedup_exact planting device, plus a
+    # heavy tier): doc_id < 50 gains one copy (band small_2_4) and
+    # doc_id < 10 four more (band large_5_plus) -- the oracle plants
+    # identically, so all three bands exist at every sf
+    tiers = [base]
+    tiers.append(
+        base.where(F.col("doc_id") < 50).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+    )
+    for i in range(2, 6):
+        tiers.append(
+            base.where(F.col("doc_id") < 10).withColumn(
+                "doc_id", F.col("doc_id") + 10000 * i
+            )
+        )
+    d = tiers[0]
+    for t in tiers[1:]:
+        d = d.unionByName(t)
+    scored = d.select(
+        "doc_id",
+        dd.normalize_text("text").alias("__norm"),
+        tx.quality_score("text").cast("long").alias("q"),
+    )
+    wn = Window.partitionBy("__norm")
+    banded = scored.select(
+        "q",
+        "__norm",
+        F.count("*").over(wn).alias("gsz"),
+    ).withColumn(
+        "band",
+        F.when(F.col("gsz") == 1, F.lit("unique"))
+        .when(F.col("gsz") <= 4, F.lit("small_2_4"))
+        .otherwise(F.lit("large_5_plus")),
+    )
+    tot = banded.groupBy().agg(F.count("*").alias("n_all"))
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("__norm").cast("long").alias("n_groups"),
+            F.sum("q").alias("__sq"),
+        )
+        .crossJoin(broadcast(tot))
+        .select(
+            "band",
+            "n_docs",
+            "n_groups",
+            F.expr(
+                "CAST((2 * 100 * __sq + n_docs) DIV (2 * n_docs)"
+                " AS BIGINT)"
+            ).alias("mean_q_e2"),
+            F.expr(
+                "CAST((2 * 10000 * n_docs + n_all) DIV (2 * n_all)"
+                " AS BIGINT)"
+            ).alias("share_e4"),
+        )
+        .orderBy("band")
+    )
+
+
+QUERIES.update({"dup_quality_report": dup_quality_report})
+
+
+def _dk_dup_quality_oracle() -> str:
+    from abr_etl_spark.plans.llm_pipeline import _DK_QUALITY
+
+    plants = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id + {10000 * i} AS doc_id, text "
+        f"FROM documents WHERE doc_id < {50 if i == 1 else 10}"
+        for i in range(1, 6)
+    )
+    return f"""
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+{plants}
+        ), scored AS MATERIALIZED (
+            SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                       AS norm,
+                   CAST({_DK_QUALITY} AS BIGINT) AS q
+            FROM all_docs
+        ), banded AS (
+            SELECT q,
+                   norm,
+                   count(*) OVER (PARTITION BY norm) AS gsz
+            FROM scored
+        ), b2 AS (
+            SELECT q, norm,
+                   CASE WHEN gsz = 1 THEN 'unique'
+                        WHEN gsz <= 4 THEN 'small_2_4'
+                        ELSE 'large_5_plus' END AS band
+            FROM banded
+        ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM b2)
+        SELECT band,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT norm) AS BIGINT) AS n_groups,
+               CAST((2 * 100 * sum(q) + count(*)) // (2 * count(*))
+                    AS BIGINT) AS mean_q_e2,
+               CAST((2 * 10000 * count(*) + any_value(n_all))
+                    // (2 * any_value(n_all)) AS BIGINT) AS share_e4
+        FROM b2, tot
+        GROUP BY band ORDER BY band
+    """
+
+
+ORACLES.update({"dup_quality_report": _dk_dup_quality_oracle()})
+
+
+#: the filter-size axis of Bloom tuning (BLOOM_K stays 4): measured
+#: false-positive rate per bit-array size m.
+BLOOM_M_GRID = [1024, 4096, 16384]
+
+
+def bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The m axis of Bloom-filter tuning (bloom_membership pins one
+    M/K point; this measures the curve): build the K=4-hash filter
+    over customer keys at each m in {BLOOM_M_GRID} and probe it with
+    every key shifted into a disjoint absent range -- per m, report
+    bits occupancy, probe count, measured false positives and the
+    half-up fpr_e4. The sizing question every 100 TB pre-join filter
+    answers: how many bits per key until the FPR stops paying.
+
+    Vectorized across the grid: each key's K full-precision hashes
+    (mod the shared 2^31-1 prime) are computed ONCE; per-m bit
+    positions are just h % m, so the grid multiplies only metadata-
+    scale frames, never the hash pass. The bit sets (<= m rows each)
+    broadcast to the probe join exactly as bloom_membership's one
+    filter does."""
+    from abr_etl_spark.plans.analytics8 import (
+        _BLOOM_SEEDS,
+        BLOOM_K,
+        HLL_P,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    mg = spark.createDataFrame(
+        [(m,) for m in BLOOM_M_GRID], "m int"
+    )
+
+    def hashes(key_expr):
+        return F.array(
+            *[
+                F.expr(
+                    f"(({a} * pmod({key_expr}, {HLL_P}) + {b})"
+                    f" % {HLL_P})"
+                )
+                for a, b in _BLOOM_SEEDS[:BLOOM_K]
+            ]
+        )
+
+    bits = (
+        c.select(F.explode(hashes("c_custkey")).alias("h"))
+        .crossJoin(broadcast(mg))
+        .select("m", F.expr("CAST(h % m AS BIGINT)").alias("pos"))
+        .distinct()
+    )
+    occupancy = bits.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_bits_set")
+    )
+    absent = c.select(
+        (F.col("c_custkey") + 1_000_000_000).alias("key")
+    )
+    probe_pos = (
+        absent.select("key", F.explode(hashes("key")).alias("h"))
+        .crossJoin(broadcast(mg))
+        .select("m", "key", F.expr("CAST(h % m AS BIGINT)").alias("pos"))
+        .distinct()
+    )
+    per_key = (
+        probe_pos.join(
+            broadcast(bits.withColumn("__set", F.lit(1))),
+            ["m", "pos"],
+            "left",
+        )
+        .groupBy("m", "key")
+        .agg(
+            F.count("*").alias("np"),
+            F.sum(F.coalesce("__set", F.lit(0))).alias("nm"),
+        )
+    )
+    fp = (
+        per_key.where(F.col("nm") == F.col("np"))
+        .groupBy("m")
+        .agg(F.count("*").cast("long").alias("n_false_pos"))
+    )
+    tot = absent.groupBy().agg(F.count("*").alias("n_probes"))
+    return (
+        mg.join(broadcast(occupancy), "m", "left")
+        .join(broadcast(fp), "m", "left")
+        .crossJoin(broadcast(tot))
+        .select(
+            "m",
+            F.coalesce("n_bits_set", F.lit(0))
+            .cast("long")
+            .alias("n_bits_set"),
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.coalesce("n_false_pos", F.lit(0))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.expr(
+                "CAST((2 * 10000 * coalesce(n_false_pos, 0) + n_probes)"
+                " DIV (2 * n_probes) AS BIGINT)"
+            ).alias("fpr_e4"),
+        )
+        .orderBy("m")
+    )
+
+
+QUERIES.update({"bloom_fpr_sweep": bloom_fpr_sweep})
+
+
+def _dk_bloom_fpr_oracle() -> str:
+    from abr_etl_spark.plans.analytics8 import (
+        _BLOOM_SEEDS,
+        BLOOM_K,
+        HLL_P,
+    )
+
+    def hs(key):
+        return ", ".join(
+            f"(({a} * ({key} % {HLL_P}) + {b}) % {HLL_P})"
+            for a, b in _BLOOM_SEEDS[:BLOOM_K]
+        )
+
+    grid = ", ".join(str(m) for m in BLOOM_M_GRID)
+    return f"""
+        WITH mg AS (SELECT CAST(unnest([{grid}]) AS INTEGER) AS m),
+        bh AS MATERIALIZED (
+            SELECT unnest([{hs('c_custkey')}]) AS h FROM customer
+        ), bits AS MATERIALIZED (
+            SELECT DISTINCT m, CAST(h % m AS BIGINT) AS pos FROM bh, mg
+        ), occ AS (
+            SELECT m, CAST(count(*) AS BIGINT) AS n_bits_set
+            FROM bits GROUP BY m
+        ), ah AS MATERIALIZED (
+            SELECT key, unnest([{hs('key')}]) AS h FROM (
+                SELECT c_custkey + 1000000000 AS key FROM customer
+            )
+        ), pp AS (
+            SELECT DISTINCT m, key, CAST(h % m AS BIGINT) AS pos
+            FROM ah, mg
+        ), pk AS (
+            SELECT pp.m, pp.key,
+                   count(*) AS np,
+                   sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS nm
+            FROM pp LEFT JOIN bits b ON b.m = pp.m AND b.pos = pp.pos
+            GROUP BY pp.m, pp.key
+        ), fp AS (
+            SELECT m, CAST(count(*) AS BIGINT) AS n_false_pos
+            FROM pk WHERE nm = np GROUP BY m
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_probes FROM customer
+        )
+        SELECT mg.m,
+               CAST(coalesce(occ.n_bits_set, 0) AS BIGINT) AS n_bits_set,
+               CAST(tot.n_probes AS BIGINT) AS n_probes,
+               CAST(coalesce(fp.n_false_pos, 0) AS BIGINT) AS n_false_pos,
+               CAST((2 * 10000 * coalesce(fp.n_false_pos, 0)
+                     + tot.n_probes) // (2 * tot.n_probes) AS BIGINT)
+                   AS fpr_e4
+        FROM mg LEFT JOIN occ ON mg.m = occ.m
+                LEFT JOIN fp ON mg.m = fp.m, tot
+        ORDER BY mg.m
+    """
+
+
+ORACLES.update({"bloom_fpr_sweep": _dk_bloom_fpr_oracle()})

@@ -148,6 +148,10 @@ HEADLINERS = [
     "vocab_coverage_sweep",
     # privacy audit: one QI grouped count reused across the k grid
     "k_anonymity_report",
+    # dedup x quality cross-tab: one window count over the norm key
+    "dup_quality_report",
+    # Bloom sizing curve: one hash pass, per-m bit sets from h % m
+    "bloom_fpr_sweep",
 ]
 
 

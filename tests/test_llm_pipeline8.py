@@ -661,3 +661,49 @@ def test_k_anonymity_hand_case_and_monotone(spark):
     assert res[5]["n_rows_at_risk"] == 6
     assert res[5]["share_e4"] == 10000
     assert res[10].asDict() == {**res[5].asDict(), "k": 10}
+
+
+def test_dup_quality_report_bands_and_bounds(spark):
+    """All three bands exist (the two-tier planting guarantees it);
+    shares sum to ~1; group arithmetic is consistent (a small_2_4
+    group holds 2-4 docs, large 5+); quality means stay in [0, 10000
+    + slack] (the integer score can exceed 10000 only via the length
+    credit cap interplay -- it cannot go negative)."""
+    out = {r["band"]: r for r in lp8.dup_quality_report(spark, SF_ORACLE).collect()}
+    assert set(out) == {"unique", "small_2_4", "large_5_plus"}
+    total_share = sum(r["share_e4"] for r in out.values())
+    assert 9998 <= total_share <= 10002  # three half-up roundings
+    u, s, l = out["unique"], out["small_2_4"], out["large_5_plus"]
+    assert u["n_docs"] == u["n_groups"]
+    assert 2 * s["n_groups"] <= s["n_docs"] <= 4 * s["n_groups"]
+    assert l["n_docs"] >= 5 * l["n_groups"]
+    # planted copies: 40 doubletons (doc_id 10..49), 10 sextuplets
+    assert s["n_groups"] >= 40 and l["n_groups"] >= 10
+    for r in out.values():
+        assert 0 <= r["mean_q_e2"] <= 1000000
+
+
+def test_bloom_fpr_sweep_monotone_and_sane(spark):
+    """More bits -> fewer false positives: fpr_e4 and n_false_pos are
+    non-increasing in m; occupancy grows in m but never beats K*n or
+    m; the largest grid point IS bloom_membership's M (its absent
+    count must agree)."""
+    from abr_etl_spark.plans.analytics8 import BLOOM_M, bloom_membership
+
+    out = lp8.bloom_fpr_sweep(spark, SF_ORACLE).collect()
+    assert [r["m"] for r in out] == lp8.BLOOM_M_GRID
+    fpr = [r["fpr_e4"] for r in out]
+    assert all(a >= b for a, b in zip(fpr, fpr[1:]))
+    nfp = [r["n_false_pos"] for r in out]
+    assert all(a >= b for a, b in zip(nfp, nfp[1:]))
+    occ = [r["n_bits_set"] for r in out]
+    assert all(a <= b for a, b in zip(occ, occ[1:]))
+    n = out[0]["n_probes"]
+    for r in out:
+        assert r["n_bits_set"] <= min(r["m"], 4 * n)
+        assert 0 <= r["n_false_pos"] <= r["n_probes"] == n
+    assert lp8.BLOOM_M_GRID[-1] == BLOOM_M
+    bm = {
+        r["probe_kind"]: r for r in bloom_membership(spark, SF_ORACLE).collect()
+    }
+    assert out[-1]["n_false_pos"] == bm["absent"]["n_flagged"]

@@ -66,6 +66,10 @@ KEYS = [
     "vocab_coverage_sweep",
     # QI grouped count + grid join; left-join zero-fill determinism
     "k_anonymity_report",
+    # norm-partition window count + band CASE; planted two-tier copies
+    "dup_quality_report",
+    # one hash pass crossed with the m grid; distinct + left-anti flag
+    "bloom_fpr_sweep",
 ]
 
 
