@@ -68,6 +68,7 @@ _R11_PRIORITY: list[str] = [
     "k_anonymity_report",
     "dup_quality_report",
     "bloom_fpr_sweep",
+    "l_diversity_report",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

@@ -2765,3 +2765,107 @@ def _dk_bloom_fpr_oracle() -> str:
 
 
 ORACLES.update({"bloom_fpr_sweep": _dk_bloom_fpr_oracle()})
+
+
+#: distinct-sensitive-value thresholds for the l-diversity audit.
+LDIV_GRID = [2, 3, 5]
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), k-anonymity's
+    companion: a QI group can be k-anonymous yet leak its sensitive
+    attribute when every member shares one value. QI = (nation, market
+    segment); sensitive = the account-balance thousand-bucket. Per l
+    in {LDIV_GRID}: QI groups carrying FEWER than l distinct sensitive
+    values, the rows inside them, and the half-up row share_e4 --
+    every grid row present.
+
+    Scale shape: one (QI, sensitive) grouped count collapsed to a
+    per-QI (distinct-sensitive, rows) frame -- two map-side-combined
+    aggregates on the same key prefix, one shuffle chain -- then the
+    broadcast grid cross. |QI| rows thereafter."""
+    c = load_table(spark, sf_dir, "customer")
+    qs = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "CAST(floor(c_acctbal / 1000.0) AS BIGINT)"
+            ).alias("bal_k"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_k")
+        .agg(F.count("*").alias("n"))
+    )
+    g = qs.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("ldiv"),
+        F.sum("n").alias("gsz"),
+    )
+    tot = g.groupBy().agg(F.sum("gsz").alias("n_rows"))
+    lg = spark.createDataFrame([(l,) for l in LDIV_GRID], "l int")
+    risk = (
+        g.crossJoin(broadcast(lg))
+        .where(F.col("ldiv") < F.col("l"))
+        .groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_groups_at_risk"),
+            F.sum("gsz").cast("long").alias("n_rows_at_risk"),
+        )
+    )
+    return (
+        lg.join(broadcast(risk), "l", "left")
+        .crossJoin(broadcast(tot))
+        .select(
+            "l",
+            F.coalesce("n_groups_at_risk", F.lit(0))
+            .cast("long")
+            .alias("n_groups_at_risk"),
+            F.coalesce("n_rows_at_risk", F.lit(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.expr(
+                "CAST((2 * 10000 * coalesce(n_rows_at_risk, 0) + n_rows)"
+                " DIV (2 * n_rows) AS BIGINT)"
+            ).alias("share_e4"),
+        )
+        .orderBy("l")
+    )
+
+
+QUERIES.update({"l_diversity_report": l_diversity_report})
+
+ORACLES.update(
+    {
+        "l_diversity_report": f"""
+        WITH qs AS MATERIALIZED (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2, 3
+        ), g AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS ldiv,
+                   CAST(sum(n) AS BIGINT) AS gsz
+            FROM qs GROUP BY 1, 2
+        ), tot AS (
+            SELECT CAST(sum(gsz) AS BIGINT) AS n_rows FROM g
+        ), lg AS (
+            SELECT CAST(unnest([{', '.join(str(l) for l in LDIV_GRID)}])
+                        AS INTEGER) AS l
+        ), risk AS (
+            SELECT lg.l,
+                   CAST(count(*) AS BIGINT) AS n_groups_at_risk,
+                   CAST(sum(gsz) AS BIGINT) AS n_rows_at_risk
+            FROM g, lg WHERE g.ldiv < lg.l GROUP BY lg.l
+        )
+        SELECT lg.l,
+               CAST(coalesce(n_groups_at_risk, 0) AS BIGINT)
+                   AS n_groups_at_risk,
+               CAST(coalesce(n_rows_at_risk, 0) AS BIGINT)
+                   AS n_rows_at_risk,
+               CAST((2 * 10000 * coalesce(n_rows_at_risk, 0) + n_rows)
+                    // (2 * n_rows) AS BIGINT) AS share_e4
+        FROM lg LEFT JOIN risk ON lg.l = risk.l, tot
+        ORDER BY lg.l
+    """,
+    }
+)

@@ -152,6 +152,8 @@ HEADLINERS = [
     "dup_quality_report",
     # Bloom sizing curve: one hash pass, per-m bit sets from h % m
     "bloom_fpr_sweep",
+    # l-diversity: two stacked aggs on the QI prefix, grid broadcast
+    "l_diversity_report",
 ]
 
 

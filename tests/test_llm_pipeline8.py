@@ -707,3 +707,40 @@ def test_bloom_fpr_sweep_monotone_and_sane(spark):
         r["probe_kind"]: r for r in bloom_membership(spark, SF_ORACLE).collect()
     }
     assert out[-1]["n_false_pos"] == bm["absent"]["n_flagged"]
+
+
+def test_l_diversity_hand_case_and_monotone(spark):
+    """Monotone in l; hand case: group A has balances in 2 distinct
+    buckets (passes l=2, fails l=3+), group B all in one bucket (fails
+    every l >= 2)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    out = lp8.l_diversity_report(spark, SF_ORACLE).collect()
+    assert [r["l"] for r in out] == lp8.LDIV_GRID
+    for axis in ("n_groups_at_risk", "n_rows_at_risk", "share_e4"):
+        vals = [r[axis] for r in out]
+        assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+    rows = [
+        Row(c_nationkey=1, c_mktsegment="A", c_acctbal=100.0),
+        Row(c_nationkey=1, c_mktsegment="A", c_acctbal=2100.0),
+        Row(c_nationkey=2, c_mktsegment="B", c_acctbal=100.0),
+        Row(c_nationkey=2, c_mktsegment="B", c_acctbal=150.0),
+        Row(c_nationkey=2, c_mktsegment="B", c_acctbal=190.0),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            os.path.join(td, "customer.parquet")
+        )
+        res = {
+            r["l"]: r for r in lp8.l_diversity_report(spark, td).collect()
+        }
+    assert res[2]["n_groups_at_risk"] == 1      # only the one-bucket group
+    assert res[2]["n_rows_at_risk"] == 3
+    assert res[3]["n_groups_at_risk"] == 2      # both fail l=3
+    assert res[3]["n_rows_at_risk"] == 5
+    assert res[3]["share_e4"] == 10000
+    assert res[5]["n_groups_at_risk"] == 2

@@ -70,6 +70,8 @@ KEYS = [
     "dup_quality_report",
     # one hash pass crossed with the m grid; distinct + left-anti flag
     "bloom_fpr_sweep",
+    # stacked QI aggregates + grid; left-join zero-fill determinism
+    "l_diversity_report",
 ]
 
 
