@@ -69,6 +69,7 @@ _R11_PRIORITY: list[str] = [
     "dup_quality_report",
     "bloom_fpr_sweep",
     "l_diversity_report",
+    "watermark_lateness_sweep",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

@@ -2869,3 +2869,128 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: allowed-lateness grid (seconds) for the watermark sizing sweep:
+#: 0 / 1 day / 7 days / 30 days -- the events table spans ~a month, so
+#: the grid brackets the actual disorder horizon (a sub-hour grid
+#: measured ~flat: under the fully-shuffled arrival order ~93% of
+#: events were late at every point).
+LATENESS_GRID = [0, 86400, 604800, 2592000]
+
+_LAT_P = 2147483647
+
+
+def _lateness_hash_sql(key: str, *, engine: str = "spark") -> str:
+    """Deterministic arrival-order scramble of an id column, shared by
+    both engines. An affine hash of sequential ids LATTICES (stays
+    monotone -- polyhash of short decimal strings does too, measured:
+    arrival order equaled event order and nothing was ever late), so
+    square the affine then re-affine: ((A*k+B)%P)^2 %P *A2+B2 -- the
+    same device the HLL keys use. All intermediates < 2^62."""
+    fold = (
+        f"pmod({key}, {_LAT_P})" if engine == "spark" else f"({key} % {_LAT_P})"
+    )
+    b = f"((1103515245 * {fold} + 12345) % {_LAT_P})"
+    return f"((({b} * {b}) % {_LAT_P}) * 69069 + 362437) % {_LAT_P}"
+
+
+def watermark_lateness_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The allowed-lateness axis of streaming watermark sizing: replay
+    the event stream in a deterministic out-of-order ARRIVAL order
+    (the squared-affine id scramble _lateness_hash_sql -- reproducible
+    in both engines, unlike a wall-clock ingest log) with a per-key
+    (user) watermark anchored at
+    the max event-time seen so far; per allowed delay D in
+    {LATENESS_GRID} s, count events arriving with event-time older
+    than (anchor - D) -- exactly the rows a `withWatermark(D)` keyed
+    aggregation would drop. Output (delay_s, n_events, n_late,
+    late_share_e4): the drop-rate-vs-latency trade-off that picks a
+    production watermark.
+
+    Scale shape: ONE (user)-partitioned window (Exchange + Sort on
+    arrival order) computes the running anchor; the delay grid is a
+    broadcast cross on the flagged frame -- no per-delay replay. The
+    per-key watermark mirrors keyed-state semantics; a global
+    watermark needs only the same anchor un-partitioned (documented,
+    not computed -- unbounded global windows are off-limits)."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.expr(_lateness_hash_sql("event_id")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("h").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    anch = base.select(
+        "ts_s", F.max("ts_s").over(w).alias("wm")
+    )
+    dg = spark.createDataFrame(
+        [(d,) for d in LATENESS_GRID], "delay_s int"
+    )
+    return (
+        anch.crossJoin(broadcast(dg))
+        .groupBy("delay_s")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("wm").isNotNull()
+                    & (F.col("ts_s") < F.col("wm") - F.col("delay_s")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_late"),
+        )
+        .withColumn(
+            "late_share_e4",
+            F.expr(
+                "CAST((2 * 10000 * n_late + n_events)"
+                " DIV (2 * n_events) AS BIGINT)"
+            ),
+        )
+        .orderBy("delay_s")
+    )
+
+
+QUERIES.update({"watermark_lateness_sweep": watermark_lateness_sweep})
+
+ORACLES.update(
+    {
+        "watermark_lateness_sweep": f"""
+        WITH base AS MATERIALIZED (
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                   {_lateness_hash_sql('event_id', engine='duckdb')} AS h
+            FROM events
+        ), anch AS (
+            SELECT ts_s,
+                   max(ts_s) OVER (PARTITION BY user_id
+                       ORDER BY h ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS wm
+            FROM base
+        ), dg AS (
+            SELECT CAST(unnest([{', '.join(str(d) for d in LATENESS_GRID)}])
+                        AS INTEGER) AS delay_s
+        )
+        SELECT delay_s,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN wm IS NOT NULL
+                                  AND ts_s < wm - delay_s
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST((2 * 10000 * sum(CASE WHEN wm IS NOT NULL
+                                               AND ts_s < wm - delay_s
+                                          THEN 1 ELSE 0 END)
+                     + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS late_share_e4
+        FROM anch, dg
+        GROUP BY delay_s ORDER BY delay_s
+    """,
+    }
+)

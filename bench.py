@@ -154,6 +154,8 @@ HEADLINERS = [
     "bloom_fpr_sweep",
     # l-diversity: two stacked aggs on the QI prefix, grid broadcast
     "l_diversity_report",
+    # watermark sizing: one keyed window pass, delay grid broadcast
+    "watermark_lateness_sweep",
 ]
 
 

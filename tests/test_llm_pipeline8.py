@@ -744,3 +744,53 @@ def test_l_diversity_hand_case_and_monotone(spark):
     assert res[3]["n_rows_at_risk"] == 5
     assert res[3]["share_e4"] == 10000
     assert res[5]["n_groups_at_risk"] == 2
+
+
+def test_watermark_lateness_monotone_and_hand_case(spark):
+    """Allowing more lateness can only drop fewer events; hand case
+    replayed through the same deterministic arrival order: with two
+    events per user the late count depends only on whether the
+    later-hashed one is older."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    out = lp8.watermark_lateness_sweep(spark, SF_ORACLE).collect()
+    assert [r["delay_s"] for r in out] == lp8.LATENESS_GRID
+    nl = [r["n_late"] for r in out]
+    assert all(a >= b for a, b in zip(nl, nl[1:]))
+    assert len({r["n_events"] for r in out}) == 1
+    assert out[0]["n_late"] > 0  # hash order really is out-of-order
+    assert all(0 <= r["late_share_e4"] <= 10000 for r in out)
+
+    # hand case: one user, two events 120 s apart; whichever arrives
+    # second (by the engine-shared hash order) decides lateness --
+    # recompute the expected count from the SAME hash expression
+    import datetime
+
+    rows = [
+        (1, datetime.datetime(2020, 1, 1, 0, 0, 0), 7, "a", 0.0, "{}"),
+        (2, datetime.datetime(2020, 1, 1, 0, 2, 0), 7, "a", 0.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        res = {
+            r["delay_s"]: r["n_late"]
+            for r in lp8.watermark_lateness_sweep(spark, td).collect()
+        }
+
+    # the shared scramble, replayed in plain Python big-int arithmetic
+    def h(k):
+        p = lp8._LAT_P
+        b = (1103515245 * (k % p) + 12345) % p
+        return (((b * b) % p) * 69069 + 362437) % p
+
+    # late iff the OLD event (id 1) arrives second under the hash order
+    expected0 = 1 if h(1) > h(2) else 0
+    assert res[0] == expected0
+    assert res[86400] == 0  # the 120 s gap is inside a 1-day allowance

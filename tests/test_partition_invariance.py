@@ -72,6 +72,8 @@ KEYS = [
     "bloom_fpr_sweep",
     # stacked QI aggregates + grid; left-join zero-fill determinism
     "l_diversity_report",
+    # keyed running-max window over the scrambled arrival order
+    "watermark_lateness_sweep",
 ]
 
 
