@@ -70,6 +70,7 @@ _R11_PRIORITY: list[str] = [
     "bloom_fpr_sweep",
     "l_diversity_report",
     "watermark_lateness_sweep",
+    "rank_fusion_rrf",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

@@ -2994,3 +2994,99 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: RRF smoothing constant (Cormack, Clarke & Buettcher 2009 use 60).
+RRF_K = 60
+
+
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    rankings -- the hybrid-search staple: fuse the EXACT cosine top-k
+    (ann_bruteforce) with the lossy-but-cheap PQ ADC top-k
+    (ann_pq_adc) per query; a candidate's fused score is the sum of
+    1/(RRF_K + rank) over the lists that returned it, computed as the
+    exact integer surrogate 10^6 DIV (RRF_K + rank) so both engines
+    agree bit-for-bit (no rational-sum denominators). Output
+    (query_id, rank, neighbor_id, rrf_e6): top-{ANN_K} of the fused
+    union (score desc, neighbor_id tiebreak).
+
+    Scale shape: both input rankings are queries x k rows (metadata
+    scale after their own pipelines); the fusion is a full-outer
+    equi-join on (query, neighbor) plus one window over queries x
+    <= 2k rows. The expensive parts are the upstream ANN pipelines,
+    both already bounded."""
+    from abr_etl_spark.plans.llm_pipeline import q_ann_bruteforce
+
+    bf = q_ann_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_bf")
+    )
+    pq = ann_pq_adc(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r_pq")
+    )
+    fused = (
+        bf.join(pq, ["query_id", "neighbor_id"], "outer")
+        .withColumn(
+            "rrf_e6",
+            F.expr(
+                f"CAST(coalesce(1000000 DIV ({RRF_K} + r_bf), 0)"
+                f" + coalesce(1000000 DIV ({RRF_K} + r_pq), 0)"
+                f" AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e6").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "rrf_e6",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES.update({"rank_fusion_rrf": rank_fusion_rrf})
+
+
+def _dk_rrf_oracle() -> str:
+    """Composes the two EXISTING oracle statements as scoped
+    subqueries (their CTE names stay local), then replays the integer
+    RRF fold and the fused re-rank."""
+    from abr_etl_spark.plans.llm_pipeline import ORACLES as LP_ORACLES
+
+    bf = LP_ORACLES["ann_bruteforce"]
+    pq = ORACLES["ann_pq_adc"]
+    return f"""
+        WITH bf AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rank AS r_bf FROM ({bf})
+        ), pq AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rank AS r_pq FROM ({pq})
+        ), fused AS (
+            SELECT coalesce(bf.query_id, pq.query_id) AS query_id,
+                   coalesce(bf.neighbor_id, pq.neighbor_id) AS neighbor_id,
+                   CAST(coalesce(1000000 // ({RRF_K} + r_bf), 0)
+                        + coalesce(1000000 // ({RRF_K} + r_pq), 0)
+                        AS BIGINT) AS rrf_e6
+            FROM bf FULL OUTER JOIN pq
+              ON bf.query_id = pq.query_id
+             AND bf.neighbor_id = pq.neighbor_id
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank,
+               neighbor_id, rrf_e6
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY rrf_e6 DESC, neighbor_id ASC) AS rank
+            FROM fused
+        ) WHERE rank <= {ANN_K}
+        ORDER BY query_id, rank
+    """
+
+
+ORACLES.update({"rank_fusion_rrf": _dk_rrf_oracle()})

@@ -156,6 +156,8 @@ HEADLINERS = [
     "l_diversity_report",
     # watermark sizing: one keyed window pass, delay grid broadcast
     "watermark_lateness_sweep",
+    # hybrid retrieval: integer RRF over two metadata-scale rankings
+    "rank_fusion_rrf",
 ]
 
 

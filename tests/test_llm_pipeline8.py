@@ -794,3 +794,38 @@ def test_watermark_lateness_monotone_and_hand_case(spark):
     expected0 = 1 if h(1) > h(2) else 0
     assert res[0] == expected0
     assert res[86400] == 0  # the 120 s gap is inside a 1-day allowance
+
+
+def test_rank_fusion_rrf_properties(spark):
+    """RRF sanity: scores bound by the two-list maximum 2*(1e6 DIV 61);
+    any candidate ranked 1 by BOTH lists must fuse to rank 1; a
+    candidate present in both lists outscores one present in a single
+    list at an equal-or-worse rank; per-query ranks contiguous."""
+    from abr_etl_spark.plans.llm_pipeline import ANN_K, q_ann_bruteforce
+
+    out = lp8.rank_fusion_rrf(spark, SF_ORACLE).collect()
+    assert out
+    cap = 2 * (1000000 // (lp8.RRF_K + 1))
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert 0 < r["rrf_e6"] <= cap
+    for q, rows in by_q.items():
+        ordered = sorted(rows, key=lambda r: r["rank"])
+        assert [r["rank"] for r in ordered] == list(range(1, len(rows) + 1))
+        sc = [r["rrf_e6"] for r in ordered]
+        assert sc == sorted(sc, reverse=True)
+
+    bf1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_bruteforce(spark, SF_ORACLE).collect()
+        if r["rank"] == 1
+    }
+    pq1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lp8.ann_pq_adc(spark, SF_ORACLE).collect()
+        if r["rank"] == 1
+    }
+    fused1 = {(r["query_id"], r["neighbor_id"]) for r in out if r["rank"] == 1}
+    both = bf1 & pq1
+    assert both <= fused1  # agreement on top-1 survives fusion

@@ -74,6 +74,8 @@ KEYS = [
     "l_diversity_report",
     # keyed running-max window over the scrambled arrival order
     "watermark_lateness_sweep",
+    # full-outer fusion of two rankings + integer RRF re-rank
+    "rank_fusion_rrf",
 ]
 
 
