@@ -71,6 +71,7 @@ _R11_PRIORITY: list[str] = [
     "l_diversity_report",
     "watermark_lateness_sweep",
     "rank_fusion_rrf",
+    "dq_accepted_values",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

@@ -73,3 +73,43 @@ def referential_report(
         "n_orphans",
         (F.col("n_orphans") == 0).cast("int").alias("intact"),
     )
+
+
+def accepted_values_report(
+    df: DataFrame, table: str, checks: list[tuple[str, str, list[str]]]
+) -> DataFrame:
+    """Enumeration-contract check (the dbt accepted_values test, run at
+    engine scale): for each (check_name, column, accepted) contract,
+    count rows whose value falls outside the accepted set (NULL counts
+    as a violation -- a contract column must be present AND legal) and
+    the distinct illegal values seen (NULL excluded there). ONE
+    conditional-aggregation scan per table however many contracts it
+    carries; rows (check_name, table_name, col_name, n_rows,
+    n_violations, n_distinct_bad)."""
+    aggs = [F.count("*").alias("__total")]
+    for name, c, accepted in checks:
+        bad = F.when(F.col(c).isin(accepted), 0).otherwise(1)
+        aggs.append(F.sum(bad.cast("long")).alias(f"__v_{name}"))
+        aggs.append(
+            F.countDistinct(
+                F.when(F.col(c).isin(accepted), F.lit(None)).otherwise(
+                    F.col(c)
+                )
+            ).alias(f"__d_{name}")
+        )
+    row = df.agg(*aggs)
+    stacked = "stack({n}, {args}) as (check_name, col_name, n_violations, n_distinct_bad)".format(
+        n=len(checks),
+        args=", ".join(
+            f"'{name}', '{c}', __v_{name}, __d_{name}"
+            for name, c, _ in checks
+        ),
+    )
+    return row.select(F.col("__total"), F.expr(stacked)).select(
+        "check_name",
+        F.lit(table).alias("table_name"),
+        "col_name",
+        F.col("__total").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("n_distinct_bad").cast("long").alias("n_distinct_bad"),
+    )

@@ -3090,3 +3090,75 @@ def _dk_rrf_oracle() -> str:
 
 
 ORACLES.update({"rank_fusion_rrf": _dk_rrf_oracle()})
+
+
+#: enumeration contracts for dq_accepted_values: (check, table, col,
+#: accepted). The strict_of contract deliberately narrows the order
+#: status to {O, F} so the violation path runs on REAL rows (the 'P'
+#: backlog) beside the passing full contracts.
+DQ_ACCEPTED: list[tuple[str, str, str, list[str]]] = [
+    ("returnflag_full", "lineitem", "l_returnflag", ["A", "N", "R"]),
+    ("linestatus_full", "lineitem", "l_linestatus", ["F", "O"]),
+    ("orderstatus_full", "orders", "o_orderstatus", ["F", "O", "P"]),
+    ("orderstatus_strict_of", "orders", "o_orderstatus", ["F", "O"]),
+    (
+        "mktsegment_full",
+        "customer",
+        "c_mktsegment",
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+    ),
+]
+
+
+def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enumeration leg of the DQ family (dbt's accepted_values
+    test beside dq_completeness / dq_uniqueness / dq_referential):
+    every contract in {len(DQ_ACCEPTED)} checks counts rows outside
+    its accepted set (NULL = violation) and the distinct illegal
+    values. The strict_of contract narrows order status to {{O, F}} on
+    purpose -- its violations are the real 'P' backlog rows, proving
+    the failure path on live data while the full contracts prove the
+    clean path.
+
+    Scale shape: ONE conditional-aggregation scan per table regardless
+    of how many contracts it carries (operators/quality.py
+    accepted_values_report -- same single-scan stack device as
+    completeness_report); output is contract-count rows."""
+    from abr_etl_spark.operators.quality import accepted_values_report
+
+    per_table: dict[str, list[tuple[str, str, list[str]]]] = {}
+    for name, table, col, acc in DQ_ACCEPTED:
+        per_table.setdefault(table, []).append((name, col, acc))
+    parts = [
+        accepted_values_report(
+            load_table(spark, sf_dir, table), table, checks
+        )
+        for table, checks in per_table.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("check_name")
+
+
+QUERIES.update({"dq_accepted_values": dq_accepted_values})
+
+
+def _dk_accepted_values_oracle() -> str:
+    legs = []
+    for name, table, col, acc in DQ_ACCEPTED:
+        inlist = ", ".join(f"'{v}'" for v in acc)
+        legs.append(f"""
+        SELECT '{name}' AS check_name, '{table}' AS table_name,
+               '{col}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {col} IN ({inlist}) THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_violations,
+               CAST(count(DISTINCT CASE WHEN {col} IN ({inlist})
+                                        THEN NULL ELSE {col} END)
+                    AS BIGINT) AS n_distinct_bad
+        FROM {table}""")
+    return " UNION ALL ".join(legs) + " ORDER BY check_name"
+
+
+ORACLES.update({"dq_accepted_values": _dk_accepted_values_oracle()})

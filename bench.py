@@ -158,6 +158,8 @@ HEADLINERS = [
     "watermark_lateness_sweep",
     # hybrid retrieval: integer RRF over two metadata-scale rankings
     "rank_fusion_rrf",
+    # enumeration contracts: one conditional-agg scan per table
+    "dq_accepted_values",
 ]
 
 

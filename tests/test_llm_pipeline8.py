@@ -829,3 +829,35 @@ def test_rank_fusion_rrf_properties(spark):
     fused1 = {(r["query_id"], r["neighbor_id"]) for r in out if r["rank"] == 1}
     both = bf1 & pq1
     assert both <= fused1  # agreement on top-1 survives fusion
+
+
+def test_dq_accepted_values_paths(spark):
+    """Full contracts report zero violations on the clean corpus; the
+    deliberately-narrowed strict_of contract flags exactly the 'P'
+    backlog rows with one distinct bad value; NULL counts as a
+    violation (hand frame)."""
+    import os
+    import tempfile
+
+    from abr_etl_spark.operators.quality import accepted_values_report
+    from abr_etl_spark.sources.lake import load_table
+
+    out = {r["check_name"]: r for r in lp8.dq_accepted_values(spark, SF_ORACLE).collect()}
+    assert set(out) == {n for n, *_ in lp8.DQ_ACCEPTED}
+    for name in ("returnflag_full", "linestatus_full", "orderstatus_full",
+                 "mktsegment_full"):
+        assert out[name]["n_violations"] == 0
+        assert out[name]["n_distinct_bad"] == 0
+    o = load_table(spark, SF_ORACLE, "orders")
+    n_p = o.where(F.col("o_orderstatus") == "P").count()
+    assert n_p > 0
+    assert out["orderstatus_strict_of"]["n_violations"] == n_p
+    assert out["orderstatus_strict_of"]["n_distinct_bad"] == 1
+
+    df = spark.createDataFrame(
+        [("A",), ("X",), (None,)], "v string"
+    )
+    r = accepted_values_report(df, "t", [("c", "v", ["A"])]).collect()[0]
+    assert r["n_rows"] == 3
+    assert r["n_violations"] == 2      # X and NULL both violate
+    assert r["n_distinct_bad"] == 1    # NULL excluded from distinct

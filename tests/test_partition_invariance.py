@@ -76,6 +76,8 @@ KEYS = [
     "watermark_lateness_sweep",
     # full-outer fusion of two rankings + integer RRF re-rank
     "rank_fusion_rrf",
+    # per-table conditional agg + stack; union of table legs
+    "dq_accepted_values",
 ]
 
 
