@@ -72,6 +72,7 @@ _R11_PRIORITY: list[str] = [
     "watermark_lateness_sweep",
     "rank_fusion_rrf",
     "dq_accepted_values",
+    "emb_dim_truncation_sweep",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

@@ -3162,3 +3162,134 @@ def _dk_accepted_values_oracle() -> str:
 
 
 ORACLES.update({"dq_accepted_values": _dk_accepted_values_oracle()})
+
+
+#: prefix-dimension grid for the truncation sweep (full dim last --
+#: that grid point IS the exact ranking, recall 10000 by construction).
+EMB_TRUNC_GRID = [16, 32, 64]
+
+
+def emb_dim_truncation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimension-budget axis of embedding retrieval (the question
+    Matryoshka representation learning answers at serve time: how few
+    prefix dimensions keep the ranking?): for each d in
+    {EMB_TRUNC_GRID}, rank neighbors by cosine over the FIRST d
+    dimensions only and report recall@{ANN_K} against the full-
+    {EMB_DIM}-dim exact ranking. Output (dim, n_truth_pairs, n_hits,
+    recall_e4); the full-dim grid point recalls 10000 by construction
+    (pytest-pinned), so the curve reads as pure truncation loss.
+
+    Scale shape: ONE pass builds every (query, neighbor, d) score --
+    queries and the d grid are broadcast, so the corpus is scanned
+    once; ranking is a (query, d)-partitioned window over bounded
+    per-query candidate sets; the truth join moves (query, neighbor)
+    id pairs only. Slice-then-fold keeps all arithmetic in the same
+    engine-shared sequential cosine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    dg = spark.createDataFrame(
+        [(d,) for d in EMB_TRUNC_GRID], "dim int"
+    )
+    scored = (
+        e.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .crossJoin(broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .crossJoin(broadcast(dg))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "dim",
+            F.round(
+                F.expr(
+                    th.sp_cosine(
+                        "slice(qv, 1, dim)", "slice(embedding, 1, dim)"
+                    )
+                ),
+                6,
+            ).alias("cos_d"),
+        )
+    )
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.col("cos_d").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= ANN_K)
+        .select("query_id", "neighbor_id", "dim")
+    )
+    truth = ranked.where(F.col("dim") == EMB_TRUNC_GRID[-1]).select(
+        "query_id", "neighbor_id"
+    )
+    n_truth = truth.groupBy().agg(F.count("*").alias("n_truth_pairs"))
+    hits = (
+        ranked.join(broadcast(truth), ["query_id", "neighbor_id"])
+        .groupBy("dim")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        dg.join(broadcast(hits), "dim", "left")
+        .crossJoin(broadcast(n_truth))
+        .select(
+            "dim",
+            F.col("n_truth_pairs").cast("long").alias("n_truth_pairs"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                "CAST((2 * 10000 * coalesce(n_hits, 0) + n_truth_pairs)"
+                " DIV (2 * n_truth_pairs) AS BIGINT)"
+            ).alias("recall_e4"),
+        )
+        .orderBy("dim")
+    )
+
+
+QUERIES.update({"emb_dim_truncation_sweep": emb_dim_truncation_sweep})
+
+
+def _dk_emb_trunc_oracle() -> str:
+    cos = th.dk_cosine("qv[1:dim]", "embedding[1:dim]")
+    grid = ", ".join(str(d) for d in EMB_TRUNC_GRID)
+    return f"""
+        WITH dg AS (
+            SELECT CAST(unnest([{grid}]) AS INTEGER) AS dim
+        ), qs AS MATERIALIZED (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id, dg.dim,
+                   round({cos}, 6) AS cos_d
+            FROM embeddings e, qs q, dg
+            WHERE q.query_id <> e.vec_id
+        ), ranked AS MATERIALIZED (
+            SELECT query_id, neighbor_id, dim FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id, dim
+                    ORDER BY cos_d DESC, neighbor_id ASC) AS rk
+                FROM scored
+            ) WHERE rk <= {ANN_K}
+        ), truth AS (
+            SELECT query_id, neighbor_id FROM ranked
+            WHERE dim = {EMB_TRUNC_GRID[-1]}
+        ), nt AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs FROM truth
+        ), hits AS (
+            SELECT r.dim, CAST(count(*) AS BIGINT) AS n_hits
+            FROM ranked r JOIN truth t
+              ON r.query_id = t.query_id
+             AND r.neighbor_id = t.neighbor_id
+            GROUP BY r.dim
+        )
+        SELECT dg.dim,
+               CAST(nt.n_truth_pairs AS BIGINT) AS n_truth_pairs,
+               CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST((2 * 10000 * coalesce(hits.n_hits, 0)
+                     + nt.n_truth_pairs) // (2 * nt.n_truth_pairs)
+                    AS BIGINT) AS recall_e4
+        FROM dg LEFT JOIN hits ON dg.dim = hits.dim, nt
+        ORDER BY dg.dim
+    """
+
+
+ORACLES.update({"emb_dim_truncation_sweep": _dk_emb_trunc_oracle()})

@@ -160,6 +160,8 @@ HEADLINERS = [
     "rank_fusion_rrf",
     # enumeration contracts: one conditional-agg scan per table
     "dq_accepted_values",
+    # Matryoshka dim budget: one scan scores every (q, n, d) triple
+    "emb_dim_truncation_sweep",
 ]
 
 

@@ -861,3 +861,19 @@ def test_dq_accepted_values_paths(spark):
     assert r["n_rows"] == 3
     assert r["n_violations"] == 2      # X and NULL both violate
     assert r["n_distinct_bad"] == 1    # NULL excluded from distinct
+
+
+def test_emb_dim_truncation_monotone_and_full_dim_exact(spark):
+    """Truncation loss only shrinks as dims grow: recall_e4
+    non-decreasing in dim; the full-dim point IS the truth (recall
+    10000, n_hits == n_truth_pairs == ANN_K * n_queries)."""
+    from abr_etl_spark.plans.llm_pipeline import ANN_K, N_QUERY_VECS
+
+    out = lp8.emb_dim_truncation_sweep(spark, SF_ORACLE).collect()
+    assert [r["dim"] for r in out] == lp8.EMB_TRUNC_GRID
+    rec = [r["recall_e4"] for r in out]
+    assert all(a <= b for a, b in zip(rec, rec[1:]))
+    full = out[-1]
+    assert full["recall_e4"] == 10000
+    assert full["n_hits"] == full["n_truth_pairs"] == ANN_K * N_QUERY_VECS
+    assert out[0]["recall_e4"] < 10000  # 16 dims really lose ranking

@@ -78,6 +78,8 @@ KEYS = [
     "rank_fusion_rrf",
     # per-table conditional agg + stack; union of table legs
     "dq_accepted_values",
+    # (query, dim)-partitioned rank over prefix-slice cosines
+    "emb_dim_truncation_sweep",
 ]
 
 
