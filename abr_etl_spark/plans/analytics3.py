@@ -122,19 +122,66 @@ def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user z-score of event values -- window mean/stddev, one
-    shuffle. (tests/test_pandas_udf.py proves the applyInPandas grouped-map
-    formulation returns the identical result.)"""
+    """Per-user z-score of event values. (tests/test_pandas_udf.py
+    proves the applyInPandas grouped-map formulation returns the
+    identical result.)
+
+    Mean and sample stddev come from PINNED sorted folds (sum the
+    value-sorted list sequentially; then fold (x - mu)^2 over the same
+    order), not engine-native avg/stddev_samp: the native window aggs
+    diverged from DuckDB in the last ulp at sf0.1 partition sizes
+    (~670 events/user) and one row crossed the round-4 boundary --
+    the r11 full-sf0.1 certification caught it. sqrt is IEEE-correct,
+    so sd = sqrt(ssd / (n-1)) replays exactly. The per-user stats
+    frame (|users| rows) broadcast-joins back to the events scan --
+    one hash agg + one broadcast join, no window sort. Bounded-list
+    note: the fold materializes one user's values (fine for any
+    plausible per-user cardinality; a user with billions of rows
+    would need the engine-native aggregate and a documented parity
+    waiver)."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    mu = F.avg("value").over(w)
-    sd = F.stddev_samp("value").over(w)
-    return e.select(
+    stats = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(cast(value as double)))"
+            ).alias("sv")
+        )
+        .select(
+            "user_id",
+            F.size("sv").alias("__n"),
+            (
+                F.expr("aggregate(sv, 0.0D, (s, v) -> s + v)")
+                / F.size("sv")
+            ).alias("mu"),
+            "sv",
+        )
+        .select(
+            "user_id",
+            "__n",
+            "mu",
+            F.expr(
+                "aggregate(transform(sv, x -> (x - mu) * (x - mu)), "
+                "0.0D, (s, v) -> s + v)"
+            ).alias("__ssd"),
+        )
+        .select(
+            "user_id",
+            "mu",
+            F.when(
+                F.col("__n") > 1,
+                F.sqrt(F.col("__ssd") / (F.col("__n") - 1)),
+            ).alias("sd"),
+        )
+    )
+    return e.join(F.broadcast(stats), "user_id").select(
         "user_id",
         "event_id",
-        F.round((F.col("value") - mu) / F.nullif(sd, F.lit(0.0)), 4).alias(
-            "zscore"
-        ),
+        F.round(
+            (F.col("value") - F.col("mu"))
+            / F.nullif(F.col("sd"), F.lit(0.0)),
+            4,
+        ).alias("zscore"),
     )
 
 
@@ -422,13 +469,35 @@ ORACLES = {
          AND a.event_type = 'view' AND b.event_type = 'purchase'
          AND abs(a.ts_s - b.ts_s) <= 1800
     """,
+    # Pinned sorted-fold mean/stddev (see zscore_window docstring):
+    # identical fold order to the Spark side, so sf0.1 partition sizes
+    # cannot diverge in the last ulp.
     "zscore_window": """
-        SELECT user_id, event_id,
-               round((value - avg(value) OVER w)
-                     / nullif(stddev_samp(value) OVER w, 0.0), 4) AS zscore
-        FROM events
-        WINDOW w AS (PARTITION BY user_id)
+        WITH sv AS (
+            SELECT user_id, list_sort(list(value::DOUBLE)) AS sv
+            FROM events GROUP BY user_id
+        ), st AS (
+            SELECT user_id, sv, len(sv) AS n,
+                   list_reduce(list_prepend(0.0::DOUBLE, sv),
+                               (s, v) -> s + v) / len(sv) AS mu
+            FROM sv
+        ), st2 AS (
+            SELECT user_id, mu,
+                   CASE WHEN n > 1 THEN sqrt(
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(sv, x -> (x - mu) * (x - mu))),
+                           (s, v) -> s + v) / (n - 1))
+                   END AS sd
+            FROM st
+        )
+        SELECT e.user_id, e.event_id,
+               round((e.value - st2.mu) / nullif(st2.sd, 0.0), 4) + 0.0
+                   AS zscore
+        FROM events e JOIN st2 USING (user_id)
     """,
+    # ^ the trailing + 0.0 normalizes IEEE negative zero: DuckDB's
+    # round() keeps -0.0 where Spark's returns +0.0 (3 rows at sf0.1);
+    # x + 0.0 is the identity for every other double.
 }
 
 
