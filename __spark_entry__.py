@@ -73,6 +73,9 @@ _R11_PRIORITY: list[str] = [
     "rank_fusion_rrf",
     "dq_accepted_values",
     "emb_dim_truncation_sweep",
+    "shingle_size_sweep",
+    "hll_precision_sweep",
+    "simhash_band_sweep",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---
@@ -212,6 +215,12 @@ def _registry() -> tuple[dict, dict]:
         import abr_etl_spark.plans.llm_pipeline8 as llm_pipeline8
 
         modules.append(llm_pipeline8)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline9 as llm_pipeline9
+
+        modules.append(llm_pipeline9)
     except ImportError:
         pass
     for m in modules:

@@ -1,0 +1,259 @@
+"""Round-11 late sweeps: shingle order n, HLL precision m, SimHash
+band layout -- the last three axes of the tuning-curve family."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+from pyspark.sql import functions as F
+
+from abr_etl_spark.plans import llm_pipeline9 as lp9
+from tests.conftest import assert_matches_oracle
+
+
+def _lake(spark, tmp_path, docs=None, events=None):
+    docs = docs if docs is not None else []
+    events = events if events is not None else []
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+# --------------------------------------------------- shingle_size_sweep
+
+
+def test_shingle_sweep_identical_pair_all_orders(spark, tmp_path):
+    """Two byte-identical long docs are jaccard=1 at EVERY shingle
+    order, so each grid row reports the pair with a 10000 jaccard-e4
+    contribution; the unrelated doc never pairs."""
+    base = " ".join(f"tok{i}" for i in range(30))
+    docs = [
+        (1, base, "en", "a", len(base)),
+        (2, base, "en", "a", len(base)),
+        (3, " ".join(f"other{i}" for i in range(30)), "en", "b", 200),
+    ]
+    con = _lake(spark, tmp_path, docs=docs)
+    try:
+        rows = {
+            r["n"]: r
+            for r in lp9.shingle_size_sweep(spark, str(tmp_path)).collect()
+        }
+        assert sorted(rows) == lp9.SHINGLE_N_GRID
+        for n, r in rows.items():
+            assert r["n_pairs"] == 1, f"n={n}"
+            assert r["sum_jaccard_e4"] == 10000, f"n={n}"
+            # 30 distinct tokens -> 30 - n + 1 distinct n-grams per doc
+            assert r["total_shingles"] == 3 * (30 - n + 1)
+        assert_matches_oracle(
+            lp9.shingle_size_sweep(spark, str(tmp_path)),
+            con,
+            lp9.ORACLES["shingle_size_sweep"],
+            "shingle_size_sweep",
+        )
+    finally:
+        con.close()
+
+
+def test_shingle_sweep_larger_n_separates_edited_pair(spark, tmp_path):
+    """A single-token edit in an 80-token doc: 3-gram jaccard is
+    75/81 ~ 0.926 (above tau=0.9) but 13-gram jaccard is 55/81 ~ 0.68
+    (below it) -- the yield column must drop across the grid (the
+    reason decontamination uses long n-grams)."""
+    toks = [f"w{i}" for i in range(80)]
+    edited = list(toks)
+    edited[40] = "EDIT"
+    docs = [
+        (1, " ".join(toks), "en", "a", 200),
+        (2, " ".join(edited), "en", "a", 200),
+    ]
+    con = _lake(spark, tmp_path, docs=docs)
+    try:
+        rows = {
+            r["n"]: r["n_pairs"]
+            for r in lp9.shingle_size_sweep(spark, str(tmp_path)).collect()
+        }
+        assert rows[3] == 1
+        assert rows[13] == 0
+        assert_matches_oracle(
+            lp9.shingle_size_sweep(spark, str(tmp_path)),
+            con,
+            lp9.ORACLES["shingle_size_sweep"],
+            "shingle_size_sweep",
+        )
+    finally:
+        con.close()
+
+
+def test_shingle_sweep_empty_corpus(spark, tmp_path):
+    con = _lake(spark, tmp_path, docs=[])
+    try:
+        rows = {
+            r["n"]: r
+            for r in lp9.shingle_size_sweep(spark, str(tmp_path)).collect()
+        }
+        assert sorted(rows) == lp9.SHINGLE_N_GRID
+        for r in rows.values():
+            assert (
+                r["total_shingles"] == 0
+                and r["n_pairs"] == 0
+                and r["sum_jaccard_e4"] == 0
+            )
+    finally:
+        con.close()
+
+
+# --------------------------------------------------- hll_precision_sweep
+
+
+def test_hll_sweep_regimes_and_bounds(spark, tmp_path):
+    """200 distinct users: every m reports n_filled <= min(m, 200);
+    the m=1024 row must sit in the linear-counting regime and equal
+    round(m*ln(m/V), 4) exactly; the exact count column is 200
+    everywhere; oracle matches."""
+    events = [
+        (i, None, i % 200, "view", 1.0, "{}") for i in range(600)
+    ]
+    con = _lake(spark, tmp_path, events=events)
+    try:
+        rows = {
+            r["m"]: r
+            for r in lp9.hll_precision_sweep(spark, str(tmp_path)).collect()
+        }
+        assert sorted(rows) == lp9.HLL_M_GRID
+        for m, r in rows.items():
+            assert r["n_exact"] == 200
+            assert 0 < r["n_filled"] <= min(m, 200)
+            assert r["est"] > 0
+        r1024 = rows[1024]
+        v = 1024 - r1024["n_filled"]
+        assert v > 0
+        assert r1024["est"] == round(1024 * math.log(1024 / v), 4)
+        assert_matches_oracle(
+            lp9.hll_precision_sweep(spark, str(tmp_path)),
+            con,
+            lp9.ORACLES["hll_precision_sweep"],
+            "hll_precision_sweep",
+        )
+    finally:
+        con.close()
+
+
+def test_hll_sweep_error_shrinks_with_precision(spark, tmp_path):
+    """More registers -> tighter estimate on a spread key set: the
+    m=1024 relative error must beat the m=16 one (the sweep's whole
+    point). Keys are multiplied out so they don't sit on a lattice."""
+    events = [
+        (i, None, (i * 7919 + 13) % 100000, "view", 1.0, "{}")
+        for i in range(3000)
+    ]
+    con = _lake(spark, tmp_path, events=events)
+    try:
+        rows = {
+            r["m"]: r
+            for r in lp9.hll_precision_sweep(spark, str(tmp_path)).collect()
+        }
+        assert rows[1024]["rel_err_e4"] < rows[16]["rel_err_e4"]
+        assert_matches_oracle(
+            lp9.hll_precision_sweep(spark, str(tmp_path)),
+            con,
+            lp9.ORACLES["hll_precision_sweep"],
+            "hll_precision_sweep",
+        )
+    finally:
+        con.close()
+
+
+def test_hll_sweep_empty_events(spark, tmp_path):
+    """No events -> no registers -> an EMPTY report (no m rows), same
+    on both engines."""
+    con = _lake(spark, tmp_path, events=[])
+    try:
+        assert lp9.hll_precision_sweep(spark, str(tmp_path)).count() == 0
+        assert (
+            len(con.execute(lp9.ORACLES["hll_precision_sweep"]).df()) == 0
+        )
+    finally:
+        con.close()
+
+
+# --------------------------------------------------- simhash_band_sweep
+
+
+def test_simhash_sweep_pigeonhole_and_nesting(spark, tmp_path):
+    """Layouts with radius_guaranteed >= 3 must report recall 10000;
+    the committed grid is NESTED (every wider band contains a narrower
+    one), so candidates and hits are non-decreasing down the grid."""
+    docs = []
+    base = [f"tok{i}" for i in range(40)]
+    for i in range(12):
+        t = list(base)
+        t[i % 40] = f"v{i}"
+        docs.append((i, " ".join(t), "en", "a", 200))
+    for i in range(12, 20):
+        docs.append(
+            (i, " ".join(f"z{i}w{j}" for j in range(40)), "en", "b", 300)
+        )
+    con = _lake(spark, tmp_path, docs=docs)
+    try:
+        rows = lp9.simhash_band_sweep(spark, str(tmp_path)).collect()
+        assert [r["bands"] for r in rows] == [
+            b for b, _ in lp9.SIMHASH_LAYOUTS
+        ]
+        for r in rows:
+            assert r["radius_guaranteed"] == r["bands"] - 1
+            if r["radius_guaranteed"] >= lp9.SIMHASH_SWEEP_RADIUS:
+                assert r["recall_e4"] == 10000, r
+        for a, b in zip(rows, rows[1:]):
+            assert a["n_candidates"] <= b["n_candidates"]
+            assert a["n_hits"] <= b["n_hits"]
+        assert_matches_oracle(
+            lp9.simhash_band_sweep(spark, str(tmp_path)),
+            con,
+            lp9.ORACLES["simhash_band_sweep"],
+            "simhash_band_sweep",
+        )
+    finally:
+        con.close()
+
+
+def test_simhash_sweep_no_pairs(spark, tmp_path):
+    """A truthless corpus (every doc far in hamming): n_true = 0 rows
+    report NULL recall, candidates still counted; oracle agrees."""
+    docs = [
+        (i, " ".join(f"s{i}x{j}" for j in range(50)), "en", "a", 300)
+        for i in range(6)
+    ]
+    con = _lake(spark, tmp_path, docs=docs)
+    try:
+        sdf = lp9.simhash_band_sweep(spark, str(tmp_path))
+        rows = sdf.collect()
+        truth_empty = all(r["n_true"] == 0 for r in rows)
+        if truth_empty:
+            assert all(r["recall_e4"] is None for r in rows)
+        assert_matches_oracle(
+            sdf,
+            con,
+            lp9.ORACLES["simhash_band_sweep"],
+            "simhash_band_sweep",
+        )
+    finally:
+        con.close()

@@ -80,6 +80,11 @@ KEYS = [
     "dq_accepted_values",
     # (query, dim)-partitioned rank over prefix-slice cosines
     "emb_dim_truncation_sweep",
+    # late-r11 sweep axes: df-capped pair machinery per n, one-pass
+    # register ladder, nested band layouts
+    "shingle_size_sweep",
+    "hll_precision_sweep",
+    "simhash_band_sweep",
 ]
 
 
