@@ -76,6 +76,9 @@ _R11_PRIORITY: list[str] = [
     "shingle_size_sweep",
     "hll_precision_sweep",
     "simhash_band_sweep",
+    "ivfadc_nprobe_sweep",
+    "ann_ivf_pq_kmeans",
+    "hll_merge_by_type",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

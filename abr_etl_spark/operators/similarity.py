@@ -721,17 +721,26 @@ def pq_subspace_kmeans(
 
 
 def _pq_fingerprint(
-    source_path: str, n_sub: int, sub_dim: int, k: int, iters: int
+    source_path: str,
+    n_sub: int,
+    sub_dim: int,
+    k: int,
+    iters: int,
+    variant: str | None = None,
 ) -> str:
     """Freshness key for a persisted PQ codebook sidecar: source parquet
-    (path, size, mtime) + every codebook parameter."""
+    (path, size, mtime) + every codebook parameter. ``variant`` tags
+    codebooks trained on a DERIVED space of the same source file (e.g.
+    IVF residuals) so they never collide with the plain-PQ sidecar;
+    None reproduces the pre-variant fingerprint text exactly."""
     import os
 
     st = os.stat(source_path)
-    return (
+    base = (
         f"{os.path.abspath(source_path)}|{st.st_size}|{st.st_mtime_ns}"
         f"|pq m={n_sub} sub={sub_dim} k={k} iters={iters}|v1"
     )
+    return base if variant is None else f"{base}|{variant}"
 
 
 def pq_index(
@@ -746,6 +755,7 @@ def pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_dir: str | None = None,
+    variant: str | None = None,
 ) -> DataFrame:
     """pq_subspace_kmeans behind the same PERSISTED-index discipline as
     kmeans_index: session memo (weakref-evicted) -> fingerprinted
@@ -765,7 +775,7 @@ def pq_index(
     import os
     import weakref
 
-    fp = _pq_fingerprint(source_path, n_sub, sub_dim, k, iters)
+    fp = _pq_fingerprint(source_path, n_sub, sub_dim, k, iters, variant)
     schema = "m int, c int, cvec array<float>"
     memo_key = (spark.sparkContext.applicationId, fp)
     entry = _KMEANS_INDEX_MEMO.get(memo_key)

@@ -1134,13 +1134,17 @@ ORACLES.update(
 )
 
 
-def _dk_pq_kmeans_ctes(iters: int = PQ_KM_ITERS) -> str:
+def _dk_pq_kmeans_ctes(
+    iters: int = PQ_KM_ITERS, src: str = "embeddings"
+) -> str:
     """DuckDB replay of operators/similarity.pq_subspace_kmeans: per-
     subspace lowest-id seed init, then per iteration (e6-L2 argmin
     assign with codeword-id ties -> exact micro-unit per-dim means ->
     FLOAT cast; empty cells keep the previous codeword). Same exact
     integer mean device as _dk_kmeans_ctes so summation order can't
-    diverge. Returns CTEs ending in ``cb(m, c, cvec)``."""
+    diverge. ``src`` names the (vec_id, embedding) relation to train
+    on -- "embeddings" for plain PQ, a residual CTE for IVFADC.
+    Returns CTEs ending in ``cb(m, c, cvec)``."""
     d_e6 = (
         f"CAST(round(round({th.dk_l2sq('x.xv', 'cb.cvec')}, 6)"
         f" * 1000000.0, 0) AS BIGINT)"
@@ -1150,7 +1154,7 @@ def _dk_pq_kmeans_ctes(iters: int = PQ_KM_ITERS) -> str:
             SELECT embedding,
                    CAST(row_number() OVER (ORDER BY vec_id ASC) - 1
                         AS INTEGER) AS c
-            FROM embeddings ORDER BY vec_id ASC LIMIT {PQ_K})""",
+            FROM {src} ORDER BY vec_id ASC LIMIT {PQ_K})""",
         f"""sub AS (
             SELECT CAST(unnest(range({PQ_M})) AS INTEGER) AS m)""",
         f"""cb0 AS MATERIALIZED (
@@ -1158,7 +1162,7 @@ def _dk_pq_kmeans_ctes(iters: int = PQ_KM_ITERS) -> str:
             FROM seeds, sub)""",
         f"""xs AS MATERIALIZED (
             SELECT vec_id, m, embedding[{_PQ_SLICE}] AS xv
-            FROM embeddings, sub)""",
+            FROM {src}, sub)""",
     ]
     prev = "cb0"
     for i in range(1, iters + 1):
@@ -1238,31 +1242,15 @@ ORACLES.update(
 )
 
 
-def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC (Jegou, Douze & Schmid 2011 SS7): the COMPOUND index that
-    is the actual 100 TB ANN architecture -- an IVF coarse quantizer
-    routes every vector to a cell, PQ encodes each vector's RESIDUAL to
-    its cell centroid ({PQ_M} codeword ids), and a query scans only its
-    own cell (nprobe=1, ann_ivf's candidate rule) scoring candidates by
-    asymmetric distance on residuals: q.x ~ q.centroid + q.residual_hat
-    = one per-query dot with the cell centroid plus {PQ_M} LUT lookups.
-    Output (query_id, rank, neighbor_id, score_e6): top-{ANN_K} per
-    query by that score (desc, neighbor_id tiebreak).
-
-    Determinism/parity: the coarse quantizer is the deterministic
-    subset ann_ivf uses (vec_id % 50 == 0, cosine-argmax assignment);
-    residual codewords are the {PQ_K} lowest-id vectors' residuals per
-    subspace, built as double arrays with the same element op order on
-    both engines; encoding argmin uses the 3-array residual fold
-    sp_l2sq_res/dk_l2sq_res (the residual is NEVER materialized as a
-    float array), everything in exact 1e-6 BIGINT units.
-
-    Scale shape: cells shard the corpus (candidates ~ n/n_cells per
-    query, not n); codes are {PQ_M} bytes-worth per vector so the scan
-    shuffle carries (cell, code, score) -- never embeddings; codebook,
-    LUT and query-cell frames are metadata-size broadcasts. This is
-    the faiss IVFxx,PQyy layout re-expressed declaratively."""
-    e = load_table(spark, sf_dir, "embeddings")
+def _ivfadc_seed_parts(
+    spark: SparkSession, e: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared IVFADC build (seed-residual codebook flavor):
+    (asg, cb, codes, lut) -- full-corpus cell assignment with the cell
+    centroid attached, the {PQ_K}-seed residual codebook, the {PQ_M}
+    codeword ids per corpus vector, and the per-query projection LUT.
+    Factored out of ann_ivf_pq verbatim so the nprobe sweep re-slices
+    the identical dataframe graph (same plan, same values)."""
     cent = e.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cfull"),
@@ -1357,6 +1345,35 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_pq_e6(th.sp_dot("qv", "wvec"))).alias("p_e6"),
         )
     )
+    return asg, cb, codes, lut
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jegou, Douze & Schmid 2011 SS7): the COMPOUND index that
+    is the actual 100 TB ANN architecture -- an IVF coarse quantizer
+    routes every vector to a cell, PQ encodes each vector's RESIDUAL to
+    its cell centroid ({PQ_M} codeword ids), and a query scans only its
+    own cell (nprobe=1, ann_ivf's candidate rule) scoring candidates by
+    asymmetric distance on residuals: q.x ~ q.centroid + q.residual_hat
+    = one per-query dot with the cell centroid plus {PQ_M} LUT lookups.
+    Output (query_id, rank, neighbor_id, score_e6): top-{ANN_K} per
+    query by that score (desc, neighbor_id tiebreak).
+
+    Determinism/parity: the coarse quantizer is the deterministic
+    subset ann_ivf uses (vec_id % 50 == 0, cosine-argmax assignment);
+    residual codewords are the {PQ_K} lowest-id vectors' residuals per
+    subspace, built as double arrays with the same element op order on
+    both engines; encoding argmin uses the 3-array residual fold
+    sp_l2sq_res/dk_l2sq_res (the residual is NEVER materialized as a
+    float array), everything in exact 1e-6 BIGINT units.
+
+    Scale shape: cells shard the corpus (candidates ~ n/n_cells per
+    query, not n); codes are {PQ_M} bytes-worth per vector so the scan
+    shuffle carries (cell, code, score) -- never embeddings; codebook,
+    LUT and query-cell frames are metadata-size broadcasts. This is
+    the faiss IVFxx,PQyy layout re-expressed declaratively."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cb, codes, lut = _ivfadc_seed_parts(spark, e)
     qcell = asg.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         "centroid_id",
@@ -1392,10 +1409,14 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"ann_ivf_pq": ann_ivf_pq})
 
-ORACLES.update(
-    {
-        "ann_ivf_pq": f"""
-        WITH cent AS MATERIALIZED (
+
+def dk_ivfadc_seed_ctes() -> str:
+    """The DuckDB twin of _ivfadc_seed_parts: CTEs cent/asg/sub/seeds/
+    cb/dists/codes/lut -- shared verbatim by ann_ivf_pq (nprobe=1) and
+    the llm_pipeline9 nprobe sweep so both oracles replay the identical
+    coarse quantizer, seed-residual codebook, encode, and projection
+    LUT."""
+    return f"""cent AS MATERIALIZED (
             SELECT vec_id AS centroid_id, embedding AS cfull
             FROM embeddings WHERE vec_id % 50 = 0
         ), asg AS MATERIALIZED (
@@ -1438,7 +1459,13 @@ ORACLES.update(
                    , 6) * 1000000.0, 0) AS BIGINT) AS p_e6
             FROM embeddings q, cb
             WHERE q.vec_id < {N_QUERY_VECS}
-        ), qcell AS MATERIALIZED (
+        )"""
+
+
+ORACLES.update(
+    {
+        "ann_ivf_pq": f"""
+        WITH {dk_ivfadc_seed_ctes()}, qcell AS MATERIALIZED (
             SELECT a.vec_id AS query_id, a.centroid_id,
                    CAST(round(round(
                        {th.dk_dot('a.embedding', 'a.cfull')}

@@ -48,15 +48,30 @@ these extend the engine's training-data block (SURVEY.md §2.C).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from abr_etl_spark.functions import texthash as th
 from abr_etl_spark.functions.cache import materialize_result
-from abr_etl_spark.operators import dedup
+from abr_etl_spark.operators import dedup, similarity
 from abr_etl_spark.plans.analytics8 import _hll_hash_sql
-from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU
+from abr_etl_spark.plans.llm_pipeline import (
+    ANN_K,
+    JACCARD_TAU,
+    N_QUERY_VECS,
+)
+from abr_etl_spark.plans.llm_pipeline8 import (
+    PQ_K,
+    PQ_KM_ITERS,
+    PQ_M,
+    PQ_SUB,
+    _dk_pq_kmeans_ctes,
+    _ivfadc_seed_parts,
+    _pq_e6,
+    _PQ_SLICE,
+    dk_ivfadc_seed_ctes,
+)
 from abr_etl_spark.sources.lake import load_table
 
 QUERIES: dict = {}
@@ -426,3 +441,504 @@ def _simhash_band_sweep_oracle() -> str:
 
 
 ORACLES["simhash_band_sweep"] = _simhash_band_sweep_oracle()
+
+# --------------------------------------------------- ivfadc_nprobe_sweep
+
+#: cells probed per query -- the IVFADC cost/recall dial (faiss's
+#: nprobe). The grid tops out at 4 because the testdata quantizer has
+#: ~n/50 cells; the sweep SHAPE is what scales, not the literal grid.
+IVFADC_NPROBE_GRID = [1, 2, 4]
+
+
+def ivfadc_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe axis of IVFADC tuning (ann_nprobe_sweep's contract
+    for the compound index; ann_ivf_pq pins nprobe=1): per nprobe in
+    {IVFADC_NPROBE_GRID}, (nprobe, n_candidates, n_true, n_common,
+    recall_e4) -- the residual-ADC candidate count a query pays when
+    scanning its top-nprobe cells, and the micro-averaged recall of
+    the resulting top-{ANN_K} against the exact cosine truth. Probing
+    more cells can only add candidates; the ADC ranking then sees a
+    superset, so the COST column is provably monotone (pytest) while
+    recall measures how fast the compound index closes on exact search.
+
+    Determinism/parity: everything upstream (coarse quantizer, seed
+    residual codebook, encode, LUT) is _ivfadc_seed_parts -- the
+    IDENTICAL dataframe graph ann_ivf_pq ranks with -- and cell
+    ranking reuses ivf_assign's comparator (round-6 cosine desc,
+    centroid_id asc) extended to rank <= max(nprobe).
+
+    Scale shape: the scored-candidate frame builds ONCE at max(nprobe)
+    (per-query work ~ nprobe * n/n_cells codes, never n) and is
+    re-sliced per config by a broadcast grid join; ranks run per
+    (nprobe, query) over that bounded frame; the brute-force truth is
+    the audited broadcast-query shape and runs once."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg, _cb, codes, lut = _ivfadc_seed_parts(spark, e)
+    cent = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cfull"),
+        F.expr(th.sp_norm("embedding")).alias("__cn"),
+    )
+    maxp = max(IVFADC_NPROBE_GRID)
+    q = e.where(F.col("vec_id") < N_QUERY_VECS)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("centroid_id").asc()
+    )
+    qprobe = (
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            "embedding",
+            F.expr(th.sp_norm("embedding")).alias("__vn"),
+        )
+        .crossJoin(broadcast(cent))
+        .withColumn(
+            "cos_c",
+            F.round(
+                F.expr(th.sp_dot("embedding", "cfull"))
+                / (F.col("__vn") * F.col("__cn")),
+                6,
+            ),
+        )
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .where(F.col("cell_rank") <= maxp)
+        .select(
+            "query_id",
+            "centroid_id",
+            "cell_rank",
+            F.expr(_pq_e6(th.sp_dot("embedding", "cfull"))).alias("qc_e6"),
+        )
+    )
+    scored = materialize_result(
+        codes.join(broadcast(qprobe), "centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .join(broadcast(lut), ["query_id", "m", "c"])
+        .groupBy("query_id", "vec_id", "cell_rank", "qc_e6")
+        .agg(F.sum("p_e6").alias("__s"))
+        .select(
+            "query_id",
+            "vec_id",
+            "cell_rank",
+            (F.col("qc_e6") + F.col("__s")).cast("long").alias("score_e6"),
+        )
+    )
+    truth = similarity.cosine_topk(e, q, k=ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    nt = truth.groupBy().agg(F.count("*").alias("n_true"))
+    npg = broadcast(
+        spark.createDataFrame(
+            [(p,) for p in IVFADC_NPROBE_GRID], "nprobe int"
+        )
+    )
+    cands = scored.crossJoin(npg).where(
+        F.col("cell_rank") <= F.col("nprobe")
+    )
+    ncand = cands.groupBy("nprobe").agg(
+        F.count("*").alias("n_candidates")
+    )
+    wr = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("score_e6").desc(), F.col("vec_id").asc()
+    )
+    ranked = cands.withColumn("__r", F.row_number().over(wr)).where(
+        F.col("__r") <= ANN_K
+    )
+    ncommon = (
+        ranked.join(
+            truth.withColumnRenamed("neighbor_id", "vec_id"),
+            ["query_id", "vec_id"],
+        )
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        ncand.join(ncommon, "nprobe", "left")
+        .crossJoin(broadcast(nt))
+        .select(
+            "nprobe",
+            "n_candidates",
+            "n_true",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr(
+                "CASE WHEN n_true = 0 THEN NULL"
+                " ELSE (2 * 10000 * coalesce(n_common, 0) + n_true)"
+                " DIV (2 * n_true) END"
+            ).alias("recall_e4"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+QUERIES["ivfadc_nprobe_sweep"] = ivfadc_nprobe_sweep
+
+ORACLES["ivfadc_nprobe_sweep"] = f"""
+    WITH {dk_ivfadc_seed_ctes()}, qprobe AS MATERIALIZED (
+        SELECT query_id, centroid_id, cell_rank, qc_e6 FROM (
+            SELECT q.vec_id AS query_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({th.dk_cosine('q.embedding', 'c.cfull')}, 6) DESC,
+                                c.centroid_id ASC) AS cell_rank,
+                   CAST(round(round({th.dk_dot('q.embedding', 'c.cfull')}, 6)
+                        * 1000000.0, 0) AS BIGINT) AS qc_e6
+            FROM embeddings q, cent c WHERE q.vec_id < {N_QUERY_VECS}
+        ) WHERE cell_rank <= {max(IVFADC_NPROBE_GRID)}
+    ), scored AS MATERIALIZED (
+        SELECT qp.query_id, s.vec_id,
+               any_value(qp.cell_rank) AS cell_rank,
+               CAST(any_value(qp.qc_e6) + sum(l.p_e6) AS BIGINT)
+                   AS score_e6
+        FROM codes s
+        JOIN qprobe qp ON qp.centroid_id = s.centroid_id
+        JOIN lut l ON l.query_id = qp.query_id
+                  AND l.m = s.m AND l.c = s.c
+        WHERE qp.query_id <> s.vec_id
+        GROUP BY qp.query_id, s.vec_id
+    ), npg AS (
+        SELECT CAST(unnest([{", ".join(map(str, IVFADC_NPROBE_GRID))}])
+               AS INTEGER) AS nprobe
+    ), cands AS MATERIALIZED (
+        SELECT g.nprobe, s.query_id, s.vec_id, s.score_e6
+        FROM scored s JOIN npg g ON s.cell_rank <= g.nprobe
+    ), ncand AS (
+        SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+        FROM cands GROUP BY nprobe
+    ), truth AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({th.dk_cosine('q.embedding', 'c2.embedding')}, 6) DESC,
+                                c2.vec_id ASC) AS rnk
+            FROM embeddings q, embeddings c2
+            WHERE q.vec_id < {N_QUERY_VECS} AND c2.vec_id <> q.vec_id
+        ) WHERE rnk <= {ANN_K}
+    ), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+    ranked AS (
+        SELECT nprobe, query_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                ORDER BY score_e6 DESC, vec_id ASC) AS rnk
+            FROM cands
+        ) WHERE rnk <= {ANN_K}
+    ), ncom AS (
+        SELECT nprobe, CAST(count(*) AS BIGINT) AS n_common
+        FROM ranked r
+        JOIN truth t ON t.query_id = r.query_id
+                    AND t.neighbor_id = r.vec_id
+        GROUP BY nprobe
+    )
+    SELECT c.nprobe, c.n_candidates, nt.n_true,
+           CAST(coalesce(nc.n_common, 0) AS BIGINT) AS n_common,
+           CASE WHEN nt.n_true = 0 THEN NULL
+                ELSE CAST((2 * 10000 * coalesce(nc.n_common, 0)
+                           + nt.n_true) // (2 * nt.n_true) AS BIGINT)
+           END AS recall_e4
+    FROM ncand c LEFT JOIN ncom nc ON nc.nprobe = c.nprobe, nt
+    ORDER BY c.nprobe
+"""
+
+# ---------------------------------------------------- ann_ivf_pq_kmeans
+
+
+def ann_ivf_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_pq with TRAINED residual codebooks -- the full IVFADC
+    production recipe (Jegou, Douze & Schmid 2011 train PQ on residual
+    vectors, faiss's IVFxx,PQyy): residuals to the coarse quantizer are
+    materialized as float32 vectors, per-subspace Lloyd k-means runs in
+    RESIDUAL SPACE ({PQ_KM_ITERS} iteration from the lowest-id residual
+    seeds) behind the persisted PQ index (similarity.pq_index with the
+    'ivf-residual' variant tag, so the sidecar never collides with the
+    plain-PQ codebook trained on raw vectors), then the identical
+    encode / LUT / cell-scan ADC ranking as ann_ivf_pq. The DuckDB
+    oracle replays the residual-space subspace k-means itself
+    (_dk_pq_kmeans_ctes over a residual CTE -- exact-1e-6 L2
+    assignment, exact integer micro-unit means), so residual TRAINING
+    is oracle-checked end to end, the same bar ann_pq_kmeans holds for
+    raw-space PQ and ann_ivf_kmeans for the coarse quantizer.
+
+    Determinism/parity: residuals are built float32 with the same
+    element op order on both engines (cast-to-double subtract, round
+    to float32); everything downstream is the proven trained-codebook
+    machinery. float32 codewords round-trip the index sidecar exactly,
+    so an index probe is bit-identical to fresh training.
+
+    Scale shape: training is {PQ_KM_ITERS} corpus pass(es) through a
+    broadcast argmin + (m, c, dim) hash agg, run once per ingest epoch
+    behind the index; search stays the nprobe=1 cell scan where the
+    shuffle carries (cell, code, score) -- codes are {PQ_M}
+    bytes-worth per vector, vectors never move."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cfull"),
+    )
+    cent_as_vecs = cent.select(
+        F.col("centroid_id").alias("vec_id"),
+        F.col("cfull").alias("embedding"),
+    )
+    asg = similarity.ivf_assign(e, cent_as_vecs).join(
+        broadcast(cent), "centroid_id"
+    )
+    # float32 residuals, materialized once: training (seeds + one scan
+    # per Lloyd iteration) and encoding both read this frame
+    resid = materialize_result(
+        asg.select(
+            "vec_id",
+            "centroid_id",
+            F.expr(
+                "transform(zip_with(embedding, cfull, "
+                "(a, b) -> cast(a as double) - cast(b as double)), "
+                "x -> cast(x as float))"
+            ).alias("rvec"),
+        )
+    )
+    cb = similarity.pq_index(
+        spark,
+        resid,
+        n_sub=PQ_M,
+        sub_dim=PQ_SUB,
+        k=PQ_K,
+        iters=PQ_KM_ITERS,
+        source_path=f"{sf_dir}/embeddings.parquet",
+        vec_col="rvec",
+        variant="ivf-residual-mod50",
+    )
+    sub = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    codes = (
+        resid.crossJoin(broadcast(sub))
+        .select(
+            "vec_id",
+            "centroid_id",
+            "m",
+            F.expr(f"slice(rvec, m * {PQ_SUB} + 1, {PQ_SUB})").alias("xv"),
+        )
+        .join(broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "m",
+            F.struct(
+                F.expr(_pq_e6(th.sp_l2sq("xv", "cvec"))).alias("d_e6"),
+                F.col("c"),
+            ).alias("__dc"),
+        )
+        .groupBy("vec_id", "centroid_id", "m")
+        .agg(F.min("__dc").alias("__mn"))
+        .select("vec_id", "centroid_id", "m", F.col("__mn.c").alias("c"))
+    )
+    lut = (
+        e.where(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(broadcast(sub))
+        .select(
+            "query_id",
+            "m",
+            F.expr(
+                f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
+            ).alias("qv"),
+        )
+        .join(broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "c",
+            F.expr(_pq_e6(th.sp_dot("qv", "cvec"))).alias("p_e6"),
+        )
+    )
+    qcell = asg.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        "centroid_id",
+        F.expr(_pq_e6(th.sp_dot("embedding", "cfull"))).alias("qc_e6"),
+    )
+    scores = (
+        codes.join(broadcast(qcell), "centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .join(broadcast(lut), ["query_id", "m", "c"])
+        .groupBy("query_id", "vec_id", "qc_e6")
+        .agg(F.sum("p_e6").alias("__s"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("qc_e6") + F.col("__s")).cast("long").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            "score_e6",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES["ann_ivf_pq_kmeans"] = ann_ivf_pq_kmeans
+
+ORACLES["ann_ivf_pq_kmeans"] = f"""
+    WITH cent AS MATERIALIZED (
+        SELECT vec_id AS centroid_id, embedding AS cfull
+        FROM embeddings WHERE vec_id % 50 = 0
+    ), asg AS MATERIALIZED (
+        SELECT vec_id, embedding, centroid_id, cfull FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id, c.cfull,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round({th.dk_cosine('e.embedding', 'c.cfull')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM embeddings e, cent c
+        ) WHERE rn = 1
+    ), remb AS MATERIALIZED (
+        SELECT vec_id, centroid_id,
+               list_transform(range(0, len(embedding)), i ->
+                   CAST(embedding[i + 1]::DOUBLE - cfull[i + 1]::DOUBLE
+                        AS FLOAT)) AS embedding
+        FROM asg
+    ), {_dk_pq_kmeans_ctes(src='remb')}, dists2 AS (
+        SELECT r.vec_id, r.centroid_id, cb.m, cb.c,
+               CAST(round(round(
+                   {th.dk_l2sq(f'r.embedding[{_PQ_SLICE}]', 'cb.cvec')}
+               , 6) * 1000000.0, 0) AS BIGINT) AS d_e6
+        FROM remb r, cb
+    ), codes2 AS MATERIALIZED (
+        SELECT vec_id, centroid_id, m, c FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m
+                ORDER BY d_e6 ASC, c ASC) AS rn
+            FROM dists2
+        ) WHERE rn = 1
+    ), lut2 AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, cb.m, cb.c,
+               CAST(round(round(
+                   {th.dk_dot(f'q.embedding[{_PQ_SLICE}]', 'cb.cvec')}
+               , 6) * 1000000.0, 0) AS BIGINT) AS p_e6
+        FROM embeddings q, cb
+        WHERE q.vec_id < {N_QUERY_VECS}
+    ), qcell AS MATERIALIZED (
+        SELECT a.vec_id AS query_id, a.centroid_id,
+               CAST(round(round(
+                   {th.dk_dot('a.embedding', 'a.cfull')}
+               , 6) * 1000000.0, 0) AS BIGINT) AS qc_e6
+        FROM asg a WHERE a.vec_id < {N_QUERY_VECS}
+    ), scores AS (
+        SELECT qc.query_id, s.vec_id,
+               CAST(any_value(qc.qc_e6) + sum(l.p_e6) AS BIGINT)
+                   AS score_e6
+        FROM codes2 s
+        JOIN qcell qc ON qc.centroid_id = s.centroid_id
+        JOIN lut2 l ON l.query_id = qc.query_id
+                   AND l.m = s.m AND l.c = s.c
+        WHERE qc.query_id <> s.vec_id
+        GROUP BY qc.query_id, s.vec_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank,
+           vec_id AS neighbor_id, score_e6
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY score_e6 DESC, vec_id ASC) AS rank
+        FROM scores
+    ) WHERE rank <= {ANN_K}
+    ORDER BY query_id, rank
+"""
+
+# ----------------------------------------------------- hll_merge_by_type
+
+#: register count for the merge demo -- the m=16 exact literal-table
+#: estimator (hll_distinct's configuration), so the merged row needs
+#: no runtime ln().
+from abr_etl_spark.plans.analytics8 import (  # noqa: E402
+    HLL_M,
+    _hll_rank_sql,
+    hll_est_sql,
+)
+
+
+def hll_merge_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY -- the algebraic property that makes HLL the
+    100 TB distinct-count answer: per event_type register tables are
+    built independently, and the whole-corpus estimate comes from
+    MERGING them (per-bucket max across scopes) without ever rescanning
+    the data. Output (scope, n_filled, est): one row per event_type
+    plus the '__ALL__' row computed ONLY from the per-scope registers.
+    max is associative/commutative/idempotent, so merge(registers(A),
+    registers(B)) == registers(A union B) exactly -- the '__ALL__' row
+    is bit-identical to a direct single-pass sketch (pytest-pinned),
+    which is why per-partition sketches can roll up across days,
+    sources, or 1000 executors with O(m) state each.
+
+    Scale shape: ONE key-hash scan, one (scope, bucket) shuffle whose
+    state is |scopes| x m rows; the merge is an m-row aggregate of that
+    register table -- the data is never touched twice. The estimator is
+    the m={HLL_M} exact literal-table form (dyadic 2^-rank sums, no
+    libm), so every row replays bit-identically cross-engine."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = f"({_hll_hash_sql('user_id')})"
+    regs = materialize_result(
+        e.select(
+            F.col("event_type").alias("scope"),
+            F.expr(f"{h} % {HLL_M}").alias("bucket"),
+            F.expr(_hll_rank_sql(f"{h} DIV {HLL_M}")).alias("rank"),
+        )
+        .groupBy("scope", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .select(F.lit("__ALL__").alias("scope"), "bucket", "max_rank")
+    )
+    est = (
+        regs.unionByName(merged)
+        .groupBy("scope")
+        .agg(
+            F.count("*").cast("long").alias("n_filled"),
+            F.sum(F.expr("power(2.0, -max_rank)")).alias("S_f"),
+        )
+        .select(
+            "scope",
+            "n_filled",
+            F.expr(
+                hll_est_sql(
+                    f"({HLL_M} - n_filled)",
+                    f"(({HLL_M} - n_filled) + S_f)",
+                )
+            ).alias("est"),
+        )
+    )
+    return est.orderBy("scope")
+
+
+QUERIES["hll_merge_by_type"] = hll_merge_by_type
+
+
+def _hll_merge_by_type_oracle() -> str:
+    h = f"({_hll_hash_sql('user_id', engine='duckdb')})"
+    rank = (
+        f"CASE WHEN {h} // {HLL_M} = 0 THEN 28 "
+        f"ELSE 28 - length(bin({h} // {HLL_M})) END"
+    )
+    return f"""
+    WITH regs AS MATERIALIZED (
+        SELECT event_type AS scope, {h} % {HLL_M} AS bucket,
+               max({rank}) AS max_rank
+        FROM events GROUP BY 1, 2
+    ), merged AS (
+        SELECT '__ALL__' AS scope, bucket, max(max_rank) AS max_rank
+        FROM regs GROUP BY bucket
+    ), allregs AS (
+        SELECT * FROM regs UNION ALL SELECT * FROM merged
+    ), agg AS (
+        SELECT scope, CAST(count(*) AS BIGINT) AS n_filled,
+               sum(power(2.0, -max_rank)) AS S_f
+        FROM allregs GROUP BY scope
+    )
+    SELECT scope, n_filled,
+           {hll_est_sql(f"({HLL_M} - n_filled)",
+                        f"(({HLL_M} - n_filled) + S_f)")} AS est
+    FROM agg ORDER BY scope
+    """
+
+
+ORACLES["hll_merge_by_type"] = _hll_merge_by_type_oracle()

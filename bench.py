@@ -162,6 +162,18 @@ HEADLINERS = [
     "dq_accepted_values",
     # Matryoshka dim budget: one scan scores every (q, n, d) triple
     "emb_dim_truncation_sweep",
+    # late-r11 sweep axes: shingle n prices 4x the df-capped pair
+    # machinery; HLL ladder one hash pass x grid; band layouts re-slice
+    # one materialized fingerprint build
+    "shingle_size_sweep",
+    "hll_precision_sweep",
+    "simhash_band_sweep",
+    # IVFADC: nprobe sweep re-slices one scored frame; trained residual
+    # codebooks price the residual Lloyd pass + index-served cell scan
+    "ivfadc_nprobe_sweep",
+    "ann_ivf_pq_kmeans",
+    # sketch mergeability: one hash scan + (scope, bucket) registers
+    "hll_merge_by_type",
 ]
 
 

@@ -257,3 +257,177 @@ def test_simhash_sweep_no_pairs(spark, tmp_path):
         )
     finally:
         con.close()
+
+
+# --------------------------------------------------- ivfadc_nprobe_sweep
+
+
+def test_ivfadc_nprobe_monotone_and_pins_nprobe1(spark):
+    """Candidates are supersets as nprobe grows (strictly more cells
+    scanned -> strictly more candidates on this data) and the nprobe=1
+    row's n_common equals the overlap of ann_ivf_pq's ranking with the
+    exact truth -- the sweep's first config IS ann_ivf_pq."""
+    from abr_etl_spark.operators import similarity
+    from abr_etl_spark.plans import llm_pipeline8 as lp8
+    from abr_etl_spark.plans.llm_pipeline import ANN_K, N_QUERY_VECS
+    from tests.conftest import SF_ORACLE
+
+    rows = {
+        r["nprobe"]: r
+        for r in lp9.ivfadc_nprobe_sweep(spark, SF_ORACLE).collect()
+    }
+    assert sorted(rows) == lp9.IVFADC_NPROBE_GRID
+    grid = lp9.IVFADC_NPROBE_GRID
+    for a, b in zip(grid, grid[1:]):
+        assert rows[a]["n_candidates"] < rows[b]["n_candidates"]
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < N_QUERY_VECS)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(e, q, k=ANN_K).collect()
+    }
+    ivfpq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lp8.ann_ivf_pq(spark, SF_ORACLE).collect()
+    }
+    assert rows[1]["n_common"] == len(truth & ivfpq)
+    assert rows[1]["n_true"] == len(truth)
+
+
+# ---------------------------------------------------- ann_ivf_pq_kmeans
+
+
+def test_ann_ivf_pq_kmeans_cell_routing_and_order(spark):
+    """IVFADC semantics hold with TRAINED residual codebooks: every
+    neighbor lives in the query's cell, ranks are contiguous from 1,
+    scores strictly ordered, no self-matches."""
+    from abr_etl_spark.operators.similarity import ivf_assign
+    from abr_etl_spark.plans.llm_pipeline import N_QUERY_VECS
+    from tests.conftest import SF_ORACLE
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    cent = e.where(F.col("vec_id") % 50 == 0)
+    cells = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(e, cent).collect()
+    }
+    out = lp9.ann_ivf_pq_kmeans(spark, SF_ORACLE).collect()
+    assert out, "non-empty result"
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) <= set(range(N_QUERY_VECS))
+    for q, rows in by_q.items():
+        assert all(cells[r["neighbor_id"]] == cells[q] for r in rows)
+        assert all(r["neighbor_id"] != q for r in rows)
+        ordered = sorted(rows, key=lambda r: r["rank"])
+        assert [r["rank"] for r in ordered] == list(
+            range(1, len(rows) + 1)
+        )
+        scores = [r["score_e6"] for r in ordered]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_fingerprint_variant_tag_separates_sidecars():
+    """The residual-space codebook must never collide with the plain-PQ
+    sidecar trained on the same source file with the same params; a
+    None variant reproduces the pre-variant fingerprint text."""
+    from abr_etl_spark.operators.similarity import _pq_fingerprint
+    from tests.conftest import SF_ORACLE
+
+    src = f"{SF_ORACLE}/embeddings.parquet"
+    base = _pq_fingerprint(src, 4, 16, 8, 1)
+    tagged = _pq_fingerprint(src, 4, 16, 8, 1, variant="ivf-residual-mod50")
+    assert base != tagged
+    assert tagged.startswith(base)
+    assert base.endswith("|v1")
+
+
+# ----------------------------------------------------- hll_merge_by_type
+
+
+def test_hll_merge_equals_single_pass_sketch(spark, tmp_path):
+    """The point of the key: the '__ALL__' row, computed ONLY by
+    merging per-scope registers (per-bucket max), is bit-identical to
+    a direct single-pass sketch over all events -- max is associative,
+    commutative, idempotent. Disjoint and overlapping user sets across
+    scopes both covered; oracle matches."""
+    from abr_etl_spark.plans.analytics8 import (
+        HLL_M,
+        _hll_hash_sql,
+        _hll_rank_sql,
+        hll_est_sql,
+    )
+
+    events = [
+        (i, None, (i * 104729 + 7) % 5000, ["view", "click", "signup"][i % 3],
+         1.0, "{}")
+        for i in range(2000)
+    ]
+    con = _lake(spark, tmp_path, events=events)
+    try:
+        rows = {
+            r["scope"]: r
+            for r in lp9.hll_merge_by_type(spark, str(tmp_path)).collect()
+        }
+        assert set(rows) == {"__ALL__", "view", "click", "signup"}
+        # direct single-pass sketch over ALL events, no scope split
+        h = f"({_hll_hash_sql('user_id')})"
+        direct = (
+            spark.read.parquet(str(tmp_path / "events.parquet"))
+            .selectExpr(
+                f"{h} % {HLL_M} AS bucket",
+                f"{_hll_rank_sql(f'{h} DIV {HLL_M}')} AS rank",
+            )
+            .groupBy("bucket")
+            .agg(F.max("rank").alias("max_rank"))
+            .groupBy()
+            .agg(
+                F.count("*").cast("long").alias("n_filled"),
+                F.sum(F.expr("power(2.0, -max_rank)")).alias("S_f"),
+            )
+            .selectExpr(
+                "n_filled",
+                hll_est_sql(
+                    f"({HLL_M} - n_filled)",
+                    f"(({HLL_M} - n_filled) + S_f)",
+                )
+                + " AS est",
+            )
+            .collect()[0]
+        )
+        assert rows["__ALL__"]["n_filled"] == direct["n_filled"]
+        assert rows["__ALL__"]["est"] == direct["est"]
+        assert_matches_oracle(
+            lp9.hll_merge_by_type(spark, str(tmp_path)),
+            con,
+            lp9.ORACLES["hll_merge_by_type"],
+            "hll_merge_by_type",
+        )
+    finally:
+        con.close()
+
+
+def test_hll_merge_single_scope_all_equals_scope(spark, tmp_path):
+    """One scope only: the merged row must equal that scope's row
+    (idempotent merge), est included."""
+    events = [
+        (i, None, i % 37, "view", 1.0, "{}") for i in range(300)
+    ]
+    con = _lake(spark, tmp_path, events=events)
+    try:
+        rows = {
+            r["scope"]: r
+            for r in lp9.hll_merge_by_type(spark, str(tmp_path)).collect()
+        }
+        assert set(rows) == {"__ALL__", "view"}
+        assert rows["__ALL__"]["n_filled"] == rows["view"]["n_filled"]
+        assert rows["__ALL__"]["est"] == rows["view"]["est"]
+        assert_matches_oracle(
+            lp9.hll_merge_by_type(spark, str(tmp_path)),
+            con,
+            lp9.ORACLES["hll_merge_by_type"],
+            "hll_merge_by_type",
+        )
+    finally:
+        con.close()

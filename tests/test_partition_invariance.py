@@ -85,6 +85,11 @@ KEYS = [
     "shingle_size_sweep",
     "hll_precision_sweep",
     "simhash_band_sweep",
+    # IVFADC: grid-sliced cell scans + residual-trained codebooks
+    "ivfadc_nprobe_sweep",
+    "ann_ivf_pq_kmeans",
+    # register merge: per-bucket max across scopes, dyadic est sums
+    "hll_merge_by_type",
 ]
 
 
