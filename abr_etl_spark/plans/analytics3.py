@@ -150,9 +150,14 @@ def zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.size("sv").alias("__n"),
+            # nullif guards the all-NULL-payload lake: collect_list
+            # drops NULLs, so a user with only NULL values folds an
+            # EMPTY list and the plain division raises under ANSI
+            # (caught by tests/test_degenerate_lakes.py); NULL mu
+            # propagates to a NULL zscore instead.
             (
                 F.expr("aggregate(sv, 0.0D, (s, v) -> s + v)")
-                / F.size("sv")
+                / F.nullif(F.size("sv"), F.lit(0))
             ).alias("mu"),
             "sv",
         )

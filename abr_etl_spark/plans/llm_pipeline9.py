@@ -331,7 +331,13 @@ def simhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every layout re-slices them; per layout one band equi-join
     (the dedup_simhash shuffle shape -- O(docs x bands) rows, 16-byte
     keys) reduced to two scalar counts; truth is the shared pigeonhole
-    pair set. No layout touches text or vectors."""
+    pair set. No layout touches text or vectors. NOTE: on the
+    template-heavy synthetic testdata the fingerprints cluster so
+    tightly that the candidate census saturates to ~all pairs -- a
+    property of that corpus (real web corpora spread the 48-bit space
+    and band collisions are sparse), which is exactly the pathology
+    this report exists to surface before an operator commits a
+    layout."""
     d = load_table(spark, sf_dir, "documents")
     fp = materialize_result(dedup.simhash_fingerprints(d))
     truth = materialize_result(

@@ -162,12 +162,12 @@ HEADLINERS = [
     "dq_accepted_values",
     # Matryoshka dim budget: one scan scores every (q, n, d) triple
     "emb_dim_truncation_sweep",
-    # late-r11 sweep axes: shingle n prices 4x the df-capped pair
-    # machinery; HLL ladder one hash pass x grid; band layouts re-slice
-    # one materialized fingerprint build
-    "shingle_size_sweep",
+    # late-r11 sweep axes (shingle_size_sweep and simhash_band_sweep
+    # are intentionally NOT headliners: the first prices 4x the full
+    # dedup pair machinery and the second's candidate census is
+    # saturated by the template-heavy synthetic corpus -- ~11 s / ~25 s
+    # warm at sf0.1 -- both stay under the full oracle + sf0.1 certs)
     "hll_precision_sweep",
-    "simhash_band_sweep",
     # IVFADC: nprobe sweep re-slices one scored frame; trained residual
     # codebooks price the residual Lloyd pass + index-served cell scan
     "ivfadc_nprobe_sweep",
