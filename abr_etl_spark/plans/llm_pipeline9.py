@@ -948,3 +948,107 @@ def _hll_merge_by_type_oracle() -> str:
 
 
 ORACLES["hll_merge_by_type"] = _hll_merge_by_type_oracle()
+
+# -------------------------------------------------- kmv_merge_by_source
+
+from abr_etl_spark.plans.llm_pipeline3 import KMV_K  # noqa: E402
+
+
+def kmv_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV MERGEABILITY -- the order-statistics half of the sketch-
+    rollup story (hll_merge_by_type is the register half): per-source
+    k-minimum-value sketches over corpus 3-gram hashes are built
+    independently, and the whole-corpus sketch comes from merging the
+    k-min LISTS alone (k smallest distinct of their union), never
+    rescanning data. Output (scope, k, kth_hash, est_distinct): one
+    row per source plus '__ALL__' from the merge. Any hash among the
+    global k smallest is among its own source's k smallest (fewer than
+    k distinct hashes precede it anywhere), so merge(kmin(A), kmin(B))
+    == kmin(A union B) EXACTLY -- pytest-pinned against a direct
+    single-pass sketch. est = (k-1) * P / h_k with the row's own k, so
+    a gram-poor source (k < {KMV_K}) estimates its true cardinality
+    instead of inheriting the full-k numerator.
+
+    Scale shape: one gram-hash scan, one distinct (source, hash)
+    shuffle, a per-source rank bounded at k rows kept (state k x
+    |sources|); the merge is a |sources| x k-row frame. The data is
+    never touched twice -- the property that lets per-day / per-source
+    / per-executor sketches roll up at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        d.select(
+            "source",
+            F.expr(th.sp_token_hashes(th.sp_tokens("text"))).alias("__th"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(th.sp_gram_hashes_from_token_hashes("__th", 3))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy(F.col("h").asc())
+    kmin = materialize_result(
+        h.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= KMV_K)
+        .select(F.col("source").alias("scope"), "h")
+    )
+    per = kmin.groupBy("scope").agg(
+        F.count("*").cast("long").alias("k"),
+        F.max("h").alias("kth_hash"),
+    )
+    merged = (
+        kmin.select("h")
+        .distinct()
+        .orderBy(F.col("h").asc())
+        .limit(KMV_K)
+        .agg(F.count("*").cast("long").alias("k"), F.max("h").alias("kth_hash"))
+        .select(F.lit("__ALL__").alias("scope"), "k", "kth_hash")
+    )
+    return (
+        per.unionByName(merged)
+        .select(
+            "scope",
+            "k",
+            "kth_hash",
+            ((F.col("k") - 1) * F.lit(th.P) / F.col("kth_hash")).alias(
+                "est_distinct"
+            ),
+        )
+        .orderBy("scope")
+    )
+
+
+QUERIES["kmv_merge_by_source"] = kmv_merge_by_source
+
+ORACLES["kmv_merge_by_source"] = f"""
+    WITH tt AS (
+        SELECT source, {th.dk_token_hashes(th.dk_tokens('text'))} AS tth
+        FROM documents
+    ), hh AS (
+        SELECT DISTINCT source,
+            unnest({th.dk_gram_hashes_from_token_hashes('tth', 3)}) AS h
+        FROM tt
+    ), kmin AS MATERIALIZED (
+        SELECT source AS scope, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h ASC) AS rn
+            FROM hh
+        ) WHERE rn <= {KMV_K}
+    ), per AS (
+        SELECT scope, CAST(count(*) AS BIGINT) AS k,
+               CAST(max(h) AS BIGINT) AS kth_hash
+        FROM kmin GROUP BY scope
+    ), merged AS (
+        SELECT '__ALL__' AS scope, CAST(count(*) AS BIGINT) AS k,
+               CAST(max(h) AS BIGINT) AS kth_hash
+        FROM (SELECT DISTINCT h FROM kmin ORDER BY h ASC LIMIT {KMV_K})
+    ), allrows AS (
+        SELECT * FROM per UNION ALL SELECT * FROM merged
+    )
+    SELECT scope, k, kth_hash,
+           (k - 1) * {th.P} / kth_hash AS est_distinct
+    FROM allrows ORDER BY scope
+"""

@@ -172,8 +172,10 @@ HEADLINERS = [
     # codebooks price the residual Lloyd pass + index-served cell scan
     "ivfadc_nprobe_sweep",
     "ann_ivf_pq_kmeans",
-    # sketch mergeability: one hash scan + (scope, bucket) registers
+    # sketch mergeability: one hash scan + (scope, bucket) registers;
+    # the KMV twin prices the per-source k-min rank + distinct merge
     "hll_merge_by_type",
+    "kmv_merge_by_source",
 ]
 
 

@@ -431,3 +431,83 @@ def test_hll_merge_single_scope_all_equals_scope(spark, tmp_path):
         )
     finally:
         con.close()
+
+
+# -------------------------------------------------- kmv_merge_by_source
+
+
+def test_kmv_merge_equals_direct_sketch(spark, tmp_path):
+    """The '__ALL__' row, computed only from per-source k-min lists,
+    equals the direct whole-corpus KMV (k smallest distinct gram
+    hashes): any globally-k-smallest hash is k-smallest in its own
+    source. Sources share some text so the union has duplicates --
+    the distinct-merge path is actually exercised."""
+    from abr_etl_spark.functions import texthash as th
+    from abr_etl_spark.plans.llm_pipeline3 import KMV_K
+
+    shared = " ".join(f"s{i}" for i in range(60))
+    docs = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(60)), "en", "a", 1),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(60)), "en", "b", 1),
+        (3, " ".join(f"c{i}" for i in range(120)), "en", "c", 1),
+    ]
+    con = _lake(spark, tmp_path, docs=docs)
+    try:
+        rows = {
+            r["scope"]: r
+            for r in lp9.kmv_merge_by_source(spark, str(tmp_path)).collect()
+        }
+        assert set(rows) == {"__ALL__", "a", "b", "c"}
+        direct = (
+            spark.read.parquet(str(tmp_path / "documents.parquet"))
+            .selectExpr(
+                f"{th.sp_token_hashes(th.sp_tokens('text'))} AS tth"
+            )
+            .selectExpr(
+                f"explode({th.sp_gram_hashes_from_token_hashes('tth', 3)})"
+                " AS h"
+            )
+            .distinct()
+            .orderBy(F.col("h").asc())
+            .limit(KMV_K)
+            .groupBy()
+            .agg(F.count("*").alias("k"), F.max("h").alias("kth_hash"))
+            .collect()[0]
+        )
+        assert rows["__ALL__"]["k"] == direct["k"]
+        assert rows["__ALL__"]["kth_hash"] == direct["kth_hash"]
+        assert_matches_oracle(
+            lp9.kmv_merge_by_source(spark, str(tmp_path)),
+            con,
+            lp9.ORACLES["kmv_merge_by_source"],
+            "kmv_merge_by_source",
+        )
+    finally:
+        con.close()
+
+
+def test_kmv_merge_single_source_idempotent(spark, tmp_path):
+    """One source: the merged row equals that source's row (k and
+    kth_hash both), and a gram-poor source reports its own k in the
+    estimate numerator (est ~ true distinct count, not the full-k
+    formula)."""
+    docs = [(1, "alpha beta gamma delta epsilon", "en", "solo", 1)]
+    con = _lake(spark, tmp_path, docs=docs)
+    try:
+        rows = {
+            r["scope"]: r
+            for r in lp9.kmv_merge_by_source(spark, str(tmp_path)).collect()
+        }
+        assert set(rows) == {"__ALL__", "solo"}
+        assert rows["__ALL__"]["k"] == rows["solo"]["k"]
+        assert rows["__ALL__"]["kth_hash"] == rows["solo"]["kth_hash"]
+        # 5 tokens -> 3 distinct 3-grams; k=3 < KMV_K
+        assert rows["solo"]["k"] == 3
+        assert_matches_oracle(
+            lp9.kmv_merge_by_source(spark, str(tmp_path)),
+            con,
+            lp9.ORACLES["kmv_merge_by_source"],
+            "kmv_merge_by_source",
+        )
+    finally:
+        con.close()

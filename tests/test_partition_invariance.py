@@ -90,6 +90,8 @@ KEYS = [
     "ann_ivf_pq_kmeans",
     # register merge: per-bucket max across scopes, dyadic est sums
     "hll_merge_by_type",
+    # order-statistics merge: per-source k-min rank + distinct union
+    "kmv_merge_by_source",
 ]
 
 
