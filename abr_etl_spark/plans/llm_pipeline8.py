@@ -2724,9 +2724,12 @@ def bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_false_pos", F.lit(0))
             .cast("long")
             .alias("n_false_pos"),
+            # NULL fpr on an empty key set (fresh-tenant lake): the
+            # plain DIV raised under ANSI (empty-lake net)
             F.expr(
-                "CAST((2 * 10000 * coalesce(n_false_pos, 0) + n_probes)"
-                " DIV (2 * n_probes) AS BIGINT)"
+                "CASE WHEN n_probes = 0 THEN NULL ELSE"
+                " CAST((2 * 10000 * coalesce(n_false_pos, 0) + n_probes)"
+                " DIV (2 * n_probes) AS BIGINT) END"
             ).alias("fpr_e4"),
         )
         .orderBy("m")
@@ -2782,9 +2785,10 @@ def _dk_bloom_fpr_oracle() -> str:
                CAST(coalesce(occ.n_bits_set, 0) AS BIGINT) AS n_bits_set,
                CAST(tot.n_probes AS BIGINT) AS n_probes,
                CAST(coalesce(fp.n_false_pos, 0) AS BIGINT) AS n_false_pos,
-               CAST((2 * 10000 * coalesce(fp.n_false_pos, 0)
-                     + tot.n_probes) // (2 * tot.n_probes) AS BIGINT)
-                   AS fpr_e4
+               CASE WHEN tot.n_probes = 0 THEN NULL ELSE
+                   CAST((2 * 10000 * coalesce(fp.n_false_pos, 0)
+                         + tot.n_probes) // (2 * tot.n_probes) AS BIGINT)
+               END AS fpr_e4
         FROM mg LEFT JOIN occ ON mg.m = occ.m
                 LEFT JOIN fp ON mg.m = fp.m, tot
         ORDER BY mg.m
@@ -3263,9 +3267,12 @@ def emb_dim_truncation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim",
             F.col("n_truth_pairs").cast("long").alias("n_truth_pairs"),
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            # NULL recall when the truth set is empty (empty-lake net:
+            # the plain DIV raised under ANSI)
             F.expr(
-                "CAST((2 * 10000 * coalesce(n_hits, 0) + n_truth_pairs)"
-                " DIV (2 * n_truth_pairs) AS BIGINT)"
+                "CASE WHEN n_truth_pairs = 0 THEN NULL ELSE"
+                " CAST((2 * 10000 * coalesce(n_hits, 0) + n_truth_pairs)"
+                " DIV (2 * n_truth_pairs) AS BIGINT) END"
             ).alias("recall_e4"),
         )
         .orderBy("dim")
@@ -3311,9 +3318,11 @@ def _dk_emb_trunc_oracle() -> str:
         SELECT dg.dim,
                CAST(nt.n_truth_pairs AS BIGINT) AS n_truth_pairs,
                CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
-               CAST((2 * 10000 * coalesce(hits.n_hits, 0)
-                     + nt.n_truth_pairs) // (2 * nt.n_truth_pairs)
-                    AS BIGINT) AS recall_e4
+               CASE WHEN nt.n_truth_pairs = 0 THEN NULL ELSE
+                   CAST((2 * 10000 * coalesce(hits.n_hits, 0)
+                         + nt.n_truth_pairs) // (2 * nt.n_truth_pairs)
+                        AS BIGINT)
+               END AS recall_e4
         FROM dg LEFT JOIN hits ON dg.dim = hits.dim, nt
         ORDER BY dg.dim
     """
