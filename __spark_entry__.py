@@ -80,6 +80,7 @@ _R11_PRIORITY: list[str] = [
     "ann_ivf_pq_kmeans",
     "hll_merge_by_type",
     "kmv_merge_by_source",
+    "cms_merge_by_source",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

@@ -1052,3 +1052,119 @@ ORACLES["kmv_merge_by_source"] = f"""
            (k - 1) * {th.P} / kth_hash AS est_distinct
     FROM allrows ORDER BY scope
 """
+
+# -------------------------------------------------- cms_merge_by_source
+
+from abr_etl_spark.plans.llm_pipeline4 import (  # noqa: E402
+    _CMS_A,
+    _CMS_B,
+    _cms_cells,
+    CMS_PROBE_DOCS,
+    CMS_W,
+)
+
+
+def cms_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch MERGEABILITY -- the linear-algebra member of
+    the sketch-rollup trio (HLL merges by register max, KMV by order
+    statistics, CMS by CELL-WISE SUM): per-source D x W counter tables
+    are built independently and the whole-corpus sketch is their
+    cell-wise sum -- counting is linear, so merge(cms(A), cms(B)) ==
+    cms(A union B) EXACTLY, and the '__ALL__' estimates below are
+    pytest-pinned equal to the single-pass heavy_hitters_cms output.
+    Output (scope, tok, est_freq): the probe set's frequency estimate
+    under every per-source sketch (0 where the token never occurs --
+    an absent cell counts zero, hence the left join) and under the
+    merged sketch.
+
+    Scale shape: token occurrences never shuffle -- each partition
+    partially aggregates into <= |sources| x D x W cells; the merge is
+    one cell-wise sum of those metadata-scale tables; the probe grid
+    is |probes| x D x |scopes| rows against a broadcast sketch. The
+    rollup property is what lets per-day / per-source CMS tables
+    answer corpus-wide frequency queries without a second scan."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "source", F.explode(F.expr(th.sp_tokens("text"))).alias("tok")
+    )
+    per = materialize_result(
+        _cms_cells(occ)
+        .groupBy("source", "j", "cell")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("source").alias("scope"), "j", "cell", "n")
+    )
+    merged = (
+        per.groupBy("j", "cell")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(F.lit("__ALL__").alias("scope"), "j", "cell", "n")
+    )
+    sketches = per.unionByName(merged)
+    scopes = sketches.select("scope").distinct()
+    probe = (
+        d.where(F.col("doc_id") < CMS_PROBE_DOCS)
+        .select(F.explode(F.expr(th.sp_tokens("text"))).alias("tok"))
+        .distinct()
+    )
+    grid = _cms_cells(probe, keep_tok=True).crossJoin(broadcast(scopes))
+    return (
+        grid.join(broadcast(sketches), ["scope", "j", "cell"], "left")
+        .groupBy("scope", "tok")
+        .agg(
+            F.min(F.coalesce("n", F.lit(0))).cast("long").alias("est_freq")
+        )
+        .orderBy("scope", "tok")
+    )
+
+
+QUERIES["cms_merge_by_source"] = cms_merge_by_source
+
+
+def _cms_merge_oracle() -> str:
+    cells_src = " UNION ALL ".join(
+        f"SELECT source, {j} AS j,"
+        f" (({a} * h + {b}) % {th.P}) % {CMS_W} AS cell FROM occ"
+        for j, (a, b) in enumerate(zip(_CMS_A, _CMS_B))
+    )
+    pcells = " UNION ALL ".join(
+        f"SELECT tok, {j} AS j,"
+        f" (({a} * h + {b}) % {th.P}) % {CMS_W} AS cell FROM ph"
+        for j, (a, b) in enumerate(zip(_CMS_A, _CMS_B))
+    )
+    return f"""
+    WITH occ AS (
+        SELECT source, {th.dk_polyhash('tok')} AS h
+        FROM (SELECT source, unnest({th.dk_tokens('text')}) AS tok
+              FROM documents)
+    ), cells AS (
+        {cells_src}
+    ), per AS MATERIALIZED (
+        SELECT source AS scope, j, cell, CAST(count(*) AS BIGINT) AS n
+        FROM cells GROUP BY 1, 2, 3
+    ), merged AS (
+        SELECT '__ALL__' AS scope, j, cell, CAST(sum(n) AS BIGINT) AS n
+        FROM per GROUP BY j, cell
+    ), sk AS (
+        SELECT * FROM per UNION ALL SELECT * FROM merged
+    ), scopes AS (SELECT DISTINCT scope FROM sk),
+    probe AS (
+        SELECT DISTINCT tok
+        FROM (SELECT unnest({th.dk_tokens('text')}) AS tok
+              FROM documents WHERE doc_id < {CMS_PROBE_DOCS})
+    ), ph AS (
+        SELECT tok, {th.dk_polyhash('tok')} AS h FROM probe
+    ), pcells AS (
+        {pcells}
+    ), grid AS (
+        SELECT s.scope, p.tok, p.j, p.cell FROM pcells p, scopes s
+    )
+    SELECT g.scope, g.tok,
+           CAST(min(coalesce(sk.n, 0)) AS BIGINT) AS est_freq
+    FROM grid g
+    LEFT JOIN sk ON sk.scope = g.scope AND sk.j = g.j
+                AND sk.cell = g.cell
+    GROUP BY g.scope, g.tok
+    ORDER BY g.scope, g.tok
+    """
+
+
+ORACLES["cms_merge_by_source"] = _cms_merge_oracle()

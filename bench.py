@@ -172,10 +172,12 @@ HEADLINERS = [
     # codebooks price the residual Lloyd pass + index-served cell scan
     "ivfadc_nprobe_sweep",
     "ann_ivf_pq_kmeans",
-    # sketch mergeability: one hash scan + (scope, bucket) registers;
-    # the KMV twin prices the per-source k-min rank + distinct merge
+    # sketch mergeability trio: register max (HLL), k-min order
+    # statistics (KMV), cell-wise sum (CMS) -- each one scan + a
+    # metadata-scale merge
     "hll_merge_by_type",
     "kmv_merge_by_source",
+    "cms_merge_by_source",
 ]
 
 

@@ -511,3 +511,68 @@ def test_kmv_merge_single_source_idempotent(spark, tmp_path):
         )
     finally:
         con.close()
+
+
+# -------------------------------------------------- cms_merge_by_source
+
+
+def test_cms_merge_equals_single_pass_sketch(spark, tmp_path):
+    """Linearity: the '__ALL__' estimates, computed only from summing
+    per-source cells, equal the direct single-pass heavy_hitters_cms
+    output; a token absent from a source estimates 0 under that
+    source's sketch."""
+    from abr_etl_spark.plans import llm_pipeline4 as lp4
+
+    docs = [
+        (0, "apple banana apple cherry", "en", "a", 1),
+        (1, "banana banana durian", "en", "b", 1),
+        (2, "apple elder fig grape", "en", "b", 1),
+        (3, "unrelated words only here", "en", "c", 1),
+    ]
+    con = _lake(spark, tmp_path, docs=docs)
+    try:
+        rows = lp9.cms_merge_by_source(spark, str(tmp_path)).collect()
+        all_est = {
+            r["tok"]: r["est_freq"] for r in rows if r["scope"] == "__ALL__"
+        }
+        direct = {
+            r["tok"]: r["est_freq"]
+            for r in lp4.heavy_hitters_cms(spark, str(tmp_path)).collect()
+        }
+        assert all_est == direct
+        per_c = {
+            r["tok"]: r["est_freq"] for r in rows if r["scope"] == "c"
+        }
+        # 'apple' never occurs in source c -> its cells are absent
+        # there -> estimate 0 (collision-free at this tiny scale)
+        assert per_c["apple"] == 0
+        assert_matches_oracle(
+            lp9.cms_merge_by_source(spark, str(tmp_path)),
+            con,
+            lp9.ORACLES["cms_merge_by_source"],
+            "cms_merge_by_source",
+        )
+    finally:
+        con.close()
+
+
+def test_cms_merge_single_source_idempotent(spark, tmp_path):
+    """One source: the merged sketch IS that source's sketch, so the
+    two scopes' estimates agree token for token."""
+    docs = [(0, "x y x z x y", "en", "solo", 1)]
+    con = _lake(spark, tmp_path, docs=docs)
+    try:
+        rows = lp9.cms_merge_by_source(spark, str(tmp_path)).collect()
+        by_scope: dict = {}
+        for r in rows:
+            by_scope.setdefault(r["scope"], {})[r["tok"]] = r["est_freq"]
+        assert by_scope["__ALL__"] == by_scope["solo"]
+        assert by_scope["solo"]["x"] == 3
+        assert_matches_oracle(
+            lp9.cms_merge_by_source(spark, str(tmp_path)),
+            con,
+            lp9.ORACLES["cms_merge_by_source"],
+            "cms_merge_by_source",
+        )
+    finally:
+        con.close()

@@ -92,6 +92,8 @@ KEYS = [
     "hll_merge_by_type",
     # order-statistics merge: per-source k-min rank + distinct union
     "kmv_merge_by_source",
+    # linear merge: partial-agg cells summed cell-wise across scopes
+    "cms_merge_by_source",
 ]
 
 
