@@ -81,6 +81,7 @@ _R11_PRIORITY: list[str] = [
     "hll_merge_by_type",
     "kmv_merge_by_source",
     "cms_merge_by_source",
+    "ivfadc_trained_nprobe",
     "ann_ivf_kmeans",
     "dedup_semantic",
     # --- 4. r7-stale tail ---

@@ -480,6 +480,20 @@ def ivfadc_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audited broadcast-query shape and runs once."""
     e = load_table(spark, sf_dir, "embeddings")
     asg, _cb, codes, lut = _ivfadc_seed_parts(spark, e)
+    return _nprobe_report(spark, e, codes, lut)
+
+
+def _nprobe_report(
+    spark: SparkSession, e: DataFrame, codes: DataFrame, lut: DataFrame
+) -> DataFrame:
+    """The codebook-agnostic half of an IVFADC nprobe sweep: rank every
+    query's cells (ivf_assign's comparator extended to rank <=
+    max(nprobe)), score the candidates of the top-max(nprobe) cells
+    ONCE from the given (codes, lut) frames, then slice per config by
+    a broadcast grid join and report candidates/recall vs the exact
+    cosine truth. Candidate GENERATION never reads the codebook, so
+    two sweeps over the same corpus share their cost column exactly
+    (pytest-pinned across the seed and trained variants)."""
     cent = e.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cfull"),
@@ -576,8 +590,13 @@ def ivfadc_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ivfadc_nprobe_sweep"] = ivfadc_nprobe_sweep
 
-ORACLES["ivfadc_nprobe_sweep"] = f"""
-    WITH {dk_ivfadc_seed_ctes()}, qprobe AS MATERIALIZED (
+def _dk_nprobe_tail(codes: str, lut: str) -> str:
+    """The codebook-agnostic oracle half of an IVFADC nprobe sweep
+    (_nprobe_report's DuckDB twin): qprobe/scored/grid/truth CTEs plus
+    the final per-nprobe report, parameterized on the CTE names
+    providing (vec_id, centroid_id, m, c) codes and (query_id, m, c,
+    p_e6) LUT rows so the seed and trained variants share the text."""
+    return f""" qprobe AS MATERIALIZED (
         SELECT query_id, centroid_id, cell_rank, qc_e6 FROM (
             SELECT q.vec_id AS query_id, c.centroid_id,
                    row_number() OVER (PARTITION BY q.vec_id
@@ -592,9 +611,9 @@ ORACLES["ivfadc_nprobe_sweep"] = f"""
                any_value(qp.cell_rank) AS cell_rank,
                CAST(any_value(qp.qc_e6) + sum(l.p_e6) AS BIGINT)
                    AS score_e6
-        FROM codes s
+        FROM {codes} s
         JOIN qprobe qp ON qp.centroid_id = s.centroid_id
-        JOIN lut l ON l.query_id = qp.query_id
+        JOIN {lut} l ON l.query_id = qp.query_id
                   AND l.m = s.m AND l.c = s.c
         WHERE qp.query_id <> s.vec_id
         GROUP BY qp.query_id, s.vec_id
@@ -637,8 +656,12 @@ ORACLES["ivfadc_nprobe_sweep"] = f"""
                            + nt.n_true) // (2 * nt.n_true) AS BIGINT)
            END AS recall_e4
     FROM ncand c LEFT JOIN ncom nc ON nc.nprobe = c.nprobe, nt
-    ORDER BY c.nprobe
-"""
+    ORDER BY c.nprobe"""
+
+
+ORACLES["ivfadc_nprobe_sweep"] = (
+    f"WITH {dk_ivfadc_seed_ctes()},{_dk_nprobe_tail('codes', 'lut')}"
+)
 
 # ---------------------------------------------------- ann_ivf_pq_kmeans
 
@@ -671,6 +694,48 @@ def ann_ivf_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries (cell, code, score) -- codes are {PQ_M}
     bytes-worth per vector, vectors never move."""
     e = load_table(spark, sf_dir, "embeddings")
+    asg, _cb, codes, lut = _ivfadc_trained_parts(spark, e, sf_dir)
+    qcell = asg.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        "centroid_id",
+        F.expr(_pq_e6(th.sp_dot("embedding", "cfull"))).alias("qc_e6"),
+    )
+    scores = (
+        codes.join(broadcast(qcell), "centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .join(broadcast(lut), ["query_id", "m", "c"])
+        .groupBy("query_id", "vec_id", "qc_e6")
+        .agg(F.sum("p_e6").alias("__s"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("qc_e6") + F.col("__s")).cast("long").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            "score_e6",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivfadc_trained_parts(
+    spark: SparkSession, e: DataFrame, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The trained-residual IVFADC build (ann_ivf_pq_kmeans's flavor of
+    _ivfadc_seed_parts): (asg, cb, codes, lut) with the codebook
+    TRAINED by residual-space subspace k-means behind the persisted
+    pq_index (variant-tagged sidecar). Factored verbatim so the
+    trained nprobe sweep re-slices the identical dataframe graph."""
     cent = e.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cfull"),
@@ -748,43 +813,16 @@ def ann_ivf_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_pq_e6(th.sp_dot("qv", "cvec"))).alias("p_e6"),
         )
     )
-    qcell = asg.where(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"),
-        "centroid_id",
-        F.expr(_pq_e6(th.sp_dot("embedding", "cfull"))).alias("qc_e6"),
-    )
-    scores = (
-        codes.join(broadcast(qcell), "centroid_id")
-        .where(F.col("query_id") != F.col("vec_id"))
-        .join(broadcast(lut), ["query_id", "m", "c"])
-        .groupBy("query_id", "vec_id", "qc_e6")
-        .agg(F.sum("p_e6").alias("__s"))
-        .select(
-            "query_id",
-            "vec_id",
-            (F.col("qc_e6") + F.col("__s")).cast("long").alias("score_e6"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_e6").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scores.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= ANN_K)
-        .select(
-            "query_id",
-            F.col("rank").cast("int").alias("rank"),
-            F.col("vec_id").alias("neighbor_id"),
-            "score_e6",
-        )
-        .orderBy("query_id", "rank")
-    )
+    return asg, cb, codes, lut
 
 
 QUERIES["ann_ivf_pq_kmeans"] = ann_ivf_pq_kmeans
 
-ORACLES["ann_ivf_pq_kmeans"] = f"""
-    WITH cent AS MATERIALIZED (
+#: DuckDB twin of _ivfadc_trained_parts: CTEs cent/asg/remb/<kmeans>/
+#: dists2/codes2/lut2 -- shared by ann_ivf_pq_kmeans and the trained
+#: nprobe sweep so both oracles replay the identical residual-space
+#: training, encode and LUT.
+_DK_IVFADC_TRAINED_CTES = f"""cent AS MATERIALIZED (
         SELECT vec_id AS centroid_id, embedding AS cfull
         FROM embeddings WHERE vec_id % 50 = 0
     ), asg AS MATERIALIZED (
@@ -821,7 +859,10 @@ ORACLES["ann_ivf_pq_kmeans"] = f"""
                , 6) * 1000000.0, 0) AS BIGINT) AS p_e6
         FROM embeddings q, cb
         WHERE q.vec_id < {N_QUERY_VECS}
-    ), qcell AS MATERIALIZED (
+    )"""
+
+ORACLES["ann_ivf_pq_kmeans"] = f"""
+    WITH {_DK_IVFADC_TRAINED_CTES}, qcell AS MATERIALIZED (
         SELECT a.vec_id AS query_id, a.centroid_id,
                CAST(round(round(
                    {th.dk_dot('a.embedding', 'a.cfull')}
@@ -1168,3 +1209,32 @@ def _cms_merge_oracle() -> str:
 
 
 ORACLES["cms_merge_by_source"] = _cms_merge_oracle()
+
+# ----------------------------------------------- ivfadc_trained_nprobe
+
+
+def ivfadc_trained_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivfadc_nprobe_sweep with TRAINED residual codebooks -- the
+    nprobe axis of the PRODUCTION IVFADC (ann_ivf_pq_kmeans pins
+    nprobe=1), closing the compound index's tuning surface: coarse
+    quantizer (oracle-replayed), residual-space k-means codebooks
+    (oracle-replayed, persisted behind the variant-tagged pq_index),
+    and now the probe-count dial over both. Same report columns as the
+    seed sweep; candidate GENERATION never reads the codebook, so the
+    n_candidates column is pytest-pinned EQUAL to ivfadc_nprobe_sweep's
+    row for row -- the two sweeps differ only in ranking quality.
+
+    Scale shape: identical to ivfadc_nprobe_sweep (the scored frame
+    builds once at max(nprobe) and is grid-sliced); training amortizes
+    behind the index exactly as in ann_ivf_pq_kmeans."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _asg, _cb, codes, lut = _ivfadc_trained_parts(spark, e, sf_dir)
+    return _nprobe_report(spark, e, codes, lut)
+
+
+QUERIES["ivfadc_trained_nprobe"] = ivfadc_trained_nprobe
+
+ORACLES["ivfadc_trained_nprobe"] = (
+    f"WITH {_DK_IVFADC_TRAINED_CTES},"
+    f"{_dk_nprobe_tail('codes2', 'lut2')}"
+)

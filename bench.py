@@ -178,6 +178,8 @@ HEADLINERS = [
     "hll_merge_by_type",
     "kmv_merge_by_source",
     "cms_merge_by_source",
+    # trained-IVFADC probe dial: index-served codebook + grid slices
+    "ivfadc_trained_nprobe",
 ]
 
 

@@ -576,3 +576,28 @@ def test_cms_merge_single_source_idempotent(spark, tmp_path):
         )
     finally:
         con.close()
+
+
+# ----------------------------------------------- ivfadc_trained_nprobe
+
+
+def test_trained_nprobe_shares_candidates_with_seed_sweep(spark):
+    """Candidate generation reads only the coarse quantizer, never the
+    codebook: the trained sweep's n_candidates and n_true columns must
+    equal ivfadc_nprobe_sweep's row for row -- the two reports differ
+    only in ranking quality (n_common may differ)."""
+    from tests.conftest import SF_ORACLE
+
+    seed = {
+        r["nprobe"]: r
+        for r in lp9.ivfadc_nprobe_sweep(spark, SF_ORACLE).collect()
+    }
+    trained = {
+        r["nprobe"]: r
+        for r in lp9.ivfadc_trained_nprobe(spark, SF_ORACLE).collect()
+    }
+    assert sorted(seed) == sorted(trained) == lp9.IVFADC_NPROBE_GRID
+    for np_ in lp9.IVFADC_NPROBE_GRID:
+        assert seed[np_]["n_candidates"] == trained[np_]["n_candidates"]
+        assert seed[np_]["n_true"] == trained[np_]["n_true"]
+        assert trained[np_]["n_common"] >= 0

@@ -94,6 +94,8 @@ KEYS = [
     "kmv_merge_by_source",
     # linear merge: partial-agg cells summed cell-wise across scopes
     "cms_merge_by_source",
+    # trained IVFADC probe dial: grid-sliced scored frame + index cb
+    "ivfadc_trained_nprobe",
 ]
 
 
