@@ -20,73 +20,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-11 priority head (r10 verdict item 1), ordered by how badly
+# Round-12 priority head (r11 verdict item 1), ordered by how badly
 # each key needs a fresh CORRECTNESS row under the driver's ~50-row
 # budget:
-# 1. the 5 keys whose newest driver row dates to round 6 (the stale
-#    tail r10's budget line cut);
-# 2. single-row r9/r10-born keys (one driver row ever);
-# 3. born or plan-changed this round (mmr_lambda_sweep / ann_pq_adc /
-#    dedup_weighted_jaccard are new; ann_ivf_kmeans and dedup_semantic
-#    now probe the persisted kmeans_index -- values unchanged);
-# 4. the r7-stale tail, oldest rows first.
+# 1. the 48 keys whose newest driver row dates to round 7 (the
+#    `_R11_PRIORITY` section-4 tail minus anomaly_mad /
+#    asof_interpolate, which r11's budget covered) -- retiring this
+#    tail lifts the catalog's freshness floor from r7 to r8;
+# 2. born or plan-changed this round (r12 new keys; the
+#    dedup_weighted_jaccard broadcast-guard and shingle_size_sweep
+#    short-doc keys whose plans were touched).
 # Everything after the budget line keeps module order; all keys pass
 # the local full-registry gate regardless.
-_R11_PRIORITY: list[str] = [
-    # --- 1. r6-stale driver rows ---
-    "pii_report",
-    "doc_ngram_novelty",
-    "dsir_importance",
-    "stream_running_counts",
-    "stream_sliding_avg",
-    # --- 2. single-row r9/r10-born keys ---
-    "cross_source_ngram_overlap",
-    "pack_efficiency_report",
-    "mmr_diversify_topk",
-    "corpus_budget_waterfill",
-    "lang_mix_by_source",
-    "event_heatmap_cells",
-    "ann_nprobe_sweep",
-    "simhash_recall_by_tau",
-    "embedding_whiten_topk",
-    "bpe_encode_corpus",
-    "hll_distinct_prod_m",
-    "stream_topk_windowed",
-    "source_embedding_drift",
-    "dup_inflation_report",
-    # --- 3. r11 new / plan-changed ---
-    "mmr_lambda_sweep",
-    "ann_pq_adc",
-    "ann_pq_kmeans",
-    "ann_ivf_pq",
-    "dedup_weighted_jaccard",
-    "lsh_band_sweep",
-    "pq_recall_sweep",
-    "sessionize_gap_sweep",
-    "kmeans_k_sweep",
-    "vocab_coverage_sweep",
-    "k_anonymity_report",
-    "dup_quality_report",
-    "bloom_fpr_sweep",
-    "l_diversity_report",
-    "watermark_lateness_sweep",
-    "rank_fusion_rrf",
-    "dq_accepted_values",
-    "emb_dim_truncation_sweep",
-    "shingle_size_sweep",
-    "hll_precision_sweep",
-    "simhash_band_sweep",
-    "ivfadc_nprobe_sweep",
-    "ann_ivf_pq_kmeans",
-    "hll_merge_by_type",
-    "kmv_merge_by_source",
-    "cms_merge_by_source",
-    "ivfadc_trained_nprobe",
-    "ann_ivf_kmeans",
-    "dedup_semantic",
-    # --- 4. r7-stale tail ---
-    "anomaly_mad",
-    "asof_interpolate",
+_R12_PRIORITY: list[str] = [
+    # --- 1. r7-stale driver rows (48; oldest catalog rows) ---
     "attribution_linear",
     "basket_pairs",
     "bm25_topk",
@@ -135,6 +82,9 @@ _R11_PRIORITY: list[str] = [
     "time_weighted_avg",
     "weighted_sample_systematic",
     "window_funcs",
+    # --- 2. r12 new / plan-changed ---
+    "dedup_weighted_jaccard",
+    "shingle_size_sweep",
 ]
 
 
@@ -235,8 +185,8 @@ def _registry() -> tuple[dict, dict]:
 
     # Priority ordering: the driver checks queries in registry order under a
     # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
-    # first (see _R11_PRIORITY), then everything else in module order.
-    ordered = {k: queries[k] for k in _R11_PRIORITY if k in queries}
+    # first (see _R12_PRIORITY), then everything else in module order.
+    ordered = {k: queries[k] for k in _R12_PRIORITY if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
     return ordered, oracles
 
