@@ -1496,6 +1496,18 @@ ORACLES.update(
 )
 
 
+#: Survivor-pair broadcast ceiling for dedup_weighted_jaccard: the
+#: explicit broadcast() hint on the pair list is only attached when the
+#: survivor count is at or below this bound (~24 B/row -> ~120 MB at the
+#: cap, comfortably inside a default driver/executor budget). Above it
+#: -- a low tau on a template-heavy corpus makes the pair list
+#: unbounded -- the hint is omitted and AQE picks the join strategy
+#: from measured sizes (sort-merge once the list outgrows
+#: autoBroadcastJoinThreshold), so the driver never pins an unbounded
+#: frame. Tests drop this to 0 to pin the hint-free plan.
+WJ_PAIR_BROADCAST_CAP: int = 5_000_000
+
+
 def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """idf-WEIGHTED Jaccard rescoring of the near-dup pair set: every
     surviving tau-pair gets, beside its plain jaccard, the weighted
@@ -1509,11 +1521,16 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pairs come from the banded/df-capped candidate
     machinery (shared pair cache with dedup_ngram_jaccard); the
     weighted pass touches only PAIR DOCS -- both shingle sides are
-    semi-joined against the broadcast pair list before the one
-    (doc, shingle) equi-join -- so its cost scales with the survivor
-    count, not the corpus. Weight sums are BIGINT; at extreme corpora
-    (sum w ~ N * shingles/doc > 2^49) apply the documented
-    DECIMAL(38,0) widening before the 2*10000 fold."""
+    semi-joined against the pair list before the one (doc, shingle)
+    equi-join -- so its cost scales with the survivor count, not the
+    corpus. The pair-list joins carry an explicit broadcast() hint
+    ONLY while the survivor count is <= WJ_PAIR_BROADCAST_CAP (the
+    count is one extra job over the already-cached pair frame); past
+    the cap the hint is omitted and AQE sizes the join, so a low-tau
+    template-heavy corpus cannot OOM the driver. Weight sums are
+    BIGINT; at extreme corpora (sum w ~ N * shingles/doc > 2^49)
+    apply the documented DECIMAL(38,0) widening before the
+    2*10000 fold."""
     from abr_etl_spark.operators import dedup
     from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU
 
@@ -1521,6 +1538,11 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU).select(
         "doc_a", "doc_b", "jaccard"
     )
+    n_survivors = pairs.count()
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return broadcast(df) if n_survivors <= WJ_PAIR_BROADCAST_CAP else df
+
     sh = dedup.shingle_df(d, "text", "doc_id", 3)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     tot = d.agg(F.count("*").alias("__n"))
@@ -1533,13 +1555,13 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = ex.join(wdf, "s")
     per_doc = ws.groupBy("doc_id").agg(F.sum("w").alias("wsum"))
     wa = ws.select(F.col("doc_id").alias("doc_a"), "s", "w").join(
-        broadcast(pairs.select("doc_a").distinct()), "doc_a", "left_semi"
+        _hint(pairs.select("doc_a").distinct()), "doc_a", "left_semi"
     )
     wb = ws.select(F.col("doc_id").alias("doc_b"), "s").join(
-        broadcast(pairs.select("doc_b").distinct()), "doc_b", "left_semi"
+        _hint(pairs.select("doc_b").distinct()), "doc_b", "left_semi"
     )
     common_w = (
-        wa.join(broadcast(pairs.select("doc_a", "doc_b")), "doc_a")
+        wa.join(_hint(pairs.select("doc_a", "doc_b")), "doc_a")
         .join(wb, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b")
         .agg(F.sum("w").alias("wc"))

@@ -441,6 +441,33 @@ def test_weighted_jaccard_matches_oracle_smoke(spark, ddb):
     )
 
 
+def test_weighted_jaccard_broadcast_guard(spark, monkeypatch):
+    """The pair-list broadcast() hint is size-conditional (r11 verdict
+    item 5): at the default cap (tau=0.9, sparse survivors) the
+    analyzed plan carries the explicit broadcast ResolvedHints exactly
+    as before; with the cap forced below the survivor count the hints
+    vanish (AQE owns the strategy) and the VALUES are unchanged."""
+    from abr_etl_spark.plans import llm_pipeline8 as l8
+
+    def _n_hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+
+    hinted = l8.dedup_weighted_jaccard(spark, SF_ORACLE)
+    baseline = _n_hints(hinted)
+    rows_hinted = hinted.collect()
+
+    monkeypatch.setattr(l8, "WJ_PAIR_BROADCAST_CAP", 0)
+    unhinted = l8.dedup_weighted_jaccard(spark, SF_ORACLE)
+    # survivors > 0 > cap: exactly the three pair-list hints vanish
+    # (hints inside the candidate machinery and the bounded 1-row
+    # total-count hint remain -- those frames are cap-bounded by
+    # construction, not survivor-scaled).
+    assert _n_hints(unhinted) == baseline - 3
+    assert unhinted.collect() == rows_hinted
+
+
 def test_lsh_band_sweep_monotone(spark):
     """More bands of fewer rows -> the collision threshold drops, so
     candidates and recall are non-increasing as bands shrink; the
