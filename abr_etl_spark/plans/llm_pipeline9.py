@@ -98,7 +98,19 @@ def shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery as dedup_ngram_jaccard (lossless at tau; candidate
     fan-out bounded by df_cap^2) and reduces to one 3-scalar row; the
     index-size scan is one column-pruned shingle pass per n. Nothing
-    here is quadratic in corpus size."""
+    here is quadratic in corpus size.
+
+    Short-doc contract: a document with fewer than n tokens collapses
+    to ONE whole-doc shingle, for which the prefix-filter losslessness
+    argument does not hold -- if more than df_cap identical short docs
+    share that shingle, the df-cap silently drops their jaccard=1
+    pairs while a brute-force oracle keeps them. The sweep therefore
+    EXCLUDES sub-n-token docs from the pair stats for that n, on both
+    engines (they carry no n-gram signal at that order; exact dedup
+    upstream owns them); total_shingles still counts every doc, since
+    the index-size axis is a whole-corpus cost. Pinned by
+    tests/test_llm_pipeline9.py::test_shingle_sweep_short_doc_contract
+    with > df_cap identical one-token docs."""
     d = load_table(spark, sf_dir, "documents")
     out = None
     for n in SHINGLE_N_GRID:
@@ -108,7 +120,10 @@ def shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("total_shingles")
         )
-        pairs = dedup.ngram_jaccard_pairs(d, n=n, threshold=JACCARD_TAU)
+        d_pairs = d.where(
+            F.size(F.expr(th.sp_tokens("text"))) >= F.lit(n)
+        )
+        pairs = dedup.ngram_jaccard_pairs(d_pairs, n=n, threshold=JACCARD_TAU)
         pstats = pairs.agg(
             F.count("*").cast("long").alias("n_pairs"),
             F.coalesce(
@@ -136,11 +151,13 @@ def _shingle_size_sweep_oracle() -> str:
     ctes = []
     for n in SHINGLE_N_GRID:
         sh = th.dk_shingles("text", n)
+        tok = th.dk_tokens("text")
         ctes.append(f"""
     t{n} AS MATERIALIZED (
-        SELECT doc_id, {sh} AS sh FROM documents
+        SELECT doc_id, {sh} AS sh, len({tok}) AS n_tok FROM documents
     ), e{n} AS (
         SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t{n}
+        WHERE n_tok >= {n}
     ), pairs{n} AS MATERIALIZED (
         SELECT round(c::DOUBLE / (n_a + n_b - c), 4) AS jaccard FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

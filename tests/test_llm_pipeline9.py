@@ -103,6 +103,45 @@ def test_shingle_sweep_larger_n_separates_edited_pair(spark, tmp_path):
         con.close()
 
 
+def test_shingle_sweep_short_doc_contract(spark, tmp_path):
+    """Short-doc contract (r11 advice): more identical sub-n-token docs
+    than df_cap would make the df-cap drop their whole-doc-shingle
+    jaccard=1 pairs while the brute-force oracle kept them -- a
+    data-dependent cross-engine divergence. The sweep excludes sub-n
+    docs from the PAIR stats on both engines, so with 1005 identical
+    one-token docs (> df_cap=1000) the engines agree bit-for-bit:
+    no short-doc pairs anywhere, the 4-token twin pair counted only at
+    n=3 (4 >= 3 but 4 < 5), and total_shingles still counts every doc."""
+    n_short = 1005
+    docs = [(i, "dup", "en", "s", 3) for i in range(n_short)] + [
+        (n_short, "alpha beta gamma delta", "en", "t", 22),
+        (n_short + 1, "alpha beta gamma delta", "en", "t", 22),
+    ]
+    con = _lake(spark, tmp_path, docs=docs)
+    try:
+        rows = {
+            r["n"]: r
+            for r in lp9.shingle_size_sweep(spark, str(tmp_path)).collect()
+        }
+        assert rows[3]["n_pairs"] == 1 and rows[3]["sum_jaccard_e4"] == 10000
+        for n in (5, 7, 13):
+            assert rows[n]["n_pairs"] == 0, f"n={n}"
+        # index-size axis still counts every doc: one whole-doc shingle
+        # per short doc; the 4-token docs carry 2 distinct 3-grams each
+        # at n=3 and collapse to 1 whole-doc shingle at n >= 5.
+        assert rows[3]["total_shingles"] == n_short + 2 * 2
+        for n in (5, 7, 13):
+            assert rows[n]["total_shingles"] == n_short + 2
+        assert_matches_oracle(
+            lp9.shingle_size_sweep(spark, str(tmp_path)),
+            con,
+            lp9.ORACLES["shingle_size_sweep"],
+            "shingle_size_sweep",
+        )
+    finally:
+        con.close()
+
+
 def test_shingle_sweep_empty_corpus(spark, tmp_path):
     con = _lake(spark, tmp_path, docs=[])
     try:
