@@ -530,6 +530,16 @@ def _merge_snapshot_locked(
        swap is healed from the aside copy -- the old dir is never the
        only copy while the new one is in flight).
 
+    Schema evolution (the weekly-feed contract, stated once here and
+    enforced in the merge body): ADDITIVE only. Upserts carrying a NEW
+    column evolve the table -- survivors in touched buckets are
+    NULL-backfilled, untouched buckets keep the old schema on disk and
+    ``read_merged_snapshot``'s mergeSchema read surfaces the column as
+    NULL there. Upserts MISSING a table column, or RETYPING one, raise
+    ValueError: a silently narrowed upsert would erase surviving rows'
+    data on the next rewrite. (The reference hard-codes 34 columns so
+    this is beyond-parity; it is the classic weekly-feed failure.)
+
     Scale shape: one partition-pruned scan of the affected buckets, one
     anti-join against the (small) delta key set -- AQE broadcasts it in
     the common deltas<<snapshot case -- and a bucket-local rewrite.
@@ -638,10 +648,53 @@ def _merge_snapshot_locked(
     ]
     fresh = stamped.where(F.col(_BUCKET_COL).isin(pending))
     if pending_dirs:
-        current = (
+        # Schema-evolution contract (additive-only): a week that ADDS a
+        # column evolves the table -- surviving rows are NULL-backfilled
+        # and only the touched buckets are rewritten with the new
+        # schema, so reads go through mergeSchema (read_merged_snapshot)
+        # until every bucket has been rewritten. A week that DROPS or
+        # RETYPES a column is rejected loudly: an upsert silently
+        # narrowing the table would destroy surviving rows' data.
+        # mergeSchema here: pending buckets may themselves straddle an
+        # earlier evolution boundary.
+        current_raw = (
             spark.read.option("basePath", path)
+            .option("mergeSchema", "true")
             .parquet(*pending_dirs)
-            .select(*data_cols)
+        )
+        tbl_cols = [
+            c
+            for c in current_raw.columns
+            if c not in (_EPOCH_COL, _BUCKET_COL)
+        ]
+        dropped = [c for c in tbl_cols if c not in data_cols]
+        if dropped:
+            raise ValueError(
+                f"merge_snapshot: upserts are missing table column(s) "
+                f"{dropped}; the evolution contract is additive-only -- "
+                "new nullable columns evolve the table, dropping or "
+                "renaming one requires an explicit rebuild"
+            )
+        up_types = dict(upserts.select(*data_cols).dtypes)
+        cur_types = dict(current_raw.dtypes)
+        clash = {
+            c: (cur_types[c], up_types[c])
+            for c in tbl_cols
+            if cur_types[c] != up_types[c]
+        }
+        if clash:
+            raise ValueError(
+                f"merge_snapshot: column type change(s) {clash} "
+                "(table-type, upsert-type); retyping requires an "
+                "explicit rebuild"
+            )
+        current = current_raw.select(
+            *[
+                F.col(c)
+                if c in tbl_cols
+                else F.lit(None).cast(up_types[c]).alias(c)
+                for c in data_cols
+            ]
         )
         survivors = (
             current.join(F.broadcast(all_keys.distinct()), key, "left_anti")
@@ -724,5 +777,12 @@ def _commit_staging(
 def read_merged_snapshot(spark: SparkSession, path: str) -> DataFrame:
     """Read a merge_snapshot table as plain data rows (bookkeeping
     columns dropped); bucket partition pruning still applies when a
-    caller filters on the key's bucket."""
-    return spark.read.parquet(path).drop(_EPOCH_COL, _BUCKET_COL)
+    caller filters on the key's bucket. mergeSchema: after an additive
+    schema evolution only the touched buckets carry the new column on
+    disk; the merged read surfaces it as NULL for the rest (footer
+    reads only -- no row data)."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .drop(_EPOCH_COL, _BUCKET_COL)
+    )

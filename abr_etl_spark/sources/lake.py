@@ -99,8 +99,17 @@ def write_partitioned(
 
 
 def read_lake(spark: SparkSession, path: str) -> DataFrame:
-    """Read a partitioned lake table; partition values become columns."""
-    return spark.read.parquet(path)
+    """Read a partitioned lake table; partition values become columns.
+
+    ``mergeSchema`` is on: the weekly-feed evolution contract (additive
+    columns only -- see ``abr_schemas.ingest_abr``) means partitions
+    written before a column appeared lack it on disk; schema merge
+    unions the per-file schemas (a parquet FOOTER read per file, no row
+    data) so old partitions surface the new column as NULL instead of
+    the read schema being whichever file listed first. Destructive
+    changes (drop / retype) are rejected at ingest and merge time, so
+    the union here is always well-formed."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def discover_partitions(df: DataFrame, partition_col: str = "importdate") -> list[str]:

@@ -117,3 +117,68 @@ def test_agency_delta_on_real_schema(spark, tmp_path):
         "5": "added",
         "3": "removed",
     }
+
+
+def test_ingest_abr_additive_evolution(spark, tmp_path):
+    """Schema-evolution contract (r11 verdict item 4), ingest side: a
+    drop whose header carries every declared column PLUS new ones
+    ingests with the extras appended (strings; *_dt extras date-cast);
+    the declared columns are untouched."""
+    import datetime
+
+    header = "|".join([*ab.DATASET_COLUMNS["Funds"], "risk_cd", "rev_dt"])
+    rows = [
+        "1|51824753557|TYP|FUND ONE|20240115|20240116|HI|20240201",
+        "2|51824753558|TYP|FUND TWO|20240115||LO|",
+    ]
+    (tmp_path / "VIC240102_ABR_Funds.txt").write_text(
+        "\n".join([header, *rows]) + "\n"
+    )
+    df = ab.ingest_abr(spark, str(tmp_path), "Funds")
+    assert df.columns == [
+        *ab.DATASET_COLUMNS["Funds"],
+        "risk_cd",
+        "rev_dt",
+        "importdate",
+    ]
+    got = {r.pid: r for r in df.collect()}
+    assert got["1"].risk_cd == "HI"
+    assert got["1"].rev_dt == datetime.date(2024, 2, 1)  # *_dt extra cast
+    assert got["2"].risk_cd == "LO" and got["2"].rev_dt is None
+    assert got["1"].fund_nm == "FUND ONE"  # declared columns untouched
+
+
+def test_ingest_abr_rejects_narrowed_header(spark, tmp_path):
+    """A header MISSING a declared column is rejected loudly: CSV maps
+    positionally, so a narrowed file against the declared schema would
+    silently shift every later column one slot."""
+    import pytest
+
+    narrowed = [c for c in ab.DATASET_COLUMNS["Funds"] if c != "fund_typ_cd"]
+    (tmp_path / "VIC240102_ABR_Funds.txt").write_text(
+        "|".join(narrowed) + "\n1|51824753557|FUND ONE|20240115|\n"
+    )
+    with pytest.raises(ValueError, match="missing.*fund_typ_cd"):
+        ab.ingest_abr(spark, str(tmp_path), "Funds")
+
+
+def test_ingest_abr_rejects_mixed_headers_in_one_drop(spark, tmp_path):
+    """Two files of one dataset in one drop with different headers is an
+    operational error (one drop = one weekly schema), not evolution."""
+    import pytest
+
+    _write_drop(tmp_path, "240102", "Funds", [_fill("Funds", 1)])
+    header2 = "|".join([*ab.DATASET_COLUMNS["Funds"], "risk_cd"])
+    (tmp_path / "VIC240109_ABR_Funds.txt").write_text(
+        header2 + "\n2|51824753558|TYP|F|20240115||HI\n"
+    )
+    with pytest.raises(ValueError, match="disagree"):
+        ab.ingest_abr(spark, str(tmp_path), "Funds")
+
+
+def test_ingest_abr_evolve_false_pins_declared_schema(spark, tmp_path):
+    """evolve=False keeps the exact wire schema (the pre-r12 behavior)
+    for deployments that pin schemas in a catalog."""
+    _write_drop(tmp_path, "240102", "Funds", [_fill("Funds", 1)])
+    df = ab.ingest_abr(spark, str(tmp_path), "Funds", evolve=False)
+    assert df.columns == [*ab.DATASET_COLUMNS["Funds"], "importdate"]

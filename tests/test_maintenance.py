@@ -645,3 +645,67 @@ def test_merge_snapshot_single_writer_lock(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="NULL"):
         merge_snapshot(spark, path, bad, None, key="pid", epoch=3, n_buckets=4)
     assert not os.path.exists(lock)
+
+
+def test_merge_snapshot_additive_schema_evolution(spark, tmp_path):
+    """Schema-evolution contract, merge side: epoch-2 upserts carrying a
+    NEW column evolve the table -- survivors (touched and untouched
+    buckets alike) read the column as NULL, new rows carry it; the
+    replayed epoch is still a metadata no-op across the boundary."""
+    from abr_etl_spark.operators.maintenance import (
+        merge_snapshot,
+        read_merged_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    week1 = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(30)], "k string, v long"
+    )
+    merge_snapshot(spark, path, week1, None, key="k", epoch=1, n_buckets=4)
+
+    week2 = spark.createDataFrame(
+        [("k0", 100, "A"), ("k1", 101, "B"), ("new1", 200, "C")],
+        "k string, v long, w string",
+    )
+    rep = merge_snapshot(
+        spark, path, week2, None, key="k", epoch=2, n_buckets=4
+    )
+    assert rep["written"] >= 1
+
+    got = {
+        r["k"]: (r["v"], r["w"])
+        for r in read_merged_snapshot(spark, path).collect()
+    }
+    assert len(got) == 31
+    assert got["k0"] == (100, "A") and got["new1"] == (200, "C")
+    # survivors everywhere -- rewritten buckets (NULL-backfilled rows)
+    # and untouched old-schema buckets (mergeSchema read) -- see NULL
+    assert all(got[f"k{i}"] == (i, None) for i in range(2, 30))
+
+    # replaying the evolved epoch is a per-bucket metadata no-op
+    rep2 = merge_snapshot(
+        spark, path, week2, None, key="k", epoch=2, n_buckets=4
+    )
+    assert rep2["written"] == 0 and rep2["skipped"] == rep["written"]
+
+
+def test_merge_snapshot_rejects_destructive_evolution(spark, tmp_path):
+    """Upserts MISSING a table column or RETYPING one raise loudly: a
+    silently narrowed upsert would erase surviving rows' data."""
+    import pytest
+
+    from abr_etl_spark.operators.maintenance import merge_snapshot
+
+    path = str(tmp_path / "tbl")
+    week1 = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(10)], "k string, v long"
+    )
+    merge_snapshot(spark, path, week1, None, key="k", epoch=1, n_buckets=2)
+
+    narrowed = spark.createDataFrame([("k0",)], "k string")
+    with pytest.raises(ValueError, match="missing table column"):
+        merge_snapshot(spark, path, narrowed, None, key="k", epoch=2, n_buckets=2)
+
+    retyped = spark.createDataFrame([("k0", "9")], "k string, v string")
+    with pytest.raises(ValueError, match="type change"):
+        merge_snapshot(spark, path, retyped, None, key="k", epoch=2, n_buckets=2)
