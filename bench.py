@@ -183,6 +183,99 @@ HEADLINERS = [
 ]
 
 
+def _bench_weekly_pipeline(spark, sf_dir: str, reps: int) -> list[float]:
+    """Time the COMPOSED weekly flow (r11 verdict item 6): ingest ->
+    transform -> delta -> merge_snapshot -> compaction, replayed over
+    two weekly drops plus a third no-op replay of week 2 (the marker
+    fast path). Per-key queries above price each operator alone; this
+    row prices the reference-parity main() end to end so a regression
+    in the composition (extra scan between stages, a lost broadcast)
+    is visible even when every per-key number holds.
+
+    Drop synthesis (untimed setup): two pipe-delimited Agency_Data
+    drops derived deterministically from sf's orders table -- week 2
+    updates every 10th key, removes every 37th, adds 1k new rows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from abr_etl_spark import pipeline
+
+    root = tempfile.mkdtemp(prefix="abr_bench_weekly_")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.concat(F.lit("p"), F.col("o_orderkey")).alias("pid"),
+            F.col("o_custkey").cast("string").alias("abn"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").cast("string").alias("total"),
+            F.col("o_orderkey").alias("__k"),
+        )
+        week2 = (
+            orders.where(F.col("__k") % 37 != 1)
+            .withColumn(
+                "total",
+                F.when(
+                    F.col("__k") % 10 == 0, F.lit("0.01")
+                ).otherwise(F.col("total")),
+            )
+            .unionByName(
+                orders.limit(1000).select(
+                    F.concat(F.lit("q"), F.col("__k")).alias("pid"),
+                    "abn",
+                    "status",
+                    "total",
+                    "__k",
+                )
+            )
+        )
+        for wk, df, date6 in (("w1", orders, "190422"), ("w2", week2, "190429")):
+            tmp = os.path.join(root, f"_csv_{wk}")
+            df.drop("__k").coalesce(1).write.option("sep", "|").option(
+                "header", True
+            ).csv(tmp)
+            drop = os.path.join(root, wk)
+            os.makedirs(drop, exist_ok=True)
+            part = next(
+                f for f in os.listdir(tmp) if f.startswith("part-")
+            )
+            os.rename(
+                os.path.join(tmp, part),
+                os.path.join(drop, f"VIC{date6}_ABR_Agency_Data.txt"),
+            )
+        samples = []
+        for rep in range(reps):
+            work = os.path.join(root, f"run{rep}")
+            kw = dict(
+                lake_root=os.path.join(work, "lake"),
+                datasets=("Agency_Data",),
+                merge_dir=os.path.join(work, "merged"),
+                # 8 buckets: enough to exercise the per-bucket marker /
+                # compaction machinery while keeping the bench row from
+                # pricing 32 tiny scheduler rounds at this SF
+                merge_buckets=8,
+                compact_merged=True,
+            )
+            t0 = time.perf_counter()
+            pipeline.run_weekly(
+                spark,
+                pipeline.WeeklyConfig(drop_dir=os.path.join(root, "w1"), **kw),
+            )
+            pipeline.run_weekly(
+                spark,
+                pipeline.WeeklyConfig(drop_dir=os.path.join(root, "w2"), **kw),
+            )
+            # no-op replay: per-bucket marker fast path, no parquet rows
+            pipeline.run_weekly(
+                spark,
+                pipeline.WeeklyConfig(drop_dir=os.path.join(root, "w2"), **kw),
+            )
+            samples.append(time.perf_counter() - t0)
+        return samples
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -230,6 +323,18 @@ def main() -> None:
             f"(runs: {[round(s, 3) for s in sorted(samples)]})",
             file=sys.stderr,
         )
+
+    # Composed weekly flow (side-effecting sink chain; not a queries()
+    # key, so priced here rather than in HEADLINERS).
+    wk = _bench_weekly_pipeline(spark, sf_dir, reps)
+    timings["weekly_pipeline"] = round(sorted(wk)[len(wk) // 2], 3)
+    cold["weekly_pipeline"] = round(max(wk), 3)
+    best["weekly_pipeline"] = round(min(wk), 3)
+    print(
+        f"  weekly_pipeline: {timings['weekly_pipeline']}s "
+        f"(runs: {[round(s, 3) for s in sorted(wk)]})",
+        file=sys.stderr,
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
