@@ -248,6 +248,19 @@ def _mmr_inputs(
     return materialize_result(cand), materialize_result(sim)
 
 
+#: Greedy-chain plan-growth guard: each MMR step embeds the previous
+#: ``picked`` subtree THREE times (anti-join, picked-sim join, union),
+#: so the logical tree grows ~3^k and Catalyst analysis time follows --
+#: measured plan-build 1.9 s at k=3 vs 25.4 s at k=6 (sf0.01, warm
+#: JVM). Past _MMR_PLAN_TRUNC_K picks, the chain localCheckpoints the
+#: (tiny: |Q| x picks rows) picked frame every _MMR_PLAN_TRUNC_EVERY
+#: steps, resetting the subtree so analysis cost is linear in k. The
+#: committed k=3 plans are untouched (no checkpoint node, same audit
+#: shape); the guard exists so the k dial is not a planning-time cliff.
+_MMR_PLAN_TRUNC_K = 4
+_MMR_PLAN_TRUNC_EVERY = 2
+
+
 def _mmr_greedy(
     cand: DataFrame, sim: DataFrame, *, k: int, wrel: int, wdiv: int
 ) -> DataFrame:
@@ -302,6 +315,8 @@ def _mmr_greedy(
             )
         )
         picked = picked.unionByName(step)
+        if k > _MMR_PLAN_TRUNC_K and t % _MMR_PLAN_TRUNC_EVERY == 0:
+            picked = picked.localCheckpoint()
     return picked
 
 
@@ -405,6 +420,8 @@ def mmr_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*keys, "neighbor_id", "rel_e6", "score_e7")
         )
         picked = picked.unionByName(step)
+        if MMR_K > _MMR_PLAN_TRUNC_K and t % _MMR_PLAN_TRUNC_EVERY == 0:
+            picked = picked.localCheckpoint()
     rel = picked.groupBy("wrel", "wdiv").agg(
         F.count("*").alias("n_picks"),
         F.coalesce(F.sum("rel_e6"), F.lit(0)).alias("sum_rel_e6"),

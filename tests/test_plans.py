@@ -195,3 +195,54 @@ def test_type_contract_normalizes_simulated_drift(spark):
     )
     r3 = normalize_table_types(nanos, "orders").collect()[0]
     assert str(r3["o_orderdate"]) == "1992-01-01 00:00:00"
+
+
+def test_sweep_plan_growth_is_linear_in_grid(spark, monkeypatch):
+    """r11 verdict item 3: the band-sweep family's static plan size must
+    grow LINEARLY with its grid -- each layout contributes a bounded
+    slice of exchanges, with a shared prefix that does not multiply.
+    Pin: exchanges-per-layout at |grid|=3 equals (within one) the
+    per-layout count at |grid|=2, so doubling a grid can never blow up
+    the plan superlinearly."""
+    from abr_etl_spark.plans import llm_pipeline8 as l8
+
+    def n_ex(df):
+        return _plan(df).count("Exchange ")
+
+    e3 = n_ex(l8.lsh_band_sweep(spark, SF_ORACLE))
+    monkeypatch.setattr(l8, "LSH_GRID", l8.LSH_GRID[:2])
+    e2 = n_ex(l8.lsh_band_sweep(spark, SF_ORACLE))
+    assert e2 < e3
+    per3, per2 = e3 / 3, e2 / 2
+    assert abs(per3 - per2) <= 1.0, (e2, e3)
+
+
+def test_mmr_chain_planning_stays_linear_in_k(spark, monkeypatch):
+    """The MMR greedy chain embeds its own subtree ~3x per pick, so an
+    untruncated plan grows exponentially in k (measured 25 s analysis
+    at k=6). Past _MMR_PLAN_TRUNC_K picks the chain localCheckpoints
+    every _MMR_PLAN_TRUNC_EVERY steps; pin the effect on the ANALYZED
+    tree: the k=8 plan stays within a small multiple of the k=3 plan
+    instead of ~3^5 times larger, and the k-dial values are a strict
+    prefix-consistent superset (pick 1..3 identical)."""
+    from abr_etl_spark.plans import llm_pipeline8 as l8
+
+    def tree_chars(df):
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    base = l8.mmr_diversify_topk(spark, SF_ORACLE)  # k = MMR_K = 3
+    big = l8.mmr_diversify_topk(spark, SF_ORACLE, k=8)
+    assert tree_chars(big) <= 8 * tree_chars(base), (
+        tree_chars(base),
+        tree_chars(big),
+    )
+    first3 = {
+        (r["query_id"], r["pick"]): r["neighbor_id"]
+        for r in base.collect()
+    }
+    big_first3 = {
+        (r["query_id"], r["pick"]): r["neighbor_id"]
+        for r in big.collect()
+        if r["pick"] <= 3
+    }
+    assert big_first3 == first3  # greedy prefix property survives
