@@ -85,6 +85,17 @@ _R12_PRIORITY: list[str] = [
     # --- 2. r12 new / plan-changed ---
     "dedup_weighted_jaccard",
     "shingle_size_sweep",
+    "minhash_perm_sweep",
+    "tfidf_cosine_pairs",
+    "ks_drift_by_source",
+    "t_closeness_report",
+    "doc_entropy_quality",
+    "zipf_tail_by_source",
+    "dup_span_coverage",
+    "lang_entropy_by_source",
+    "bootstrap_ci_poisson",
+    "mmr_diversify_topk",
+    "mmr_lambda_sweep",
 ]
 
 
@@ -101,6 +112,7 @@ def _registry() -> tuple[dict, dict]:
     import abr_etl_spark.plans.analytics6 as analytics6
     import abr_etl_spark.plans.analytics7 as analytics7
     import abr_etl_spark.plans.analytics8 as analytics8
+    import abr_etl_spark.plans.analytics9 as analytics9
 
     modules = [
         analytics,
@@ -111,6 +123,7 @@ def _registry() -> tuple[dict, dict]:
         analytics6,
         analytics7,
         analytics8,
+        analytics9,
         semistructured,
     ]
     try:
@@ -177,6 +190,12 @@ def _registry() -> tuple[dict, dict]:
         import abr_etl_spark.plans.llm_pipeline9 as llm_pipeline9
 
         modules.append(llm_pipeline9)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline10 as llm_pipeline10
+
+        modules.append(llm_pipeline10)
     except ImportError:
         pass
     for m in modules:
