@@ -180,6 +180,19 @@ HEADLINERS = [
     "cms_merge_by_source",
     # trained-IVFADC probe dial: index-served codebook + grid slices
     "ivfadc_trained_nprobe",
+    # r12 additions. minhash_perm_sweep's median prices the sliced
+    # estimator over the cached pair frame (the cold field shows the
+    # one rep that paid the polyhash signature build, ~32 s at sf0.1);
+    # the rest are sub-3 s single-pass reports.
+    "minhash_perm_sweep",
+    "tfidf_cosine_pairs",
+    "ks_drift_by_source",
+    "t_closeness_report",
+    "doc_entropy_quality",
+    "zipf_tail_by_source",
+    "dup_span_coverage",
+    "lang_entropy_by_source",
+    "bootstrap_ci_poisson",
 ]
 
 
