@@ -94,6 +94,10 @@ _R12_PRIORITY: list[str] = [
     "dup_span_coverage",
     "lang_entropy_by_source",
     "bootstrap_ci_poisson",
+    "psi_drift_by_source",
+    "cusum_changepoint_daily",
+    "anova_f_event_value",
+    "mannwhitney_u_value",
     "mmr_diversify_topk",
     "mmr_lambda_sweep",
 ]

@@ -193,6 +193,10 @@ HEADLINERS = [
     "dup_span_coverage",
     "lang_entropy_by_source",
     "bootstrap_ci_poisson",
+    "psi_drift_by_source",
+    "cusum_changepoint_daily",
+    "anova_f_event_value",
+    "mannwhitney_u_value",
 ]
 
 
