@@ -100,6 +100,12 @@ _R12_PRIORITY: list[str] = [
     "mannwhitney_u_value",
     "mmr_diversify_topk",
     "mmr_lambda_sweep",
+    "benford_first_digit",
+    "seasonal_index_dow",
+    "mutual_information_type_dow",
+    "acf_daily_lag",
+    "theilsen_slope_daily",
+    "profile_columns",
 ]
 
 
@@ -117,6 +123,7 @@ def _registry() -> tuple[dict, dict]:
     import abr_etl_spark.plans.analytics7 as analytics7
     import abr_etl_spark.plans.analytics8 as analytics8
     import abr_etl_spark.plans.analytics9 as analytics9
+    import abr_etl_spark.plans.analytics10 as analytics10
 
     modules = [
         analytics,
@@ -128,6 +135,7 @@ def _registry() -> tuple[dict, dict]:
         analytics7,
         analytics8,
         analytics9,
+        analytics10,
         semistructured,
     ]
     try:
