@@ -106,6 +106,10 @@ _R12_PRIORITY: list[str] = [
     "acf_daily_lag",
     "theilsen_slope_daily",
     "profile_columns",
+    "collocations_pmi",
+    "link_prediction_aa",
+    "k_anon_generalization_sweep",
+    "join_cardinality_estimate",
 ]
 
 
@@ -202,6 +206,12 @@ def _registry() -> tuple[dict, dict]:
         import abr_etl_spark.plans.llm_pipeline9 as llm_pipeline9
 
         modules.append(llm_pipeline9)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline11 as llm_pipeline11
+
+        modules.append(llm_pipeline11)
     except ImportError:
         pass
     try:
