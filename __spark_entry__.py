@@ -110,6 +110,9 @@ _R12_PRIORITY: list[str] = [
     "link_prediction_aa",
     "k_anon_generalization_sweep",
     "join_cardinality_estimate",
+    "decompose_trend_dow",
+    "stratified_kfold_assign",
+    "keyness_g2_by_source",
 ]
 
 

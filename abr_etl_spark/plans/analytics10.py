@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from abr_etl_spark.functions.texthash import P
 from abr_etl_spark.sources.lake import load_table
 
 QUERIES: dict = {}
@@ -700,3 +701,197 @@ def _profile_oracle() -> str:
 
 
 ORACLES["profile_columns"] = _profile_oracle()
+
+# ---------------------------------------------------- decompose_trend_dow
+
+#: sorted-struct fold returning (sum, count) of ratio terms -- both
+#: engines add per-day ratios in calendar order.
+_DTD_FOLD_SUM = (
+    "aggregate(array_sort(collect_list(s)), cast(0 as double), "
+    "(acc, x) -> acc + x.t)"
+)
+
+
+def decompose_trend_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative decomposition of the daily event-value
+    series (the ratio-to-moving-average method -- STL's ancestor and
+    the textbook X-11 step): trend = centered 7-day moving window,
+    seasonal = the DOW mean of the detrended ratio normalized to mean
+    1 over the week, remainder = ratio / seasonal. Output one row per
+    interior day (day, v_e2, trend_sum_e2, ratio, seasonal, remainder),
+    6-dp floats -- the series health dashboard in one frame.
+
+    Determinism: daily sums are exact BIGINT cents; the trend window
+    is kept as the un-divided 7-day SUM (integer), with edge windows
+    (fewer than 7 calendar-contiguous days) excluded by an integer
+    day-span check rather than emitting a biased partial mean; ratio =
+    7*v/trend_sum is the first float op; the DOW means and the weekly
+    normalizer fold in sorted (day / dow) order.
+
+    Scale shape: ONE scan to the day grain; everything after is
+    windows and broadcast joins over the |days| frame (calendar-
+    bounded, not row-bounded)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(ts AS DATE)").alias("day"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("v_e2"),
+    )
+    daily = e.groupBy("day").agg(F.sum("v_e2").alias("v"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "v",
+        F.sum("v").over(w7).alias("tsum"),
+        F.count("*").over(w7).alias("tcnt"),
+        F.expr(f"datediff(max(day) OVER (ORDER BY day ROWS BETWEEN 3 "
+               f"PRECEDING AND 3 FOLLOWING), min(day) OVER (ORDER BY day "
+               f"ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))").alias("span"),
+    ).where((F.col("tcnt") == 7) & (F.col("span") == 6))
+    rat = tr.select(
+        "day",
+        "v",
+        "tsum",
+        F.expr(
+            f"pmod(datediff(day, DATE '{_DOW_ANCHOR}'), 7)"
+        ).alias("dow"),
+        F.expr("7 * CAST(v AS DOUBLE) / CAST(tsum AS DOUBLE)").alias("r"),
+    )
+    sdow = (
+        rat.select(
+            "dow",
+            F.struct(F.col("day").alias("k1"), F.col("r").alias("t")).alias(
+                "s"
+            ),
+        )
+        .groupBy("dow")
+        .agg(
+            (F.expr(_DTD_FOLD_SUM) / F.count("*")).alias("s_raw")
+        )
+    )
+    norm = sdow.select(
+        F.struct(F.col("dow").alias("k1"), F.col("s_raw").alias("t")).alias(
+            "s"
+        )
+    ).agg(F.expr(_DTD_FOLD_SUM).alias("s_tot"))
+    seas = sdow.crossJoin(broadcast(norm)).select(
+        "dow", F.expr("s_raw * 7 / s_tot").alias("seasonal")
+    )
+    return (
+        rat.join(broadcast(seas), "dow")
+        .select(
+            F.expr("CAST(day AS STRING)").alias("day"),
+            F.col("v").alias("v_e2"),
+            F.col("tsum").alias("trend_sum_e2"),
+            F.round("r", 6).alias("ratio"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.expr("r / seasonal"), 6).alias("remainder"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["decompose_trend_dow"] = decompose_trend_dow
+
+ORACLES["decompose_trend_dow"] = f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS v
+        FROM events GROUP BY 1
+    ), tr AS MATERIALIZED (
+        SELECT day, v, tsum, dow,
+               7 * CAST(v AS DOUBLE) / CAST(tsum AS DOUBLE) AS r
+        FROM (
+            SELECT day, v,
+                   sum(v) OVER w AS tsum,
+                   count(*) OVER w AS tcnt,
+                   max(day) OVER w - min(day) OVER w AS span,
+                   ((day - DATE '{_DOW_ANCHOR}') % 7 + 7) % 7 AS dow
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ) WHERE tcnt = 7 AND span = 6
+    ), sdow AS MATERIALIZED (
+        SELECT dow,
+               list_aggregate(list_transform(
+                   list_sort(list({{'k1': day, 't': r}})), x -> x['t']),
+                   'sum') / count(*) AS s_raw
+        FROM tr GROUP BY dow
+    ), norm AS (
+        SELECT list_aggregate(list_transform(
+                   list_sort(list({{'k1': dow, 't': s_raw}})), x -> x['t']),
+                   'sum') AS s_tot
+        FROM sdow
+    ), seas AS (
+        SELECT dow, s_raw * 7 / s_tot AS seasonal
+        FROM sdow CROSS JOIN norm
+    )
+    SELECT CAST(day AS VARCHAR) AS day, CAST(v AS BIGINT) AS v_e2,
+           CAST(tsum AS BIGINT) AS trend_sum_e2,
+           round(r, 6) AS ratio, round(seasonal, 6) AS seasonal,
+           round(r / seasonal, 6) AS remainder
+    FROM tr JOIN seas USING (dow)
+    ORDER BY day
+"""
+
+# -------------------------------------------------- stratified_kfold_assign
+
+#: fold count for cross-validation assignment.
+KFOLD_K = 5
+#: LCG + squaring mix (bootstrap_ci_poisson's lesson: affine-only
+#: hashes stripe shards into one band).
+_KF_A = 1664525
+_KF_C = 1013904223
+
+
+def _kf_fold_expr(id_col: str) -> str:
+    """Deterministic fold id in [0, K) -- shared Spark/DuckDB text."""
+    u0 = f"(({_KF_A} * (CAST({id_col} AS BIGINT) + 1) + {_KF_C}) % {P})"
+    u1 = f"(({u0} * {u0} + {u0}) % {P})"
+    return f"CAST({u1} % {KFOLD_K} AS INT)"
+
+
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment for cross-validation:
+    every event lands in fold = mix(event_id) % {k}, and the report
+    audits the balance the modeler cares about -- per (event_type,
+    fold): row count and the fold's share of its stratum in exact
+    1e-6 units (share_e6 = n*1e6 DIV stratum_total). A healthy
+    assignment reads ~200_000 +/- noise in every cell.
+
+    Determinism: the fold id is the squared-LCG integer mix (no RNG,
+    re-runs reproduce bit-for-bit -- the property that makes CV
+    results auditable); shares are integer cross-divisions.
+
+    Scale shape: fold assignment is pure map-side arithmetic at the
+    scan; ONE grouped census to |types| x {k} cells. The assignment
+    column itself (not shown) rides the row for free -- zero shuffle
+    beyond the audit's census."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr(_kf_fold_expr("event_id")).alias("fold")
+    )
+    cells = e.groupBy("event_type", "fold").agg(F.count("*").alias("n"))
+    tot = cells.groupBy("event_type").agg(F.sum("n").alias("n_t"))
+    return (
+        cells.join(broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "fold",
+            F.col("n").cast("long").alias("n"),
+            F.expr("CAST(n * 1000000 DIV n_t AS BIGINT)").alias("share_e6"),
+        )
+        .orderBy("event_type", "fold")
+    )
+
+
+QUERIES["stratified_kfold_assign"] = stratified_kfold_assign
+
+ORACLES["stratified_kfold_assign"] = f"""
+    WITH cells AS MATERIALIZED (
+        SELECT event_type, {_kf_fold_expr('event_id')} AS fold,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), tot AS (SELECT event_type, sum(n) AS n_t FROM cells GROUP BY 1)
+    SELECT event_type, fold, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // n_t AS BIGINT) AS share_e6
+    FROM cells JOIN tot USING (event_type)
+    ORDER BY event_type, fold
+"""

@@ -28,7 +28,7 @@ side, never rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -456,3 +456,115 @@ def _jc_oracle() -> str:
 
 
 ORACLES["join_cardinality_estimate"] = _jc_oracle()
+
+# ----------------------------------------------------- keyness_g2_by_source
+
+#: report size per source.
+G2_TOP_K = 20
+#: minimum in-source term count (G2 on hapax terms is noise).
+G2_MIN_COUNT = 5
+
+#: signed log-likelihood keyness (Dunning 1993; Rayson & Garside 2000):
+#: G2 = 2 * (a*ln(a/Ea) + b*ln(b/Eb)) with Ea = n1*(a+b)/N, Eb =
+#: n2*(a+b)/N; zero b contributes 0 (lim x->0 x ln x = 0). ONE pinned
+#: text over exact BIGINTs -- a*N <= N^2 needs the bm25 DECIMAL swap
+#: past ~3e9 tokens; sign flips negative when the term is UNDER-used.
+_G2_TERM = (
+    "2.0 * (CAST(a AS DOUBLE)"
+    " * ln(CAST(a AS DOUBLE) * N / (CAST(n1 AS DOUBLE) * (a + b)))"
+    " + (CASE WHEN b = 0 THEN cast(0 as double) ELSE CAST(b AS DOUBLE)"
+    " * ln(CAST(b AS DOUBLE) * N / (CAST(n2 AS DOUBLE) * (a + b))) END))"
+    " * (CASE WHEN CAST(a AS DOUBLE) * n2 >= CAST(b AS DOUBLE) * n1"
+    " THEN 1 ELSE -1 END)"
+)
+
+
+def keyness_g2_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyness: for each source, the top-{k} most
+    CHARACTERISTIC terms vs the rest of the corpus by signed
+    log-likelihood G2 (Dunning 1993 -- the corpus-linguistics standard
+    that, unlike raw lift, does not reward hapax terms). a/b are the
+    term's token counts in-source/elsewhere, n1/n2 the corpora sizes;
+    positive sign = over-used in the source. Output (source, term, a,
+    g2) ordered by (source, g2 desc, term).
+
+    Determinism: all counts exact BIGINT; G2 is ONE pinned-text float
+    expression per (source, term) -- no fold, so no addition-order
+    hazard; ranking uses the 6-dp score with term tie-break.
+
+    Scale shape: ONE tokenize pass to the (source, term) grain with
+    map-side combine; term totals re-aggregate that frame; the
+    per-source top-k is a bounded window over qualifying terms
+    (count >= {mc})."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source", F.explode(F.expr(th.sp_tokens("text"))).alias("tok")
+        )
+        .groupBy("source", F.col("tok").alias("term"))
+        .agg(F.count("*").alias("a"))
+    )
+    tt = st.groupBy("term").agg(F.sum("a").alias("ab"))
+    n1 = st.groupBy("source").agg(F.sum("a").alias("n1"))
+    nn = n1.agg(F.sum("n1").alias("N"))
+    scored = (
+        st.where(F.col("a") >= G2_MIN_COUNT)
+        .join(tt, "term")
+        .join(broadcast(n1), "source")
+        .crossJoin(broadcast(nn))
+        .select(
+            "source",
+            "term",
+            "a",
+            F.expr("ab - a").alias("b"),
+            "n1",
+            F.expr("N - n1").alias("n2"),
+            "N",
+        )
+        .select(
+            "source",
+            "term",
+            F.col("a").cast("long").alias("a"),
+            F.round(F.expr(_G2_TERM), 6).alias("g2"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("g2").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= G2_TOP_K)
+        .select("source", "term", "a", "g2")
+        .orderBy("source", F.col("g2").desc(), "term")
+    )
+
+
+QUERIES["keyness_g2_by_source"] = keyness_g2_by_source
+
+ORACLES["keyness_g2_by_source"] = f"""
+    WITH st AS MATERIALIZED (
+        SELECT source, tok AS term, count(*) AS a
+        FROM (SELECT source, unnest({th.dk_tokens('text')}) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ), tt AS (SELECT term, sum(a) AS ab FROM st GROUP BY 1),
+    n1s AS (SELECT source, sum(a) AS n1 FROM st GROUP BY 1),
+    nn AS (SELECT sum(n1) AS N FROM n1s),
+    scored AS (
+        SELECT source, term, CAST(a AS BIGINT) AS a,
+               round({_G2_TERM}, 6) AS g2
+        FROM (
+            SELECT st.source, st.term, st.a, tt.ab - st.a AS b,
+                   n1s.n1, nn.N - n1s.n1 AS n2, nn.N
+            FROM st JOIN tt USING (term) JOIN n1s USING (source)
+            CROSS JOIN nn
+            WHERE st.a >= {G2_MIN_COUNT}
+        )
+    )
+    SELECT source, term, a, g2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY g2 DESC, term ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {G2_TOP_K}
+    ORDER BY source, g2 DESC, term
+"""

@@ -311,3 +311,97 @@ def test_profile_columns_matches_oracle_smoke(spark, ddb):
         a10.ORACLES["profile_columns"],
         "profile_columns",
     )
+
+
+# ---------------------------------------------------- decompose_trend_dow
+
+
+def test_decompose_pure_weekly_pattern_remainder_is_one(spark, tmp_path):
+    """A pure multiplicative weekly pattern with no trend: every
+    contiguous 7-day window sums to the same total, the seasonal
+    factors recover the pattern, and the remainder is exactly 1."""
+    pat = [700.0, 800.0, 900.0, 1000.0, 1100.0, 1200.0, 1300.0]
+    rows = []
+    for d in range(28):
+        day = _T0 + timedelta(days=d)
+        dow = ((day.date() - datetime(1992, 1, 6).date()).days) % 7
+        rows.append((d, day, d, "t", pat[dow], "{}"))
+    con = _events_lake(spark, tmp_path, rows)
+    got = a10.decompose_trend_dow(spark, str(tmp_path)).collect()
+    assert len(got) == 22  # 28 days, 3 trimmed each edge
+    assert all(r["trend_sum_e2"] == 700000 for r in got)
+    assert all(r["remainder"] == pytest.approx(1.0) for r in got)
+    assert_matches_oracle(
+        a10.decompose_trend_dow(spark, str(tmp_path)),
+        con,
+        a10.ORACLES["decompose_trend_dow"],
+        "decompose_trend_dow",
+    )
+
+
+def test_decompose_gap_excludes_straddling_windows(spark, tmp_path):
+    """A missing calendar day must EXCLUDE every 7-row window that
+    straddles it (span check) instead of emitting a biased partial
+    trend -- pinned against a brute-force recount."""
+    days = [d for d in range(28) if d != 14]
+    rows = [
+        (d, _T0 + timedelta(days=d), d, "t", 100.0, "{}") for d in days
+    ]
+    _events_lake(spark, tmp_path, rows)
+    got = a10.decompose_trend_dow(spark, str(tmp_path)).collect()
+    expected = 0
+    for i in range(3, len(days) - 3):
+        win = days[i - 3 : i + 4]
+        if win[-1] - win[0] == 6:
+            expected += 1
+    assert len(got) == expected
+
+
+def test_decompose_matches_oracle_smoke(spark, ddb):
+    assert_matches_oracle(
+        a10.decompose_trend_dow(spark, SF_ORACLE),
+        ddb,
+        a10.ORACLES["decompose_trend_dow"],
+        "decompose_trend_dow",
+    )
+
+
+# ------------------------------------------------- stratified_kfold_assign
+
+
+def test_kfold_balanced_and_deterministic(spark, tmp_path):
+    """Every stratum splits into KFOLD_K folds whose shares sum to ~1
+    (floor rounding) and stay within a generous balance band; re-runs
+    reproduce the assignment bit-for-bit."""
+    rows = [
+        (i, _T0 + timedelta(days=i % 7), i, f"t{i % 2}", 1.0, "{}")
+        for i in range(2000)
+    ]
+    con = _events_lake(spark, tmp_path, rows)
+    got = a10.stratified_kfold_assign(spark, str(tmp_path)).collect()
+    by_type: dict = {}
+    for r in got:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, cells in by_type.items():
+        assert len(cells) == a10.KFOLD_K
+        share_sum = sum(c["share_e6"] for c in cells)
+        assert 1_000_000 - a10.KFOLD_K <= share_sum <= 1_000_000
+        for c in cells:
+            assert 120_000 <= c["share_e6"] <= 280_000, (t, c)
+    again = a10.stratified_kfold_assign(spark, str(tmp_path)).collect()
+    assert got == again
+    assert_matches_oracle(
+        a10.stratified_kfold_assign(spark, str(tmp_path)),
+        con,
+        a10.ORACLES["stratified_kfold_assign"],
+        "stratified_kfold_assign",
+    )
+
+
+def test_kfold_matches_oracle_smoke(spark, ddb):
+    assert_matches_oracle(
+        a10.stratified_kfold_assign(spark, SF_ORACLE),
+        ddb,
+        a10.ORACLES["stratified_kfold_assign"],
+        "stratified_kfold_assign",
+    )

@@ -212,3 +212,43 @@ def test_jc_exact_matches_true_join_count(spark, ddb):
         "ON l_orderkey = o_orderkey"
     ).fetchone()[0]
     assert exact == true
+
+
+# ----------------------------------------------------- keyness_g2_by_source
+
+
+def test_g2_exclusive_term_tops_its_source(spark, tmp_path):
+    """A term exclusive to one source gets the closed-form b=0 score
+    2*a*ln(N/n1) with positive sign; a perfectly evenly spread term
+    scores exactly 0."""
+    docs = [("A", "zebra zebra common common")] * 10 + [
+        ("B", "filler word common common")
+    ] * 10
+    rows = [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(docs)]
+    _lake(spark, tmp_path, "documents", rows,
+          "doc_id long, text string, lang string, source string, n_chars long")
+    con = _ddb(tmp_path, "documents")
+    got = {(r["source"], r["term"]): r for r in
+           lp11.keyness_g2_by_source(spark, str(tmp_path)).collect()}
+    # zebra: a=20, b=0, n1=40, N=80 -> 2*20*ln(20*80/(40*20)) = 40*ln(2)
+    assert got[("A", "zebra")]["g2"] == pytest.approx(
+        round(2 * 20 * math.log(2), 6)
+    )
+    assert got[("A", "zebra")]["g2"] > 0
+    # 'common' is split 20/20 across equal corpora -> expected == observed
+    assert got[("A", "common")]["g2"] == pytest.approx(0.0)
+    assert_matches_oracle(
+        lp11.keyness_g2_by_source(spark, str(tmp_path)),
+        con,
+        lp11.ORACLES["keyness_g2_by_source"],
+        "keyness_g2_by_source",
+    )
+
+
+def test_g2_matches_oracle_smoke(spark, ddb):
+    assert_matches_oracle(
+        lp11.keyness_g2_by_source(spark, SF_ORACLE),
+        ddb,
+        lp11.ORACLES["keyness_g2_by_source"],
+        "keyness_g2_by_source",
+    )
