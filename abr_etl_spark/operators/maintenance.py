@@ -418,6 +418,44 @@ def _bucket_expr(key: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
 
 
+def _acquire_writer_lock(path: str, *, tag: str = "") -> str:
+    """Take the table's single-writer lease (``<path>.__merge_lock``,
+    O_CREAT|O_EXCL -- atomic on every POSIX filesystem) and return the
+    lock path for the caller's ``finally: os.unlink``. A lock whose
+    recorded pid is dead on THIS host is stale (the holder crashed
+    between acquire and its finally) and is stolen once; a live holder
+    raises. Shared by every mutating table operation (merge_snapshot,
+    vacuum_snapshot) so a vacuum can never race a writer's renames."""
+    import os
+
+    lock = path.rstrip("/") + ".__merge_lock"
+    parent = os.path.dirname(lock)
+    if parent:
+        os.makedirs(parent, exist_ok=True)  # bootstrap: table dir's parent
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as fh:
+                    holder = int(fh.read().split("pid=")[1].split()[0])
+                os.kill(holder, 0)  # raises if dead
+                alive = True
+            except (ProcessLookupError, ValueError, IndexError, OSError):
+                alive = False
+            if alive or attempt == 1:
+                raise RuntimeError(
+                    f"another writer holds {lock}; concurrent mutations "
+                    "on one table are not allowed (remove the lock only "
+                    "if the holder is gone)"
+                )
+            os.unlink(lock)  # stale: holder crashed; steal once
+    os.write(fd, f"pid={os.getpid()} {tag}".encode())
+    os.close(fd)
+    return lock
+
+
 def merge_snapshot(
     spark: SparkSession,
     path: str,
@@ -440,32 +478,8 @@ def merge_snapshot(
     See _merge_snapshot_locked for the merge semantics."""
     import os
 
-    lock = path.rstrip("/") + ".__merge_lock"
-    parent = os.path.dirname(lock)
-    if parent:
-        os.makedirs(parent, exist_ok=True)  # bootstrap: table dir's parent
-    for attempt in (0, 1):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            try:
-                with open(lock) as fh:
-                    holder = int(fh.read().split("pid=")[1].split()[0])
-                os.kill(holder, 0)  # raises if dead
-                alive = True
-            except (ProcessLookupError, ValueError, IndexError, OSError):
-                alive = False
-            if alive or attempt == 1:
-                raise RuntimeError(
-                    f"merge_snapshot: another writer holds {lock}; "
-                    "concurrent merges on one table are not allowed "
-                    "(remove the lock only if the holder is gone)"
-                )
-            os.unlink(lock)  # stale: holder crashed; steal once
+    lock = _acquire_writer_lock(path, tag=f"epoch={epoch}")
     try:
-        os.write(fd, f"pid={os.getpid()} epoch={epoch}".encode())
-        os.close(fd)
         return _merge_snapshot_locked(
             spark,
             path,
@@ -786,3 +800,98 @@ def read_merged_snapshot(spark: SparkSession, path: str) -> DataFrame:
         .parquet(path)
         .drop(_EPOCH_COL, _BUCKET_COL)
     )
+
+
+def vacuum_snapshot(path: str) -> dict:
+    """VACUUM for a merge_snapshot table: remove the debris crashed or
+    superseded commits leave behind, without EVER deleting the only
+    copy of live data. Runs under the same single-writer lock as
+    merge_snapshot, so it cannot race an in-flight commit's renames.
+
+    Debris classes and their rules (each rule is conservative -- when
+    in doubt, KEEP and report):
+
+    - ``.staging_epoch_<e>`` without ``_SUCCESS``: the writer crashed
+      DURING the staging write; no rename ever ran and replay discards
+      it unread. Always removable.
+    - ``.staging_epoch_<e>`` with ``_SUCCESS``: a resumable commit.
+      Removable ONLY if every bucket it stages is already marked at
+      >= e (the commit finished; the staging dir is a leftover the
+      next merge would discard). Otherwise it is the resume state of
+      an unfinished commit -- KEPT, counted in ``kept_resumable``.
+    - ``.old_<e>_<b>`` aside dirs: mid-swap safety copies. Removable
+      once bucket b's marker reaches e (the swap completed and the
+      aside is garbage). A marker below e means the crash hit BETWEEN
+      the two renames and the aside may be the only copy of the old
+      bucket -- KEPT, counted in ``kept_asides``.
+    - ``_epoch_marks/.tmp_*``: torn marker writes (os.replace never
+      ran). Always removable.
+
+    At 100 TB this is the nightly janitor: every decision reads only
+    file names, marker ints, and ``_OUTCOME.json`` -- no parquet rows.
+
+    Returns counts: removed_staging / kept_resumable / removed_asides /
+    kept_asides / removed_tmp.
+    """
+    import json
+    import os
+    import re
+    import shutil
+
+    lock = _acquire_writer_lock(path, tag="vacuum")
+    out = {
+        "removed_staging": 0,
+        "kept_resumable": 0,
+        "removed_asides": 0,
+        "kept_asides": 0,
+        "removed_tmp": 0,
+    }
+    try:
+        for d in sorted(os.listdir(path)):
+            full = os.path.join(path, d)
+            m = re.fullmatch(r"\.staging_epoch_(\d+)", d)
+            if m and os.path.isdir(full):
+                e = int(m.group(1))
+                if not os.path.exists(os.path.join(full, "_SUCCESS")):
+                    shutil.rmtree(full)
+                    out["removed_staging"] += 1
+                    continue
+                outcome_p = os.path.join(full, "_OUTCOME.json")
+                if os.path.exists(outcome_p):
+                    with open(outcome_p) as fh:
+                        buckets = [int(b) for b in json.load(fh)]
+                else:
+                    buckets = [
+                        int(b.split("=", 1)[1])
+                        for b in os.listdir(full)
+                        if b.startswith(f"{_BUCKET_COL}=")
+                    ]
+                done = all(
+                    (mark := _read_mark(path, b)) is not None and mark >= e
+                    for b in buckets
+                )
+                if done:
+                    shutil.rmtree(full)
+                    out["removed_staging"] += 1
+                else:
+                    out["kept_resumable"] += 1
+                continue
+            m = re.fullmatch(r"\.old_(\d+)_(\d+)", d)
+            if m and os.path.isdir(full):
+                e, b = int(m.group(1)), int(m.group(2))
+                mark = _read_mark(path, b)
+                if mark is not None and mark >= e:
+                    shutil.rmtree(full)
+                    out["removed_asides"] += 1
+                else:
+                    out["kept_asides"] += 1
+        marks = os.path.join(path, _MARKS_DIR)
+        if os.path.isdir(marks):
+            for f in os.listdir(marks):
+                if f.startswith(".tmp_"):
+                    os.unlink(os.path.join(marks, f))
+                    out["removed_tmp"] += 1
+        return out
+    finally:
+        if os.path.exists(lock):
+            os.unlink(lock)

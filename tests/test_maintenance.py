@@ -709,3 +709,101 @@ def test_merge_snapshot_rejects_destructive_evolution(spark, tmp_path):
     retyped = spark.createDataFrame([("k0", "9")], "k string, v string")
     with pytest.raises(ValueError, match="type change"):
         merge_snapshot(spark, path, retyped, None, key="k", epoch=2, n_buckets=2)
+
+
+# ------------------------------------------------------- vacuum_snapshot
+
+
+def test_vacuum_removes_debris_keeps_live_data(spark, tmp_path):
+    """Plant every debris class a crash can leave and assert the
+    conservative rules: unsuccessful staging and completed leftovers
+    go, an unfinished commit's resume state and a possibly-only-copy
+    aside STAY, torn markers go -- and the table reads identically
+    before and after."""
+    import json
+    import os
+
+    from abr_etl_spark.operators.maintenance import (
+        _MARKS_DIR,
+        _read_mark,
+        merge_snapshot,
+        read_merged_snapshot,
+        vacuum_snapshot,
+    )
+
+    path = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 101)], "pid long, amt long"
+    )
+    merge_snapshot(spark, path, base, None, key="pid", epoch=1, n_buckets=8)
+    before = {tuple(r) for r in read_merged_snapshot(spark, path).collect()}
+
+    # 1. staging without _SUCCESS (crashed mid-write)
+    os.makedirs(f"{path}/.staging_epoch_7/__bucket=0")
+    # 2. completed leftover: staging with _SUCCESS whose buckets are
+    #    already marked at >= epoch (epoch 1 markers exist)
+    os.makedirs(f"{path}/.staging_epoch_1/__bucket=0")
+    open(f"{path}/.staging_epoch_1/_SUCCESS", "w").close()
+    with open(f"{path}/.staging_epoch_1/_OUTCOME.json", "w") as fh:
+        json.dump({"0": "written"}, fh)
+    # 3. resumable commit: _SUCCESS present but outcome bucket marked
+    #    BELOW the staging epoch -> must be kept
+    os.makedirs(f"{path}/.staging_epoch_9/__bucket=1")
+    open(f"{path}/.staging_epoch_9/_SUCCESS", "w").close()
+    with open(f"{path}/.staging_epoch_9/_OUTCOME.json", "w") as fh:
+        json.dump({"1": "written"}, fh)
+    # 4. aside whose swap completed (marker 1 >= epoch 1) vs aside of
+    #    an unfinished epoch-9 swap (marker 1 < 9 -> possibly the only
+    #    copy of the old bucket)
+    assert _read_mark(path, 2) == 1
+    os.makedirs(f"{path}/.old_1_2")
+    os.makedirs(f"{path}/.old_9_3")
+    # 5. torn marker write
+    open(f"{path}/{_MARKS_DIR}/.tmp_5", "w").close()
+
+    rep = vacuum_snapshot(path)
+    assert rep == {
+        "removed_staging": 2,
+        "kept_resumable": 1,
+        "removed_asides": 1,
+        "kept_asides": 1,
+        "removed_tmp": 1,
+    }
+    assert not os.path.exists(f"{path}/.staging_epoch_7")
+    assert not os.path.exists(f"{path}/.staging_epoch_1")
+    assert os.path.exists(f"{path}/.staging_epoch_9")  # resume state
+    assert not os.path.exists(f"{path}/.old_1_2")
+    assert os.path.exists(f"{path}/.old_9_3")  # only-copy suspect
+    after = {tuple(r) for r in read_merged_snapshot(spark, path).collect()}
+    assert after == before
+    # idempotent: a second vacuum finds only the kept items
+    rep2 = vacuum_snapshot(path)
+    assert rep2["removed_staging"] == 0 and rep2["kept_resumable"] == 1
+
+
+def test_vacuum_respects_writer_lock(spark, tmp_path):
+    """A live writer's lock must block vacuum (no deletes under an
+    in-flight commit); a dead holder's lock is stolen exactly like
+    merge_snapshot does."""
+    import os
+
+    import pytest as _pytest
+
+    from abr_etl_spark.operators.maintenance import (
+        merge_snapshot,
+        vacuum_snapshot,
+    )
+
+    path = str(tmp_path / "state")
+    base = spark.createDataFrame([(1, 1)], "pid long, amt long")
+    merge_snapshot(spark, path, base, None, key="pid", epoch=1, n_buckets=2)
+    lock = path + ".__merge_lock"
+    with open(lock, "w") as fh:
+        fh.write(f"pid={os.getpid()} epoch=2")  # this pid is alive
+    with _pytest.raises(RuntimeError, match="another writer"):
+        vacuum_snapshot(path)
+    with open(lock, "w") as fh:
+        fh.write("pid=999999999 epoch=2")  # dead holder -> stolen
+    rep = vacuum_snapshot(path)
+    assert not os.path.exists(lock)
+    assert rep["removed_staging"] == 0
