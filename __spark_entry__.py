@@ -113,6 +113,10 @@ _R12_PRIORITY: list[str] = [
     "decompose_trend_dow",
     "stratified_kfold_assign",
     "keyness_g2_by_source",
+    "abc_classification",
+    "burstiness_fano",
+    "attribution_position",
+    "reciprocal_best_match",
 ]
 
 
@@ -131,6 +135,7 @@ def _registry() -> tuple[dict, dict]:
     import abr_etl_spark.plans.analytics8 as analytics8
     import abr_etl_spark.plans.analytics9 as analytics9
     import abr_etl_spark.plans.analytics10 as analytics10
+    import abr_etl_spark.plans.analytics11 as analytics11
 
     modules = [
         analytics,
@@ -143,6 +148,7 @@ def _registry() -> tuple[dict, dict]:
         analytics8,
         analytics9,
         analytics10,
+        analytics11,
         semistructured,
     ]
     try:

@@ -1,0 +1,384 @@
+"""Round-12 analytics batch 3: merchandising, burstiness, attribution
+and entity-resolution refinements.
+
+- ``abc_classification``: Pareto ABC inventory classes over part
+  revenue, thresholds applied as integer cross-multiplications.
+- ``burstiness_fano``: Fano factor + Goh-Barabasi burstiness of the
+  daily event-count series per type.
+- ``attribution_position``: U-shaped (40/20/40) multi-touch attribution
+  with exact integer remainder distribution.
+- ``reciprocal_best_match``: bidirectional best-match stability filter
+  over the blocked fuzzy-match scores (the classic RBM step after
+  fuzzy_match_blocked's one-directional best).
+
+Reference parity: downstream-of-the-weekly-delta analytics (SURVEY.md
+§2.B rationale).
+
+Scale notes: ABC's only window runs at the part grain (key-bounded,
+never the lineitem row count); burstiness reduces to (type, day) then
+|types| rows; attribution reuses the bounded interval join; RBM adds
+two key-grain windows over the already-blocked score frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from abr_etl_spark.sources.lake import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# -------------------------------------------------------- abc_classification
+
+#: cumulative revenue-share class boundaries, in percent (A: first 80%
+#: of revenue, B: next 15%, C: tail) -- the textbook Pareto split.
+ABC_A_PCT = 80
+ABC_B_PCT = 95
+
+
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification of parts by revenue:
+    parts sorted by revenue descending, class A = parts covering the
+    first {a}% of cumulative revenue, B to {b}%, C the tail -- the
+    merchandising 80/20 primitive. Output one row per class:
+    (abc_class, n_parts, revenue_e4, revenue_share_e6).
+
+    Determinism: revenue folds as exact 1e-4-unit BIGINTs; the class
+    test is a pure integer cross-multiplication (cum * 100 <= pct *
+    total -- no float shares until the report column), widened to
+    DECIMAL(38,0) because total_e4 * 1e6 wraps int64 beyond ~1e12 of
+    revenue (hit at sf0.01 already); the cumulative order is pinned by
+    (revenue desc, partkey).
+
+    Boundary semantics: a part belongs to the FIRST class whose
+    threshold its own cumulative total does not exceed, so the part
+    that crosses 80% is class B (strict Pareto-prefix reading).
+
+    Scale shape: lineitem map-side combines to the part grain; the ONE
+    global window runs over |parts| rows (key-bounded -- at 100 TB
+    parts number millions while lineitem numbers trillions); the class
+    rollup is 3 rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)"
+            " AS BIGINT)"
+        ).alias("rev_e4"),
+    )
+    pr = li.groupBy("l_partkey").agg(F.sum("rev_e4").alias("rev"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+    cum = pr.select(
+        "rev",
+        F.sum("rev")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    tot = pr.agg(F.sum("rev").alias("T"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        "rev",
+        F.expr(
+            f"CASE WHEN CAST(cum AS DECIMAL(38,0)) * 100"
+            f" <= {ABC_A_PCT} * CAST(T AS DECIMAL(38,0)) THEN 'A' "
+            f"WHEN CAST(cum AS DECIMAL(38,0)) * 100"
+            f" <= {ABC_B_PCT} * CAST(T AS DECIMAL(38,0)) THEN 'B' "
+            "ELSE 'C' END"
+        ).alias("abc_class"),
+        "T",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("revenue_e4"),
+            F.expr(
+                "CAST(CAST(sum(rev) AS DECIMAL(38,0)) * 1000000"
+                " DIV CAST(max(T) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("revenue_share_e6"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+QUERIES["abc_classification"] = abc_classification
+
+ORACLES["abc_classification"] = f"""
+    WITH pr AS MATERIALIZED (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000,
+                   0) AS BIGINT)) AS rev
+        FROM lineitem GROUP BY 1
+    ), cum AS (
+        SELECT rev, sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM pr
+    ), tot AS (SELECT sum(rev) AS T FROM pr),
+    classed AS (
+        SELECT rev,
+               CASE WHEN cum * 100 <= {ABC_A_PCT} * T THEN 'A'
+                    WHEN cum * 100 <= {ABC_B_PCT} * T THEN 'B'
+                    ELSE 'C' END AS abc_class, T
+        FROM cum CROSS JOIN tot
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS revenue_e4,
+           CAST(sum(rev) * 1000000 // max(T) AS BIGINT)
+               AS revenue_share_e6
+    FROM classed GROUP BY abc_class
+    ORDER BY abc_class
+"""
+
+# ---------------------------------------------------------- burstiness_fano
+
+
+def burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of the daily event-count series per type: the Fano
+    factor var/mean (1 = Poisson, >1 = bursty) and the Goh-Barabasi
+    burstiness B = (sigma - mu)/(sigma + mu) in [-1, 1] -- the pair of
+    monitors that tells a capacity planner whether load is smooth or
+    spiky. Output (event_type, n_days, fano, burstiness), 6-dp.
+
+    Determinism: with S = sum of daily counts, Q = sum of squares, n =
+    days -- all exact BIGINTs -- population variance times n^2 is vn =
+    n*Q - S*S exactly; fano = vn / (n * S) is ONE float division, and
+    B = (sqrt(vn) - S)/(sqrt(vn) + S) (the n's cancel) is one pinned
+    expression with a correctly-rounded IEEE sqrt. Headroom: n*Q needs
+    the DECIMAL swap past ~3e9 events/day-grain.
+
+    Scale shape: ONE scan to (type, day), then |types| rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(ts AS DATE)").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(F.count("*").alias("c"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("c").alias("S"),
+            F.sum(F.expr("c * c")).alias("Q"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(
+                F.expr(
+                    "CAST(n_days * Q - S * S AS DOUBLE)"
+                    " / (CAST(n_days AS DOUBLE) * CAST(S AS DOUBLE))"
+                ),
+                6,
+            ).alias("fano"),
+            F.round(
+                F.expr(
+                    "(sqrt(CAST(n_days * Q - S * S AS DOUBLE))"
+                    " - CAST(S AS DOUBLE))"
+                    " / (sqrt(CAST(n_days * Q - S * S AS DOUBLE))"
+                    " + CAST(S AS DOUBLE))"
+                ),
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["burstiness_fano"] = burstiness_fano
+
+ORACLES["burstiness_fano"] = """
+    WITH daily AS MATERIALIZED (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), agg AS (
+        SELECT event_type, count(*) AS n_days,
+               sum(c) AS S, sum(c * c) AS Q
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(CAST(n_days * Q - S * S AS DOUBLE)
+                 / (CAST(n_days AS DOUBLE) * CAST(S AS DOUBLE)), 6)
+               AS fano,
+           round((sqrt(CAST(n_days * Q - S * S AS DOUBLE))
+                  - CAST(S AS DOUBLE))
+                 / (sqrt(CAST(n_days * Q - S * S AS DOUBLE))
+                    + CAST(S AS DOUBLE)), 6) AS burstiness
+    FROM agg
+    ORDER BY event_type
+"""
+
+# ------------------------------------------------------ attribution_position
+
+#: U-shaped credit in 1e-6 units: first/last touch get 40% each, the
+#: middle touches split the remaining 20% with the remainder cents
+#: assigned to the EARLIEST middles (exact integer distribution -- a
+#: purchase's credits always sum to exactly 1_000_000).
+POS_EDGE_E6 = 400_000
+POS_MID_E6 = 200_000
+
+
+def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution -- the other
+    standard model beside attribution_linear's equal split: per
+    purchase, the first and last qualifying clicks earn 40% each and
+    the middles share 20%. Single-touch purchases earn 100%,
+    two-touch 50/50. Credit census per clicking user: (user_id,
+    n_touches, total_credit_e6).
+
+    Determinism: position = row_number over (gap desc, click_id) --
+    earliest click first, integer tie-break; middle credit = base DIV
+    plus a +1 for the first (remainder) middles, so every purchase's
+    credits sum to EXACTLY 1e6 and replays are bit-identical.
+
+    Scale shape: attribution_join's bounded interval join (the time
+    horizon prevents the cross product), ONE window per purchase
+    group, one census aggregate -- attribution_linear's exact plan
+    with a different credit expression."""
+    from abr_etl_spark.plans.analytics7 import _touches
+
+    t = _touches(spark, sf_dir)
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("gap_s").desc(), F.col("click_id").asc()
+    )
+    wn = Window.partitionBy("purchase_id")
+    credited = (
+        t.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .withColumn(
+            "credit_e6",
+            F.expr(
+                f"CASE WHEN n = 1 THEN 1000000 "
+                f"WHEN n = 2 THEN 500000 "
+                f"WHEN rn = 1 OR rn = n THEN {POS_EDGE_E6} "
+                f"ELSE {POS_MID_E6} DIV (n - 2) "
+                f"+ (CASE WHEN rn - 2 < {POS_MID_E6} % (n - 2) "
+                f"THEN 1 ELSE 0 END) END"
+            ),
+        )
+    )
+    return (
+        credited.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("credit_e6").cast("long").alias("total_credit_e6"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["attribution_position"] = attribution_position
+
+
+def _pos_oracle() -> str:
+    from abr_etl_spark.plans.analytics7 import _TOUCH_CTE
+
+    return _TOUCH_CTE + f"""
+    , credited AS (
+        SELECT user_id,
+               CASE WHEN n = 1 THEN 1000000
+                    WHEN n = 2 THEN 500000
+                    WHEN rn = 1 OR rn = n THEN {POS_EDGE_E6}
+                    ELSE {POS_MID_E6} // (n - 2)
+                         + (CASE WHEN rn - 2 < {POS_MID_E6} % (n - 2)
+                            THEN 1 ELSE 0 END) END AS credit_e6
+        FROM (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY purchase_id
+                       ORDER BY gap_s DESC, click_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY purchase_id) AS n
+            FROM t
+        )
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_e6) AS BIGINT) AS total_credit_e6
+    FROM credited GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+ORACLES["attribution_position"] = _pos_oracle()
+
+# ---------------------------------------------------- reciprocal_best_match
+
+#: block prefix length and distance ceiling -- fuzzy_match_blocked's
+#: exact parameters, so RBM is a pure refinement of that key's scores.
+RBM_MAX_DIST = 2
+
+
+def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best match -- the bidirectional-stability step of
+    entity resolution: from the blocked fuzzy scores (probe = customer
+    name with one char deleted, candidates sharing an 8-char prefix
+    block, levenshtein <= {d}), keep only pairs where the candidate is
+    the probe's best match AND the probe is that candidate's best
+    probe. One-directional best (fuzzy_match_blocked) links a noisy
+    probe to a hub name even when a better probe owns it; RBM's mutual
+    condition is the standard fix. Output (probe_key, cand_key, dist).
+
+    Determinism: both bests break ties by (dist asc, key asc) exactly
+    like the one-directional key.
+
+    Scale shape: the scored frame is the SAME blocked join (never
+    names x names); RBM adds two key-grain windows over it -- no new
+    scan, no new data-sized shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    probes = c.where(F.col("c_custkey") % 20 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.substring("c_name", 1, 9), F.substring("c_name", 11, 100)
+        ).alias("probe_name"),
+        F.substring("c_name", 1, 8).alias("block"),
+    )
+    cands = c.select(
+        F.col("c_custkey").alias("cand_key"),
+        F.col("c_name").alias("cand_name"),
+        F.substring("c_name", 1, 8).alias("block"),
+    )
+    scored = (
+        probes.join(cands, "block")
+        .withColumn("dist", F.levenshtein("probe_name", "cand_name"))
+        .where(F.col("dist") <= RBM_MAX_DIST)
+    )
+    wp = Window.partitionBy("probe_key").orderBy(
+        F.col("dist").asc(), F.col("cand_key").asc()
+    )
+    wc = Window.partitionBy("cand_key").orderBy(
+        F.col("dist").asc(), F.col("probe_key").asc()
+    )
+    return (
+        scored.withColumn("rp", F.row_number().over(wp))
+        .withColumn("rc", F.row_number().over(wc))
+        .where((F.col("rp") == 1) & (F.col("rc") == 1))
+        .select("probe_key", "cand_key", "dist")
+        .orderBy("probe_key")
+    )
+
+
+QUERIES["reciprocal_best_match"] = reciprocal_best_match
+
+ORACLES["reciprocal_best_match"] = f"""
+    WITH probes AS (
+        SELECT c_custkey AS probe_key,
+               substring(c_name, 1, 9) || substring(c_name, 11)
+                   AS probe_name,
+               substring(c_name, 1, 8) AS block
+        FROM customer WHERE c_custkey % 20 = 0
+    ), cands AS (
+        SELECT c_custkey AS cand_key, c_name AS cand_name,
+               substring(c_name, 1, 8) AS block
+        FROM customer
+    ), scored AS MATERIALIZED (
+        SELECT probe_key, cand_key,
+               levenshtein(probe_name, cand_name) AS dist
+        FROM probes JOIN cands USING (block)
+        WHERE levenshtein(probe_name, cand_name) <= {RBM_MAX_DIST}
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY probe_key
+                   ORDER BY dist ASC, cand_key ASC) AS rp,
+               row_number() OVER (PARTITION BY cand_key
+                   ORDER BY dist ASC, probe_key ASC) AS rc
+        FROM scored
+    )
+    SELECT probe_key, cand_key, CAST(dist AS INTEGER) AS dist
+    FROM ranked WHERE rp = 1 AND rc = 1
+    ORDER BY probe_key
+"""
