@@ -197,6 +197,15 @@ HEADLINERS = [
     "cusum_changepoint_daily",
     "anova_f_event_value",
     "mannwhitney_u_value",
+    # r12 second wave: DQ forensics, phrase/graph mining, planning
+    "benford_first_digit",
+    "profile_columns",
+    "collocations_pmi",
+    "link_prediction_aa",
+    "theilsen_slope_daily",
+    "abc_classification",
+    "join_cardinality_estimate",
+    "keyness_g2_by_source",
 ]
 
 
