@@ -34,8 +34,13 @@ def test_driver_registry_contract():
     assert set(oracles) == set(qs), (
         set(oracles) ^ set(qs)
     )
-    missing = [k for k in entry._R11_PRIORITY if k not in qs]
+    # the current round's priority head, whatever its number (the list
+    # is rotated every round; this test must survive the rename)
+    pri_names = [n for n in dir(entry) if n.endswith("_PRIORITY")]
+    assert len(pri_names) == 1, pri_names
+    priority = getattr(entry, pri_names[0])
+    missing = [k for k in priority if k not in qs]
     assert not missing, missing
     # priority head has no duplicates (duplicates silently waste the
     # driver's ~50-row budget)
-    assert len(entry._R11_PRIORITY) == len(set(entry._R11_PRIORITY))
+    assert len(priority) == len(set(priority))
