@@ -58,9 +58,19 @@ def main() -> int:
     import __spark_entry__ as entry
     from abr_etl_spark.session import get_spark
 
+    import os
+
     spark = get_spark()
     qs, oracles = entry.queries(), entry.oracle_sql()
     con = duckdb.connect()
+    # long sf1 runs: bound the oracle's memory so a heavy CTE can not
+    # OOM the whole gate (results print per key either way)
+    mem = os.environ.get("CHECK_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    out_json = os.environ.get(
+        "CHECK_OUT_JSON", "/tmp/correctness_local.json"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -112,9 +122,13 @@ def main() -> int:
             extra = f" dtype-diff={ds}" if ds else ""
         print(
             f"{status} {key:32s} rows={rec.get('spark_rows')} "
-            f"{rec['sec']}s{extra} {rec['err'] or ''}"
+            f"{rec['sec']}s{extra} {rec['err'] or ''}",
+            flush=True,
         )
         results[key] = rec
+        # incremental persistence: a killed run keeps its finished keys
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=1, default=str)
     total = sum(r["sec"] for r in results.values())
     print(
         json.dumps(
@@ -125,7 +139,7 @@ def main() -> int:
             }
         )
     )
-    with open("/tmp/correctness_local.json", "w") as f:
+    with open(out_json, "w") as f:
         json.dump(results, f, indent=1, default=str)
     return 1 if n_fail else 0
 
