@@ -553,7 +553,11 @@ def mannwhitney_u_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     per distinct value the doubled average rank is lo + hi (both
     BIGINT cumulative counts), so R1 and U1 are exact integers doubled
     (u2_a column); the normal approximation with tie correction is the
-    ONE float expression. Output (n_a, n_b, u2_a, z).
+    ONE float expression. Output (n_a, n_b, u2_a, z). Degenerate
+    inputs where the tie-corrected variance is 0 (every value
+    identical -- e.g. an all-NULL payload lake -- or an empty bucket)
+    yield z = NULL via nullif guards on BOTH engines, never a
+    divide-by-zero.
 
     Scale shape: one grouped count per (value, bucket) -- value
     cardinality bounds everything downstream (bucketize continuous
@@ -585,9 +589,10 @@ def mannwhitney_u_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round((CAST(sum(c_a * (lo + hi)) - sum(c_a) * (sum(c_a) + 1)"
             " AS DOUBLE) / 2 - CAST(sum(c_a) AS DOUBLE)"
             " * sum(t_v - c_a) / 2)"
-            " / sqrt(CAST(sum(c_a) AS DOUBLE) * sum(t_v - c_a) / 12.0"
+            " / nullif(sqrt(CAST(sum(c_a) AS DOUBLE) * sum(t_v - c_a) / 12.0"
             " * ((sum(t_v) + 1) - CAST(sum(t_v * t_v * t_v - t_v)"
-            " AS DOUBLE) / (sum(t_v) * (sum(t_v) - 1)))), 6)"
+            " AS DOUBLE) / nullif(CAST(sum(t_v) * (sum(t_v) - 1) AS DOUBLE),"
+            " CAST(0 AS DOUBLE)))), CAST(0 AS DOUBLE)), 6)"
         ).alias("z"),
     )
 
@@ -618,8 +623,11 @@ ORACLES["mannwhitney_u_value"] = """
            round((CAST(sum(c_a * ((hi - t_v + 1) + hi))
                   - sum(c_a) * (sum(c_a) + 1) AS DOUBLE) / 2
                   - CAST(sum(c_a) AS DOUBLE) * sum(t_v - c_a) / 2)
-                 / sqrt(CAST(sum(c_a) AS DOUBLE) * sum(t_v - c_a) / 12.0
+                 / nullif(sqrt(CAST(sum(c_a) AS DOUBLE) * sum(t_v - c_a)
+                 / 12.0
                  * ((sum(t_v) + 1) - CAST(sum(t_v * t_v * t_v - t_v)
-                    AS DOUBLE) / (sum(t_v) * (sum(t_v) - 1)))), 6) AS z
+                    AS DOUBLE) / nullif(CAST(sum(t_v) * (sum(t_v) - 1)
+                    AS DOUBLE), CAST(0 AS DOUBLE)))),
+                 CAST(0 AS DOUBLE)), 6) AS z
     FROM ranked
 """

@@ -279,3 +279,37 @@ def test_mannwhitney_matches_oracle_smoke(spark, ddb):
         a9.ORACLES["mannwhitney_u_value"],
         "mannwhitney_u_value",
     )
+
+
+def test_mannwhitney_degenerate_all_tied_yields_null_z(spark, tmp_path):
+    """Every value identical (the all-NULL payload lake collapses to
+    this): the tie correction removes ALL variance, so z must be NULL
+    -- not a divide-by-zero (degenerate-lake net, r12)."""
+    import duckdb as _duckdb
+
+    rows = [(i, "2024-01-01 00:00:00", i, "t", None, "{}")
+            for i in range(40)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = a9.mannwhitney_u_value(spark, str(tmp_path)).collect()[0]
+    assert got["z"] is None
+    assert got["n_a"] + got["n_b"] == 40
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        a9.mannwhitney_u_value(spark, str(tmp_path)),
+        con,
+        a9.ORACLES["mannwhitney_u_value"],
+        "mannwhitney_u_value",
+    )
