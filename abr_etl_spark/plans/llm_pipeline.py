@@ -27,6 +27,23 @@ JACCARD_TAU = 0.9
 COS_TAU = 0.45
 ANN_K = 5
 N_QUERY_VECS = 10
+#: IVF seed-cell rule: every {STRIDE}-th vec_id, CAPPED at {MAX_CELLS}
+#: cells. The cap is the scale fix the sf1 rehearsal forced: an
+#: uncapped `vec_id % 50 == 0` grows the cell count WITH the corpus,
+#: making the assignment pass O(n^2 / 50) -- measured 39.6x wall at
+#: 10x data (BENCH_sf1.json, r12). With the cap, assignment is
+#: O(n * MAX_CELLS) and per-query candidates are n / MAX_CELLS --
+#: both linear. At sf <= 0.1 fewer than MAX_CELLS seeds exist, so
+#: every committed result is unchanged. (Production would train
+#: ~4*sqrt(n) k-means cells -- ann_ivf_kmeans's path; this rule is the
+#: deterministic oracle-replayable stand-in.)
+IVF_SEED_STRIDE = 50
+IVF_MAX_CELLS = 64
+#: shared Spark/DuckDB predicate text selecting the seed centroids.
+IVF_SEED_PRED = (
+    f"vec_id % {IVF_SEED_STRIDE} = 0"
+    f" AND vec_id < {IVF_SEED_STRIDE * IVF_MAX_CELLS}"
+)
 KMEANS_K = 10
 # One Lloyd iteration: measured recall@5 at nprobe=1 on the test corpus is
 # 0.86 for iters=1 vs 0.80 for iters=2 (and 0.30 for the raw subset
@@ -112,11 +129,13 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with deterministic centroids (vec_id % 50 == 0) so the
-    oracle replays the same coarse quantizer."""
+    """IVF ANN with deterministic centroids (IVF_SEED_PRED: every 50th
+    vec_id, capped at {IVF_MAX_CELLS} cells so the assignment pass
+    stays O(n * cells) -- see the constant) so the oracle replays the
+    same coarse quantizer."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERY_VECS)
-    cent = e.where(F.col("vec_id") % 50 == 0)
+    cent = e.where(F.expr(IVF_SEED_PRED))
     return similarity.ivf_ann_topk(e, q, cent, k=ANN_K)
 
 
@@ -631,7 +650,7 @@ ORACLES = {
     "ann_ivf": f"""
         WITH cent AS (
             SELECT vec_id AS centroid_id, embedding AS c_vec
-            FROM embeddings WHERE vec_id % 50 = 0
+            FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200
         ), assigned AS (
             SELECT vec_id, embedding, centroid_id FROM (
                 SELECT e.vec_id, e.embedding, c.centroid_id,

@@ -50,7 +50,12 @@ from pyspark.sql.functions import broadcast
 
 from abr_etl_spark.functions import texthash as th
 from abr_etl_spark.operators import similarity
-from abr_etl_spark.plans.llm_pipeline import ANN_K, EMB_DIM, N_QUERY_VECS
+from abr_etl_spark.plans.llm_pipeline import (
+    ANN_K,
+    EMB_DIM,
+    IVF_SEED_PRED,
+    N_QUERY_VECS,
+)
 from abr_etl_spark.plans.llm_pipeline4 import PACK_CAP
 from abr_etl_spark.sources.lake import load_table
 
@@ -1268,7 +1273,7 @@ def _ivfadc_seed_parts(
     codeword ids per corpus vector, and the per-query projection LUT.
     Factored out of ann_ivf_pq verbatim so the nprobe sweep re-slices
     the identical dataframe graph (same plan, same values)."""
-    cent = e.where(F.col("vec_id") % 50 == 0).select(
+    cent = e.where(F.expr(IVF_SEED_PRED)).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cfull"),
     )
@@ -1435,7 +1440,7 @@ def dk_ivfadc_seed_ctes() -> str:
     LUT."""
     return f"""cent AS MATERIALIZED (
             SELECT vec_id AS centroid_id, embedding AS cfull
-            FROM embeddings WHERE vec_id % 50 = 0
+            FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200
         ), asg AS MATERIALIZED (
             SELECT vec_id, embedding, centroid_id, cfull FROM (
                 SELECT e.vec_id, e.embedding, c.centroid_id, c.cfull,

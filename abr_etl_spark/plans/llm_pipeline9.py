@@ -58,6 +58,7 @@ from abr_etl_spark.operators import dedup, similarity
 from abr_etl_spark.plans.analytics8 import _hll_hash_sql
 from abr_etl_spark.plans.llm_pipeline import (
     ANN_K,
+    IVF_SEED_PRED,
     JACCARD_TAU,
     N_QUERY_VECS,
 )
@@ -511,7 +512,7 @@ def _nprobe_report(
     cosine truth. Candidate GENERATION never reads the codebook, so
     two sweeps over the same corpus share their cost column exactly
     (pytest-pinned across the seed and trained variants)."""
-    cent = e.where(F.col("vec_id") % 50 == 0).select(
+    cent = e.where(F.expr(IVF_SEED_PRED)).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cfull"),
         F.expr(th.sp_norm("embedding")).alias("__cn"),
@@ -753,7 +754,7 @@ def _ivfadc_trained_parts(
     TRAINED by residual-space subspace k-means behind the persisted
     pq_index (variant-tagged sidecar). Factored verbatim so the
     trained nprobe sweep re-slices the identical dataframe graph."""
-    cent = e.where(F.col("vec_id") % 50 == 0).select(
+    cent = e.where(F.expr(IVF_SEED_PRED)).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("cfull"),
     )
@@ -841,7 +842,7 @@ QUERIES["ann_ivf_pq_kmeans"] = ann_ivf_pq_kmeans
 #: training, encode and LUT.
 _DK_IVFADC_TRAINED_CTES = f"""cent AS MATERIALIZED (
         SELECT vec_id AS centroid_id, embedding AS cfull
-        FROM embeddings WHERE vec_id % 50 = 0
+        FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200
     ), asg AS MATERIALIZED (
         SELECT vec_id, embedding, centroid_id, cfull FROM (
             SELECT e.vec_id, e.embedding, c.centroid_id, c.cfull,
