@@ -117,6 +117,13 @@ _R12_PRIORITY: list[str] = [
     "burstiness_fano",
     "attribution_position",
     "reciprocal_best_match",
+    # plan-changed late in r12 (IVF seed-cell cap; results at gate SFs
+    # unchanged but the driver should re-row them)
+    "ann_ivf",
+    "ann_ivf_pq",
+    "ann_ivf_pq_kmeans",
+    "ivfadc_nprobe_sweep",
+    "ivfadc_trained_nprobe",
 ]
 
 
