@@ -117,6 +117,7 @@ _R12_PRIORITY: list[str] = [
     "burstiness_fano",
     "attribution_position",
     "reciprocal_best_match",
+    "record_linkage_fs",
     # plan-changed late in r12 (IVF seed-cell cap; results at gate SFs
     # unchanged but the driver should re-row them)
     "ann_ivf",

@@ -354,6 +354,141 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["reciprocal_best_match"] = reciprocal_best_match
 
+# ---------------------------------------------------- record_linkage_fs
+
+#: per-field agreement predicates over a blocked candidate pair --
+#: shared Spark/DuckDB text (columns from the probe/cand projections).
+_FS_FIELDS: list[tuple[str, str]] = [
+    ("name_lev2", "levenshtein(probe_name, cand_name) <= 2"),
+    ("nationkey", "p_nat = c_nat"),
+    ("mktsegment", "p_seg = c_seg"),
+]
+
+
+def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights (Fellegi & Sunter 1969)
+    -- the probabilistic scorer classical entity resolution rests on:
+    for each comparison field, m = P(agree | match) and
+    u = P(agree | non-match) over the BLOCKED candidate pairs, and the
+    field's log-likelihood weight w = ln(m/u). Supervision is free
+    here: the probe IS a corrupted copy of a known customer
+    (fuzzy_match_blocked's construction), so probe_key == cand_key
+    labels the true matches. Output one row per field: (field,
+    n_match, n_nonmatch, agree_match, agree_nonmatch, w_e6-ish 6-dp
+    double w).
+
+    Determinism: all counts exact BIGINTs; +1/+2 Laplace smoothing
+    (psi's convention) keeps w finite on degenerate fields; w is ONE
+    float expression ln((am+1)(nn+2) / ((nm+2)(an+1))) over those
+    integers.
+
+    Scale shape: the SAME blocked join as fuzzy_match_blocked (never
+    probes x candidates); agreement flags are map-side; the reduction
+    is |fields| x 4 counts via one stacked census."""
+    c = load_table(spark, sf_dir, "customer")
+    probes = c.where(F.col("c_custkey") % 20 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.substring("c_name", 1, 9), F.substring("c_name", 11, 100)
+        ).alias("probe_name"),
+        F.substring("c_name", 1, 8).alias("block"),
+        F.col("c_nationkey").alias("p_nat"),
+        F.col("c_mktsegment").alias("p_seg"),
+    )
+    cands = c.select(
+        F.col("c_custkey").alias("cand_key"),
+        F.col("c_name").alias("cand_name"),
+        F.substring("c_name", 1, 8).alias("block"),
+        F.col("c_nationkey").alias("c_nat"),
+        F.col("c_mktsegment").alias("c_seg"),
+    )
+    pairs = probes.join(cands, "block").withColumn(
+        "is_match", F.expr("probe_key = cand_key")
+    )
+    stack = "stack({n}, {args}) AS (field, agree)".format(
+        n=len(_FS_FIELDS),
+        args=", ".join(
+            f"'{name}', CAST(({pred}) AS INT)" for name, pred in _FS_FIELDS
+        ),
+    )
+    cells = (
+        pairs.select("is_match", F.expr(stack))
+        .groupBy("field")
+        .agg(
+            F.sum(F.expr("IF(is_match, 1, 0)")).alias("nm"),
+            F.sum(F.expr("IF(NOT is_match, 1, 0)")).alias("nn"),
+            F.sum(F.expr("IF(is_match, agree, 0)")).alias("am"),
+            F.sum(F.expr("IF(NOT is_match, agree, 0)")).alias("an"),
+        )
+    )
+    return (
+        cells.select(
+            "field",
+            F.col("nm").cast("long").alias("n_match"),
+            F.col("nn").cast("long").alias("n_nonmatch"),
+            F.col("am").cast("long").alias("agree_match"),
+            F.col("an").cast("long").alias("agree_nonmatch"),
+            F.round(
+                F.expr(
+                    "ln((CAST(am + 1 AS DOUBLE) * (nn + 2))"
+                    " / ((CAST(nm + 2 AS DOUBLE)) * (an + 1)))"
+                ),
+                6,
+            ).alias("w"),
+        )
+        .orderBy("field")
+    )
+
+
+QUERIES["record_linkage_fs"] = record_linkage_fs
+
+
+def _fs_oracle() -> str:
+    stack_rows = "\nUNION ALL\n".join(
+        f"SELECT is_match, '{name}' AS field,"
+        f" CAST(({pred}) AS INT) AS agree FROM pairs"
+        for name, pred in _FS_FIELDS
+    )
+    return f"""
+        WITH probes AS (
+            SELECT c_custkey AS probe_key,
+                   substring(c_name, 1, 9) || substring(c_name, 11)
+                       AS probe_name,
+                   substring(c_name, 1, 8) AS block,
+                   c_nationkey AS p_nat, c_mktsegment AS p_seg
+            FROM customer WHERE c_custkey % 20 = 0
+        ), cands AS (
+            SELECT c_custkey AS cand_key, c_name AS cand_name,
+                   substring(c_name, 1, 8) AS block,
+                   c_nationkey AS c_nat, c_mktsegment AS c_seg
+            FROM customer
+        ), pairs AS MATERIALIZED (
+            SELECT probes.*, cands.cand_key, cands.cand_name,
+                   cands.c_nat, cands.c_seg,
+                   probe_key = cand_key AS is_match
+            FROM probes JOIN cands USING (block)
+        ), unp AS ({stack_rows}),
+        cells AS (
+            SELECT field,
+                   sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS nm,
+                   sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS nn,
+                   sum(CASE WHEN is_match THEN agree ELSE 0 END) AS am,
+                   sum(CASE WHEN NOT is_match THEN agree ELSE 0 END) AS an
+            FROM unp GROUP BY field
+        )
+        SELECT field, CAST(nm AS BIGINT) AS n_match,
+               CAST(nn AS BIGINT) AS n_nonmatch,
+               CAST(am AS BIGINT) AS agree_match,
+               CAST(an AS BIGINT) AS agree_nonmatch,
+               round(ln((CAST(am + 1 AS DOUBLE) * (nn + 2))
+                     / ((CAST(nm + 2 AS DOUBLE)) * (an + 1))), 6) AS w
+        FROM cells
+        ORDER BY field
+    """
+
+
+ORACLES["record_linkage_fs"] = _fs_oracle()
+
 ORACLES["reciprocal_best_match"] = f"""
     WITH probes AS (
         SELECT c_custkey AS probe_key,

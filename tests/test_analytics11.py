@@ -214,3 +214,57 @@ def test_rbm_matches_oracle_smoke(spark, ddb):
         a11.ORACLES["reciprocal_best_match"],
         "reciprocal_best_match",
     )
+
+
+# ------------------------------------------------------ record_linkage_fs
+
+
+def test_fs_weights_order_discriminative_fields_first(spark, tmp_path):
+    """The corrupted-name field is (near-)perfectly discriminative --
+    m ~ 1, u ~ 0 -> large positive w -- while a constant field agrees
+    on every pair (m = u = 1 -> w ~ 0 after smoothing). Construct a
+    block of 21 same-prefix customers so probe 20 meets 21 candidates."""
+    rows = [
+        (i, f"AAAAAAAA{chr(66 + i) * 3}", 1, 0.0, "SEG")
+        for i in range(1, 22)  # ids from 1: only key 20 probes
+    ]
+    _lake(spark, tmp_path, "customer", rows, _C_SCHEMA)
+    con = _ddb(tmp_path, "customer")
+    got = {r["field"]: r for r in
+           a11.record_linkage_fs(spark, str(tmp_path)).collect()}
+    name = got["name_lev2"]
+    assert name["n_match"] == 1 and name["agree_match"] == 1
+    # the probe 'AAAAAAAAVV' is distance 1 from its own 'AAAAAAAAVVV'
+    # but distance 3 from every sibling 'AAAAAAAA???', so the name
+    # field agrees ONLY on the true match; the constant fields agree
+    # on all pairs.
+    assert name["agree_nonmatch"] == 0 and name["w"] > 2
+    seg = got["mktsegment"]
+    assert seg["agree_nonmatch"] == seg["n_nonmatch"]
+    # a constant field is non-discriminative: its weight sits near 0
+    # (the +1/+2 smoothing bias is ln(2*(nn+2)/(3*(nn+1))) ~ -0.36 at
+    # nm=1 and shrinks as matches grow) and always BELOW the name's
+    assert abs(seg["w"]) < 0.5 and seg["w"] < got["name_lev2"]["w"]
+    assert_matches_oracle(
+        a11.record_linkage_fs(spark, str(tmp_path)),
+        con,
+        a11.ORACLES["record_linkage_fs"],
+        "record_linkage_fs",
+    )
+
+
+def test_fs_discriminative_name_gets_positive_weight(spark, ddb):
+    """On the real lake the corrupted-name predicate agrees on the true
+    match far more often than across different customers: w(name) must
+    be strictly positive and larger than the constant-ish segment
+    field's."""
+    got = {r["field"]: r for r in
+           a11.record_linkage_fs(spark, SF_ORACLE).collect()}
+    assert got["name_lev2"]["w"] > got["mktsegment"]["w"]
+    assert got["name_lev2"]["w"] > 0
+    assert_matches_oracle(
+        a11.record_linkage_fs(spark, SF_ORACLE),
+        ddb,
+        a11.ORACLES["record_linkage_fs"],
+        "record_linkage_fs",
+    )
