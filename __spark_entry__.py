@@ -20,87 +20,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-12 priority head (r11 verdict item 1), ordered by how badly
+# Round-13 priority head (r12 verdict item 1), ordered by how badly
 # each key needs a fresh CORRECTNESS row under the driver's ~50-row
 # budget:
-# 1. the 48 keys whose newest driver row dates to round 7 (the
-#    `_R11_PRIORITY` section-4 tail minus anomaly_mad /
-#    asof_interpolate, which r11's budget covered) -- retiring this
-#    tail lifts the catalog's freshness floor from r7 to r8;
-# 2. born or plan-changed this round (r12 new keys; the
-#    dedup_weighted_jaccard broadcast-guard and shingle_size_sweep
-#    short-doc keys whose plans were touched).
+# 1. the 31 r12-born keys that have never had a driver row (they sat
+#    past the ~50-row budget line behind the r12 stale-rotation
+#    section);
+# 2. plan-changed this round (r13): abc_classification (two-level
+#    prefix sum replaced the global window), dedup_weighted_jaccard
+#    (survivor-bound rescore from the cached pair arrays),
+#    benford_first_digit (digit-1..9 census marginal), plus the five
+#    IVF keys whose r12 seed-cap change never got a driver row;
+# 3. r13-born keys (appended as they land).
 # Everything after the budget line keeps module order; all keys pass
 # the local full-registry gate regardless.
-_R12_PRIORITY: list[str] = [
-    # --- 1. r7-stale driver rows (48; oldest catalog rows) ---
-    "attribution_linear",
-    "basket_pairs",
-    "bm25_topk",
-    "bpe_pair_counts",
-    "bucketed_join_revenue",
-    "cohort_ltv",
-    "conversion_lag_stats",
-    "corpus_pipeline",
-    "cross_split_leakage",
-    "daily_value_bands",
-    "dedup_cluster_sizes",
-    "dedup_embedding",
-    "dedup_family_agreement",
-    "degree_distribution",
-    "delta_apply_roundtrip",
-    "embedding_quantize",
-    "embedding_top_eigvec",
-    "heavy_hitters_cms",
-    "hot_keys_report",
-    "inverted_postings",
-    "jaccard_topk_similar",
-    "knn_classify",
-    "lake_partitions",
-    "linreg_normal_eq",
-    "lm_score_bigram",
-    "map_funcs",
-    "mom_growth",
-    "multimodal_features",
-    "new_vs_returning",
-    "pagerank_suppliers",
-    "percentile_normalize",
-    "q11_important_stock",
-    "q13_order_distribution",
-    "q20_dominant_suppliers",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "quality_filter_pipeline",
-    "quantile_sketch_hash",
-    "repetition_score",
-    "rfm_segments",
-    "scd2_point_in_time",
-    "stream_dedup_exact",
-    "stream_first_seen",
-    "stream_session_windows",
-    "stream_window_counts",
-    "time_weighted_avg",
-    "weighted_sample_systematic",
-    "window_funcs",
-    # --- 2. r12 new / plan-changed ---
-    "dedup_weighted_jaccard",
-    "shingle_size_sweep",
+_R13_PRIORITY: list[str] = [
+    # --- 1. r12-born, never driver-checked (31) ---
     "minhash_perm_sweep",
     "tfidf_cosine_pairs",
     "ks_drift_by_source",
-    "t_closeness_report",
-    "doc_entropy_quality",
-    "zipf_tail_by_source",
-    "dup_span_coverage",
-    "lang_entropy_by_source",
     "bootstrap_ci_poisson",
     "psi_drift_by_source",
     "cusum_changepoint_daily",
     "anova_f_event_value",
     "mannwhitney_u_value",
-    "mmr_diversify_topk",
-    "mmr_lambda_sweep",
-    "benford_first_digit",
     "seasonal_index_dow",
     "mutual_information_type_dow",
     "acf_daily_lag",
@@ -113,18 +56,25 @@ _R12_PRIORITY: list[str] = [
     "decompose_trend_dow",
     "stratified_kfold_assign",
     "keyness_g2_by_source",
-    "abc_classification",
     "burstiness_fano",
     "attribution_position",
     "reciprocal_best_match",
     "record_linkage_fs",
-    # plan-changed late in r12 (IVF seed-cell cap; results at gate SFs
-    # unchanged but the driver should re-row them)
+    "t_closeness_report",
+    "doc_entropy_quality",
+    "zipf_tail_by_source",
+    "dup_span_coverage",
+    "lang_entropy_by_source",
+    # --- 2. plan-changed in r13 (these two are also r12-born) ---
+    "abc_classification",
+    "benford_first_digit",
+    "dedup_weighted_jaccard",
     "ann_ivf",
     "ann_ivf_pq",
     "ann_ivf_pq_kmeans",
     "ivfadc_nprobe_sweep",
     "ivfadc_trained_nprobe",
+    # --- 3. r13-born keys ---
 ]
 
 
@@ -244,7 +194,7 @@ def _registry() -> tuple[dict, dict]:
     # Priority ordering: the driver checks queries in registry order under a
     # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
     # first (see _R12_PRIORITY), then everything else in module order.
-    ordered = {k: queries[k] for k in _R12_PRIORITY if k in queries}
+    ordered = {k: queries[k] for k in _R13_PRIORITY if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
     return ordered, oracles
 

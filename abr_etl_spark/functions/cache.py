@@ -31,9 +31,14 @@ _RESULT_CACHES: list[DataFrame] = []
 def materialize_result(df: DataFrame) -> DataFrame:
     """Persist ``df``, force materialization NOW (so callers may unpersist
     the lineage's intermediate caches), and register the result cache for
-    ``release_result_caches``."""
+    ``release_result_caches``.
+
+    The materializing ``count()`` is stashed on the returned frame as
+    ``_abr_result_count`` so consumers that need the result's size (e.g.
+    dedup_weighted_jaccard's broadcast guard) read it for free instead of
+    launching a second count job over the cache."""
     out = df.persist()
-    out.count()
+    out._abr_result_count = out.count()
     _RESULT_CACHES.append(out)
     return out
 

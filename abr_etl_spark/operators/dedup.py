@@ -93,9 +93,18 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.9,
     df_cap: int = 1000,
+    keep_shingles: bool = False,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle equi-join, with a
     document-frequency cap on the join key.
+
+    ``keep_shingles=True`` returns the pair rows WITH both sides'
+    shingle arrays (sh_a/n_a/sh_b/n_b) -- the verify step already
+    joined them, so downstream rescoring passes (weighted jaccard)
+    read the survivors' shingle sets from the shared cache instead of
+    re-shingling the corpus. Both shapes are projections of ONE
+    materialized cache (the wide frame), so mixing consumers in a
+    session never re-runs the candidate join.
 
     Candidate generation: explode -> drop shingles appearing in more than
     ``df_cap`` documents (one hot shingle -- boilerplate, "the end" --
@@ -191,12 +200,28 @@ def ngram_jaccard_pairs(
     # Materialize it NOW so the sh/kept intermediate caches can be dropped
     # immediately; the result cache itself is owned by the lifecycle
     # registry (functions/cache.py -- release_result_caches()).
-    pairs = materialize_result(
-        verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    # The cache keeps the shingle arrays (survivors x ~shingles/doc
+    # bigints -- survivor-bounded, not corpus-bounded) so rescoring
+    # consumers never re-shingle; plain consumers get the 3-col
+    # projection, which Spark serves from the SAME cache entry.
+    wide = materialize_result(
+        verified.select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 4).alias("jaccard"),
+            "sh_a",
+            "n_a",
+            "sh_b",
+            "n_b",
+        )
     )
     sh.unpersist()
     kept.unpersist()
-    return pairs
+    if keep_shingles:
+        return wide
+    slim = wide.select("doc_a", "doc_b", "jaccard")
+    slim._abr_result_count = wide._abr_result_count
+    return slim
 
 
 def containment_pairs(

@@ -451,7 +451,18 @@ def _acquire_writer_lock(path: str, *, tag: str = "") -> str:
                     "if the holder is gone)"
                 )
             os.unlink(lock)  # stale: holder crashed; steal once
-    os.write(fd, f"pid={os.getpid()} {tag}".encode())
+    try:
+        os.write(fd, f"pid={os.getpid()} {tag}".encode())
+    except BaseException:
+        # Failed to record the pid (e.g. ENOSPC): don't leak the fd or
+        # leave an empty lock behind that only parses as "stale" by
+        # accident -- release both before re-raising.
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+        raise
     os.close(fd)
     return lock
 
@@ -857,15 +868,18 @@ def vacuum_snapshot(path: str) -> dict:
                     out["removed_staging"] += 1
                     continue
                 outcome_p = os.path.join(full, "_OUTCOME.json")
-                if os.path.exists(outcome_p):
-                    with open(outcome_p) as fh:
-                        buckets = [int(b) for b in json.load(fh)]
-                else:
-                    buckets = [
-                        int(b.split("=", 1)[1])
-                        for b in os.listdir(full)
-                        if b.startswith(f"{_BUCKET_COL}=")
-                    ]
+                if not os.path.exists(outcome_p):
+                    # No outcome record: the writer crashed between
+                    # _SUCCESS and the outcome write. The staged
+                    # __bucket= dirs UNDERCOUNT the pending set
+                    # ('cleared' buckets stage no dir), so an inferred
+                    # list could read as all-done for an epoch that
+                    # never committed. Conservative rule: keep it --
+                    # replay re-merges from _SUCCESS state.
+                    out["kept_resumable"] += 1
+                    continue
+                with open(outcome_p) as fh:
+                    buckets = [int(b) for b in json.load(fh)]
                 done = all(
                     (mark := _read_mark(path, b)) is not None and mark >= e
                     for b in buckets

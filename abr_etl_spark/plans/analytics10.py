@@ -96,7 +96,14 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS STRING), 1, 1) AS INT)"
         ).alias("d"),
     )
-    cells = o.groupBy("o_orderpriority", "d").agg(F.count("*").alias("o"))
+    # census restricted to digits 1-9 BEFORE the marginal: zero /
+    # negative / NULL amounts (d = 0, '-', NULL) must not inflate n,
+    # or every expected count n*p skews while contributing no cell.
+    cells = (
+        o.where(F.col("d").between(1, 9))
+        .groupBy("o_orderpriority", "d")
+        .agg(F.count("*").alias("o"))
+    )
     tot = cells.groupBy("o_orderpriority").agg(F.sum("o").alias("n"))
     grid = spark.createDataFrame([(d,) for d in range(1, 10)], "d int")
     term_case = "CASE " + " ".join(
@@ -144,7 +151,7 @@ def _benford_oracle() -> str:
                        CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)
                             AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
                 FROM orders
-            ) GROUP BY 1, 2
+            ) WHERE d BETWEEN 1 AND 9 GROUP BY 1, 2
         ), tot AS (
             SELECT o_orderpriority, sum(o) AS n FROM cells GROUP BY 1
         ), grid AS (

@@ -36,6 +36,9 @@ ORACLES: dict = {}
 #: of revenue, B: next 15%, C: tail) -- the textbook Pareto split.
 ABC_A_PCT = 80
 ABC_B_PCT = 95
+#: range-bucket count for the two-level prefix sum (bounded the same
+#: way weighted_sample_systematic's WS_BUCKET table is).
+ABC_BUCKETS = 4096
 
 
 def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,10 +59,15 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold its own cumulative total does not exceed, so the part
     that crosses 80% is class B (strict Pareto-prefix reading).
 
-    Scale shape: lineitem map-side combines to the part grain; the ONE
-    global window runs over |parts| rows (key-bounded -- at 100 TB
-    parts number millions while lineitem numbers trillions); the class
-    rollup is 3 rows."""
+    Scale shape: lineitem map-side combines to the part grain; the
+    revenue-descending cumulative sum is a TWO-LEVEL prefix sum
+    (sequence_pack's device): parts range-bucket on rev into at most
+    {ABC_BUCKETS}+1 disjoint descending revenue intervals, the
+    within-bucket running sum is a PARTITIONED window, and the
+    cross-bucket offsets come from a broadcast prefix over the tiny
+    bucket-totals table -- no unpartitioned window ever sees a
+    data-sized frame (r12 verdict item: parts ~ rows/30 is NOT
+    bounded). The class rollup is 3 rows."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.expr(
@@ -68,14 +76,37 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev_e4"),
     )
     pr = li.groupBy("l_partkey").agg(F.sum("rev_e4").alias("rev"))
-    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
-    cum = pr.select(
-        "rev",
-        F.sum("rev")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
+    # Bucket id is monotone in the global sort order (rev DESC):
+    # __b = (mx - rev) DIV width maps disjoint descending revenue
+    # intervals to ascending ints in [0, ABC_BUCKETS], so every part in
+    # bucket b outranks every part in bucket b+1 and the within-bucket
+    # (rev DESC, partkey ASC) order completes the exact total order.
+    span = pr.agg(
+        F.max("rev").alias("__mx"), F.min("rev").alias("__mn")
     )
-    tot = pr.agg(F.sum("rev").alias("T"))
+    bucketed = pr.crossJoin(F.broadcast(span)).withColumn(
+        "__b",
+        F.expr(f"(__mx - rev) DIV ((__mx - __mn) DIV {ABC_BUCKETS} + 1)"),
+    )
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.select(
+        "rev", "__b", F.sum("rev").over(w_in).alias("__run")
+    )
+    btot = bucketed.groupBy("__b").agg(F.sum("rev").alias("__t"))
+    # single-partition window is BOUNDED: input is the per-bucket total
+    # table (<= ABC_BUCKETS + 1 rows), never part-scale
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = btot.select(
+        "__b", F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__pre")
+    )
+    tot = btot.agg(F.sum("__t").alias("T"))
+    cum = within.join(F.broadcast(prefix), "__b").select(
+        "rev", (F.col("__pre") + F.col("__run")).alias("cum")
+    )
     classed = cum.crossJoin(F.broadcast(tot)).select(
         "rev",
         F.expr(

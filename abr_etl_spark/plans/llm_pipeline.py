@@ -650,7 +650,7 @@ ORACLES = {
     "ann_ivf": f"""
         WITH cent AS (
             SELECT vec_id AS centroid_id, embedding AS c_vec
-            FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200
+            FROM embeddings WHERE {IVF_SEED_PRED}
         ), assigned AS (
             SELECT vec_id, embedding, centroid_id FROM (
                 SELECT e.vec_id, e.embedding, c.centroid_id,

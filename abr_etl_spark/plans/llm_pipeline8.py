@@ -1440,7 +1440,7 @@ def dk_ivfadc_seed_ctes() -> str:
     LUT."""
     return f"""cent AS MATERIALIZED (
             SELECT vec_id AS centroid_id, embedding AS cfull
-            FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200
+            FROM embeddings WHERE {IVF_SEED_PRED}
         ), asg AS MATERIALIZED (
             SELECT vec_id, embedding, centroid_id, cfull FROM (
                 SELECT e.vec_id, e.embedding, c.centroid_id, c.cfull,
@@ -1519,15 +1519,18 @@ ORACLES.update(
 
 
 #: Survivor-pair broadcast ceiling for dedup_weighted_jaccard: the
-#: explicit broadcast() hint on the pair list is only attached when the
-#: survivor count is at or below this bound (~24 B/row -> ~120 MB at the
-#: cap, comfortably inside a default driver/executor budget). Above it
-#: -- a low tau on a template-heavy corpus makes the pair list
-#: unbounded -- the hint is omitted and AQE picks the join strategy
-#: from measured sizes (sort-merge once the list outgrows
-#: autoBroadcastJoinThreshold), so the driver never pins an unbounded
-#: frame. Tests drop this to 0 to pin the hint-free plan.
-WJ_PAIR_BROADCAST_CAP: int = 5_000_000
+#: explicit broadcast() hint on the survivor-derived explode frames
+#: (pair-doc shingles, pair intersections -- ~survivors x shingles/doc
+#: rows of 16 B) is only attached when the survivor count is at or
+#: below this bound. Above it -- a low tau on a template-heavy corpus
+#: makes the survivor set unbounded -- the hint is omitted and AQE
+#: picks the join strategy from measured sizes (sort-merge once the
+#: frame outgrows autoBroadcastJoinThreshold), so the driver never
+#: pins an unbounded frame. Sized well below the old pair-list cap
+#: because each survivor now fans out to its shingle rows
+#: (~100x/pair): 50k pairs x ~2x100 shingles x 16 B ~ 160 MB worst
+#: case. Tests drop this to 0 to pin the hint-free plan.
+WJ_PAIR_BROADCAST_CAP: int = 50_000
 
 
 def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1541,30 +1544,37 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output (doc_a, doc_b, jaccard, wjaccard_e4), half-up 1e-4 units.
 
     Scale shape: pairs come from the banded/df-capped candidate
-    machinery (shared pair cache with dedup_ngram_jaccard); the
-    weighted pass touches only PAIR DOCS -- both shingle sides are
-    semi-joined against the pair list before the one (doc, shingle)
-    equi-join -- so its cost scales with the survivor count, not the
-    corpus. The pair-list joins carry an explicit broadcast() hint
-    ONLY while the survivor count is <= WJ_PAIR_BROADCAST_CAP (the
-    count is one extra job over the already-cached pair frame); past
-    the cap the hint is omitted and AQE sizes the join, so a low-tau
-    template-heavy corpus cannot OOM the driver. Weight sums are
-    BIGINT; at extreme corpora (sum w ~ N * shingles/doc > 2^49)
-    apply the documented DECIMAL(38,0) widening before the
-    2*10000 fold."""
+    machinery (shared pair cache with dedup_ngram_jaccard), read WITH
+    their verify-step shingle arrays (keep_shingles -- same cache
+    entry, no re-shingle); the survivor count rides along from the
+    cache's materializing count (zero extra jobs). The corpus is
+    touched EXACTLY ONCE -- the df census behind the idf weights, one
+    map-side-combined groupBy whose exchange Catalyst reuses across
+    both weight joins (ReusedExchange) -- and every other frame
+    (pair-doc shingles, intersections, weight sums) is
+    survivor-bounded. The survivor-derived explode frames carry an
+    explicit broadcast() hint ONLY while the survivor count is <=
+    WJ_PAIR_BROADCAST_CAP; past the cap the hint is omitted and AQE
+    sizes the join, so a low-tau template-heavy corpus cannot OOM the
+    driver. Weight sums are BIGINT; at extreme corpora (sum w ~ N *
+    shingles/doc > 2^49) apply the documented DECIMAL(38,0) widening
+    before the 2*10000 fold."""
     from abr_etl_spark.operators import dedup
     from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU).select(
-        "doc_a", "doc_b", "jaccard"
+    wide = dedup.ngram_jaccard_pairs(
+        d, threshold=JACCARD_TAU, keep_shingles=True
     )
-    n_survivors = pairs.count()
+    n_survivors = getattr(wide, "_abr_result_count", None)
+    if n_survivors is None:  # non-materialized pair source
+        n_survivors = wide.count()
+    pairs = wide.select("doc_a", "doc_b", "jaccard")
 
     def _hint(df: DataFrame) -> DataFrame:
         return broadcast(df) if n_survivors <= WJ_PAIR_BROADCAST_CAP else df
 
+    # the ONE corpus-scale pass: shingle df census -> integer idf weights
     sh = dedup.shingle_df(d, "text", "doc_id", 3)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     tot = d.agg(F.count("*").alias("__n"))
@@ -1574,17 +1584,27 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(broadcast(tot))
         .select("s", F.expr("__n DIV __df").alias("w"))
     )
-    ws = ex.join(wdf, "s")
-    per_doc = ws.groupBy("doc_id").agg(F.sum("w").alias("wsum"))
-    wa = ws.select(F.col("doc_id").alias("doc_a"), "s", "w").join(
-        _hint(pairs.select("doc_a").distinct()), "doc_a", "left_semi"
+    # survivor-bounded frames, all read from the cached pair arrays
+    pair_docs = (
+        wide.select(F.col("doc_a").alias("doc_id"), F.col("sh_a").alias("sh"))
+        .unionByName(
+            wide.select(
+                F.col("doc_b").alias("doc_id"), F.col("sh_b").alias("sh")
+            )
+        )
+        .dropDuplicates(["doc_id"])
     )
-    wb = ws.select(F.col("doc_id").alias("doc_b"), "s").join(
-        _hint(pairs.select("doc_b").distinct()), "doc_b", "left_semi"
+    dex = pair_docs.select("doc_id", F.explode("sh").alias("s"))
+    per_doc = (
+        wdf.join(_hint(dex), "s").groupBy("doc_id").agg(F.sum("w").alias("wsum"))
+    )
+    com = wide.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array_intersect("sh_a", "sh_b")).alias("s"),
     )
     common_w = (
-        wa.join(_hint(pairs.select("doc_a", "doc_b")), "doc_a")
-        .join(wb, ["doc_b", "s"])
+        wdf.join(_hint(com), "s")
         .groupBy("doc_a", "doc_b")
         .agg(F.sum("w").alias("wc"))
     )

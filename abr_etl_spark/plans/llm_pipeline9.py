@@ -842,7 +842,7 @@ QUERIES["ann_ivf_pq_kmeans"] = ann_ivf_pq_kmeans
 #: training, encode and LUT.
 _DK_IVFADC_TRAINED_CTES = f"""cent AS MATERIALIZED (
         SELECT vec_id AS centroid_id, embedding AS cfull
-        FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 3200
+        FROM embeddings WHERE {IVF_SEED_PRED}
     ), asg AS MATERIALIZED (
         SELECT vec_id, embedding, centroid_id, cfull FROM (
             SELECT e.vec_id, e.embedding, c.centroid_id, c.cfull,

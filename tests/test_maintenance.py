@@ -807,3 +807,40 @@ def test_vacuum_respects_writer_lock(spark, tmp_path):
     rep = vacuum_snapshot(path)
     assert not os.path.exists(lock)
     assert rep["removed_staging"] == 0
+
+
+def test_vacuum_keeps_success_without_outcome(spark, tmp_path):
+    """A staging dir with _SUCCESS but no _OUTCOME.json is the resume
+    state of a commit that crashed between the two writes. The staged
+    __bucket= dirs UNDERCOUNT its pending set ('cleared' buckets stage
+    no dir), so vacuum must not infer completion from them -- even when
+    the inferred list is empty (all-cleared epoch) or fully marked.
+    Conservative rule: always kept_resumable."""
+    import os
+
+    from abr_etl_spark.operators.maintenance import (
+        merge_snapshot,
+        vacuum_snapshot,
+    )
+
+    path = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(k, k) for k in range(1, 21)], "pid long, amt long"
+    )
+    merge_snapshot(spark, path, base, None, key="pid", epoch=1, n_buckets=4)
+
+    # all-cleared shape: _SUCCESS, no outcome, NO staged bucket dirs
+    os.makedirs(f"{path}/.staging_epoch_5")
+    open(f"{path}/.staging_epoch_5/_SUCCESS", "w").close()
+    # staged-dirs-all-marked shape: bucket 0 is marked at epoch 1 >= ...
+    # no: epoch 6 > marker 1, keep-by-marker would hold anyway; use a
+    # staged dir whose bucket marker ALREADY satisfies the epoch to
+    # prove the rule is no-outcome (not marker state)
+    os.makedirs(f"{path}/.staging_epoch_1/__bucket=0")
+    open(f"{path}/.staging_epoch_1/_SUCCESS", "w").close()
+
+    rep = vacuum_snapshot(path)
+    assert rep["kept_resumable"] == 2
+    assert rep["removed_staging"] == 0
+    assert os.path.exists(f"{path}/.staging_epoch_5")
+    assert os.path.exists(f"{path}/.staging_epoch_1")
