@@ -246,3 +246,79 @@ def test_mmr_chain_planning_stays_linear_in_k(spark, monkeypatch):
         if r["pick"] <= 3
     }
     assert big_first3 == first3  # greedy prefix property survives
+
+
+# Keys whose registered plan carries an unpartitioned Window node OVER A
+# FRAME WITH A STATED CARDINALITY BOUND. Every entry must say what bounds
+# the frame -- "it passed at sf0.001" is not a bound. Anything NOT listed
+# here must keep every Window partitioned (r12 verdict item 5: the
+# abc_classification shape -- an unpartitioned window whose frame grows
+# with the data -- must not land silently again).
+BOUNDED_GLOBAL_WINDOW_KEYS = {
+    # two-level prefix sums: the single-partition window reads the
+    # per-bucket TOTALS table (<= #buckets rows, a compile-time constant)
+    "abc_classification",  # <= ABC_BUCKETS+1 bucket totals
+    "sequence_pack",  # <= bucket count (llm_pipeline4)
+    "sequence_pack_chunks",  # same device as sequence_pack
+    "weighted_sample_systematic",  # <= orders/WS_BUCKET totals
+    "rfm_segments",  # 3x _ntile_distributed bucket prefixes
+    "corpus_budget_waterfill",  # waterfill ladder over bucket totals
+    # calendar/grid grains: the window input is day-, month-, bin- or
+    # grid-sized, bounded by the time span or a constant grid
+    "cumulative_distinct_users",  # day grain (dates in the lake)
+    "decompose_trend_dow",  # day + dow grain
+    "hll_sliding_distinct",  # day grain
+    "mom_growth",  # month grain
+    "ks_drift_by_source",  # per-source value grid (ECDF support)
+    "psi_drift_by_source",  # PSI bin grid (constant bins)
+    "mannwhitney_u_value",  # rank ties grid: distinct event values
+    # report/sweep grains: input is a sweep grid or partition census
+    "dedup_threshold_sweep",  # tau grid rows
+    "vocab_coverage_sweep",  # vocab-size grid rows
+    "pack_efficiency_report",  # report rows (pack-size census)
+    "lake_partitions",  # partition census (metadata-sized)
+}
+
+
+def test_unpartitioned_windows_are_whitelisted_and_bounded(spark):
+    """Walk the ANALYZED plan of every registered query (subqueries
+    included) and collect Window nodes with an empty partitionSpec.
+    Each such key must be whitelisted above with its cardinality bound;
+    a stale whitelist entry (key no longer global-windowed) fails too,
+    so the list cannot rot in either direction."""
+    import __spark_entry__ as entry
+
+    def has_unpartitioned_window(df) -> bool:
+        found = []
+
+        def walk(node):
+            if found:
+                return
+            if (
+                node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().isEmpty()
+            ):
+                found.append(True)
+                return
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                walk(sq.apply(i))
+
+        walk(df._jdf.queryExecution().analyzed())
+        return bool(found)
+
+    offenders, stale = [], []
+    for key, fn in entry.queries().items():
+        hit = has_unpartitioned_window(fn(spark, "/root/testdata/sf0.001"))
+        if hit and key not in BOUNDED_GLOBAL_WINDOW_KEYS:
+            offenders.append(key)
+        if not hit and key in BOUNDED_GLOBAL_WINDOW_KEYS:
+            stale.append(key)
+    assert not offenders, (
+        "unpartitioned Window over a non-whitelisted frame -- partition "
+        f"it or document its bound in BOUNDED_GLOBAL_WINDOW_KEYS: {offenders}"
+    )
+    assert not stale, f"whitelist entries no longer global-windowed: {stale}"
