@@ -75,6 +75,9 @@ _R13_PRIORITY: list[str] = [
     "ivfadc_nprobe_sweep",
     "ivfadc_trained_nprobe",
     # --- 3. r13-born keys ---
+    "holt_winters_forecast",
+    "ann_pareto_frontier",
+    "boilerplate_line_census",
 ]
 
 
@@ -94,6 +97,7 @@ def _registry() -> tuple[dict, dict]:
     import abr_etl_spark.plans.analytics9 as analytics9
     import abr_etl_spark.plans.analytics10 as analytics10
     import abr_etl_spark.plans.analytics11 as analytics11
+    import abr_etl_spark.plans.analytics12 as analytics12
 
     modules = [
         analytics,
@@ -107,6 +111,7 @@ def _registry() -> tuple[dict, dict]:
         analytics9,
         analytics10,
         analytics11,
+        analytics12,
         semistructured,
     ]
     try:
@@ -185,6 +190,12 @@ def _registry() -> tuple[dict, dict]:
         import abr_etl_spark.plans.llm_pipeline10 as llm_pipeline10
 
         modules.append(llm_pipeline10)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline12 as llm_pipeline12
+
+        modules.append(llm_pipeline12)
     except ImportError:
         pass
     for m in modules:

@@ -274,6 +274,7 @@ BOUNDED_GLOBAL_WINDOW_KEYS = {
     "mannwhitney_u_value",  # rank ties grid: distinct event values
     # report/sweep grains: input is a sweep grid or partition census
     "dedup_threshold_sweep",  # tau grid rows
+    "ann_pareto_frontier",  # sweep-grid union (|radii|+|nprobe| rows)
     "vocab_coverage_sweep",  # vocab-size grid rows
     "pack_efficiency_report",  # report rows (pack-size census)
     "lake_partitions",  # partition census (metadata-sized)
