@@ -78,6 +78,12 @@ _R13_PRIORITY: list[str] = [
     "holt_winters_forecast",
     "ann_pareto_frontier",
     "boilerplate_line_census",
+    "gini_concentration",
+    "kendall_tau_daily",
+    "runs_test_daily",
+    "winsorized_mean_by_type",
+    "dedup_cross_source_matrix",
+    "embedding_norm_outliers",
 ]
 
 

@@ -275,3 +275,191 @@ def _boiler_census_oracle() -> str:
 
 
 ORACLES["boilerplate_line_census"] = _boiler_census_oracle()
+
+# ----------------------------------------------- dedup_cross_source_matrix
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over the verified near-dup pairs:
+    for every unordered source pair, how many tau-pairs span it and the
+    strongest overlap seen -- (source_a, source_b, n_pairs,
+    max_jaccard). THE contamination table a curation team reads before
+    mixing sources into one training split (diagonal rows = in-source
+    duplication; off-diagonal = one source republishing another, the
+    benchmark-leakage shape cross_split_leakage checks at split grain).
+
+    Synthesis off the SHARED pair cache (dedup_ngram_jaccard's
+    machinery): two survivor-bounded joins attach each side's source,
+    the (lexically smaller, larger) normalization makes the matrix
+    unordered, and the reduction is |sources|^2-bounded.
+
+    Scale shape: pair frame is survivor-bounded (broadcast against the
+    documents projection -- the big side streams); no new corpus pass
+    beyond the cached candidate machinery."""
+    from abr_etl_spark.operators import dedup
+    from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    src = d.select("doc_id", "source")
+    located = (
+        src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "__sa")
+        .join(F.broadcast(pairs), "doc_a")
+        .join(
+            F.broadcast(
+                src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "source", "__sb"
+                )
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        located.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+QUERIES["dedup_cross_source_matrix"] = dedup_cross_source_matrix
+
+
+def _cross_source_oracle() -> str:
+    from abr_etl_spark.functions import texthash as th
+    from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU
+
+    sh = th.dk_shingles("text", 3)
+    return f"""
+        WITH t AS MATERIALIZED (
+            SELECT doc_id, source, {sh} AS sh FROM documents
+        ), e AS MATERIALIZED (
+            SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b,
+                   count(*) AS c
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_a, doc_b,
+                   round(c::DOUBLE / (n_a + n_b - c), 4) AS jaccard
+            FROM common
+            WHERE c::DOUBLE / (n_a + n_b - c) >= {JACCARD_TAU}
+        ), located AS (
+            SELECT least(ta.source, tb.source) AS source_a,
+                   greatest(ta.source, tb.source) AS source_b,
+                   p.jaccard
+            FROM pairs p
+            JOIN t ta ON ta.doc_id = p.doc_a
+            JOIN t tb ON tb.doc_id = p.doc_b
+        )
+        SELECT source_a, source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               max(jaccard) AS max_jaccard
+        FROM located GROUP BY 1, 2
+        ORDER BY source_a, source_b
+    """
+
+
+ORACLES["dedup_cross_source_matrix"] = _cross_source_oracle()
+
+# ------------------------------------------------ embedding_norm_outliers
+
+#: z-threshold for the norm outlier flag (the classic 3-sigma fence).
+NORM_Z = 3
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding vectors whose squared L2 norm sits more than
+    {NORM_Z} population sigmas from the corpus mean -- the cheap sanity
+    screen that catches unnormalized batches, zero vectors, and
+    fp-overflow debris BEFORE they poison cosine machinery. Output
+    (vec_id, norm2_e6, side) for flagged vectors only, side = 'low' /
+    'high'.
+
+    Determinism: each vector's norm2 folds ITS OWN array sequentially
+    (sp/dk parity shape, s + v*v) -- one IEEE-identical double per row
+    -- then quantizes to e6 BIGINT, so the corpus-level moments are
+    EXACT integer sums (no cross-row float accumulation order anywhere);
+    the fence test is the integer cross-multiplication
+    (x*n - S)^2 > z^2 * (n*Q - S^2) in DECIMAL(38,0), never a float
+    sigma. All-equal norms make the RHS 0 and flag nothing.
+
+    Scale shape: ONE embeddings scan computes per-row norms; the
+    moments are one map-side-combined 1-row aggregate broadcast back;
+    the flag is a map-side filter. 100 TB cost = the scan (x2 lineage
+    passes, or x1 with a cached norm column)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm2 = (
+        "aggregate(transform(embedding, x -> cast(x as double)), 0.0D,"
+        " (s, v) -> s + v * v)"
+    )
+    nx = e.select(
+        "vec_id",
+        F.expr(f"CAST(floor(({norm2}) * 1000000 + 0.5) AS BIGINT)").alias(
+            "x"
+        ),
+    )
+    mom = nx.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("S"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("Q"),
+    )
+    dev = "(CAST(x AS DECIMAL(38,0)) * n - S)"
+    var_n2 = "(CAST(n AS DECIMAL(38,0)) * Q - CAST(S AS DECIMAL(38,0)) * S)"
+    return (
+        nx.crossJoin(F.broadcast(mom))
+        .where(F.expr(f"{dev} * {dev} > {NORM_Z * NORM_Z} * {var_n2}"))
+        .select(
+            "vec_id",
+            F.col("x").alias("norm2_e6"),
+            F.expr(
+                f"CASE WHEN {dev} < 0 THEN 'low' ELSE 'high' END"
+            ).alias("side"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+QUERIES["embedding_norm_outliers"] = embedding_norm_outliers
+
+
+def _norm_outlier_oracle() -> str:
+    norm2 = (
+        "list_reduce(list_prepend(0.0::DOUBLE,"
+        " list_transform(embedding, x -> x::DOUBLE)),"
+        " (s, v) -> s + v * v)"
+    )
+    dev = "(CAST(x AS HUGEINT) * n - S)"
+    var_n2 = "(CAST(n AS HUGEINT) * Q - CAST(S AS HUGEINT) * S)"
+    return f"""
+        WITH nx AS (
+            SELECT vec_id,
+                   CAST(floor(({norm2}) * 1000000 + 0.5) AS BIGINT) AS x
+            FROM embeddings
+        ), mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS S,
+                   CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS Q
+            FROM nx
+        )
+        SELECT vec_id, x AS norm2_e6,
+               CASE WHEN {dev} < 0 THEN 'low' ELSE 'high' END AS side
+        FROM nx CROSS JOIN mom
+        WHERE {dev} * {dev} > {NORM_Z * NORM_Z} * {var_n2}
+        ORDER BY vec_id
+    """
+
+
+ORACLES["embedding_norm_outliers"] = _norm_outlier_oracle()

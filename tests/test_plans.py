@@ -263,6 +263,7 @@ BOUNDED_GLOBAL_WINDOW_KEYS = {
     "weighted_sample_systematic",  # <= orders/WS_BUCKET totals
     "rfm_segments",  # 3x _ntile_distributed bucket prefixes
     "corpus_budget_waterfill",  # waterfill ladder over bucket totals
+    "gini_concentration",  # <= GINI_BUCKETS+1 bucket-count census
     # calendar/grid grains: the window input is day-, month-, bin- or
     # grid-sized, bounded by the time span or a constant grid
     "cumulative_distinct_users",  # day grain (dates in the lake)
