@@ -94,6 +94,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.9,
     df_cap: int = 1000,
     keep_shingles: bool = False,
+    with_census: bool = False,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle equi-join, with a
     document-frequency cap on the join key.
@@ -105,6 +106,16 @@ def ngram_jaccard_pairs(
     re-shingling the corpus. Both shapes are projections of ONE
     materialized cache (the wide frame), so mixing consumers in a
     session never re-runs the candidate join.
+
+    ``with_census=True`` returns ``(pairs, census)`` where census is
+    the MATERIALIZED per-shingle document-frequency table (s, df) --
+    the candidate machinery computes every shingle's df anyway (the
+    cap window, BEFORE the hot filter), so idf-weighting consumers get
+    the corpus statistics for free instead of paying a second
+    tokenize+shingle+shuffle pass over the corpus. The persist point
+    moves up to the pre-filter frame for this call so the pair verify
+    and the census share one corpus pass; the pair cache itself is the
+    same canonical plan either way (CacheManager dedups it).
 
     Candidate generation: explode -> drop shingles appearing in more than
     ``df_cap`` documents (one hot shingle -- boilerplate, "the end" --
@@ -130,13 +141,19 @@ def ngram_jaccard_pairs(
     # groupBy+join-back. At scale this is what keeps the self-join
     # near-linear.
     w_df = Window.partitionBy("sh_h")
-    kept = (
-        exploded.withColumn("df", F.count("*").over(w_df))
-        .where(F.col("df") <= df_cap)
+    flagged = exploded.withColumn("df", F.count("*").over(w_df))
+    if with_census:
+        # census consumers need PRE-filter dfs (hot shingles weigh ~1,
+        # but they still weigh); persist above the cap filter so the
+        # verify flow and the census read one shared corpus pass.
+        flagged = flagged.persist()
+        kept = flagged.where(F.col("df") <= df_cap)
+        intermediate = flagged
+    else:
         # Materialize before the self-join: the lineage (shingle explode +
         # df window) would otherwise recompute once per side.
-        .persist()
-    )
+        kept = flagged.where(F.col("df") <= df_cap).persist()
+        intermediate = kept
     # Prefix filtering (AllPairs / PPJoin): order each doc's shingles
     # rarest-first (global (df, hash) order) and index only its first
     # |d| - ceil(tau*|d|) + 1. A pair with jaccard >= tau shares
@@ -215,13 +232,24 @@ def ngram_jaccard_pairs(
             "n_b",
         )
     )
+    census = None
+    if with_census:
+        # vocab-grain (s, df): one distinct over the SHARED cached
+        # pre-filter frame -- no second corpus pass. Materialized so
+        # idf consumers re-read it for free; owned by the lifecycle
+        # registry like the pair cache.
+        census = materialize_result(
+            flagged.select(F.col("sh_h").alias("s"), "df").distinct()
+        )
     sh.unpersist()
-    kept.unpersist()
-    if keep_shingles:
-        return wide
-    slim = wide.select("doc_a", "doc_b", "jaccard")
-    slim._abr_result_count = wide._abr_result_count
-    return slim
+    intermediate.unpersist()
+    pairs = wide
+    if not keep_shingles:
+        pairs = wide.select("doc_a", "doc_b", "jaccard")
+        pairs._abr_result_count = wide._abr_result_count
+    if with_census:
+        return pairs, census
+    return pairs
 
 
 def containment_pairs(

@@ -1547,24 +1547,25 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery (shared pair cache with dedup_ngram_jaccard), read WITH
     their verify-step shingle arrays (keep_shingles -- same cache
     entry, no re-shingle); the survivor count rides along from the
-    cache's materializing count (zero extra jobs). The corpus is
-    touched EXACTLY ONCE -- the df census behind the idf weights, one
-    map-side-combined groupBy whose exchange Catalyst reuses across
-    both weight joins (ReusedExchange) -- and every other frame
-    (pair-doc shingles, intersections, weight sums) is
-    survivor-bounded. The survivor-derived explode frames carry an
-    explicit broadcast() hint ONLY while the survivor count is <=
-    WJ_PAIR_BROADCAST_CAP; past the cap the hint is omitted and AQE
-    sizes the join, so a low-tau template-heavy corpus cannot OOM the
-    driver. Weight sums are BIGINT; at extreme corpora (sum w ~ N *
-    shingles/doc > 2^49) apply the documented DECIMAL(38,0) widening
-    before the 2*10000 fold."""
+    cache's materializing count (zero extra jobs). The idf weights
+    come from the candidate machinery's OWN df census (with_census:
+    the cap window computes every shingle's df anyway, exposed as a
+    materialized vocab-grain table) -- so this key adds ZERO corpus
+    passes beyond candidate generation itself, and every frame it
+    builds (pair-doc shingles, intersections, weight sums) is
+    survivor- or vocab-bounded. The survivor-derived explode frames
+    carry an explicit broadcast() hint ONLY while the survivor count
+    is <= WJ_PAIR_BROADCAST_CAP; past the cap the hint is omitted and
+    AQE sizes the join, so a low-tau template-heavy corpus cannot OOM
+    the driver. Weight sums are BIGINT; at extreme corpora (sum w ~
+    N * shingles/doc > 2^49) apply the documented DECIMAL(38,0)
+    widening before the 2*10000 fold."""
     from abr_etl_spark.operators import dedup
     from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU
 
     d = load_table(spark, sf_dir, "documents")
-    wide = dedup.ngram_jaccard_pairs(
-        d, threshold=JACCARD_TAU, keep_shingles=True
+    wide, census = dedup.ngram_jaccard_pairs(
+        d, threshold=JACCARD_TAU, keep_shingles=True, with_census=True
     )
     n_survivors = getattr(wide, "_abr_result_count", None)
     if n_survivors is None:  # non-materialized pair source
@@ -1574,15 +1575,10 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _hint(df: DataFrame) -> DataFrame:
         return broadcast(df) if n_survivors <= WJ_PAIR_BROADCAST_CAP else df
 
-    # the ONE corpus-scale pass: shingle df census -> integer idf weights
-    sh = dedup.shingle_df(d, "text", "doc_id", 3)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # integer idf weights off the cached vocab-grain census
     tot = d.agg(F.count("*").alias("__n"))
-    wdf = (
-        ex.groupBy("s")
-        .agg(F.count("*").alias("__df"))
-        .crossJoin(broadcast(tot))
-        .select("s", F.expr("__n DIV __df").alias("w"))
+    wdf = census.crossJoin(broadcast(tot)).select(
+        "s", F.expr("__n DIV df").alias("w")
     )
     # survivor-bounded frames, all read from the cached pair arrays
     pair_docs = (

@@ -206,6 +206,18 @@ HEADLINERS = [
     "abc_classification",
     "join_cardinality_estimate",
     "keyness_g2_by_source",
+    # r13 additions: forecasting/statistics day-grain reports, the
+    # sweep-synthesis frontier, and the pair-cache contamination matrix
+    # (prices the shared-cache reuse after the dedup keys above).
+    "holt_winters_forecast",
+    "gini_concentration",
+    "kendall_tau_daily",
+    "runs_test_daily",
+    "winsorized_mean_by_type",
+    "ann_pareto_frontier",
+    "boilerplate_line_census",
+    "dedup_cross_source_matrix",
+    "embedding_norm_outliers",
 ]
 
 

@@ -92,6 +92,24 @@ def main() -> int:
         print(f"  {key}: sf0.1 {med['sf01']}s  sf1 {med['sf1']}s  "
               f"x{ratio}", file=sys.stderr)
 
+    # the COMPOSED reference-parity flow (r12 verdict item 4: "add a
+    # weekly_pipeline sf1 row"): not a queries() key (it writes merge
+    # state to temp dirs), so it rides bench.py's harness here.
+    import bench as bench_mod
+
+    med = {}
+    for label, sf_dir in (("sf01", sf01), ("sf1", sf1)):
+        samples = bench_mod._bench_weekly_pipeline(spark, sf_dir, REPS)
+        release_result_caches()
+        med[label] = round(_median(samples), 3)
+    rows["weekly_pipeline"] = {
+        "sf01_median_s": med["sf01"],
+        "sf1_median_s": med["sf1"],
+        "ratio": round(med["sf1"] / med["sf01"], 2) if med["sf01"] else None,
+    }
+    print(f"  weekly_pipeline: sf0.1 {med['sf01']}s  sf1 {med['sf1']}s  "
+          f"x{rows['weekly_pipeline']['ratio']}", file=sys.stderr)
+
     worst = max(rows.items(), key=lambda kv: kv[1]["ratio"] or 0)
     payload = {
         "metric": "sf1_scale_rehearsal",
