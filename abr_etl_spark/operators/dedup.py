@@ -281,8 +281,15 @@ def containment_pairs(
         F.col(id_col), F.explode("shingles").alias("sh_h")
     )
     w_df = Window.partitionBy("sh_h")
-    kept = exploded.withColumn("df", F.count("*").over(w_df)).where(
-        F.col("df") <= df_cap
+    kept = (
+        exploded.withColumn("df", F.count("*").over(w_df))
+        .where(F.col("df") <= df_cap)
+        # Materialize before the self-join (ngram_jaccard_pairs'
+        # lifecycle): without it each join side re-runs the shingle
+        # explode + df window -- measured at the sf10 decade as most of
+        # a 46x cold blowup on a provably LINEAR candidate volume
+        # (12.7M -> 126.6M pairs for 10x docs).
+        .persist()
     )
     cand = (
         kept.alias("x")
@@ -314,11 +321,12 @@ def containment_pairs(
         .where(F.col("cont_e4") >= int(round(threshold * 10000)))
     )
     # Same lifecycle as ngram_jaccard_pairs: materialize the (tiny)
-    # verified pair set, then drop the wide shingle cache immediately.
+    # verified pair set, then drop the wide shingle caches immediately.
     out = materialize_result(
         verified.select("doc_a", "doc_b", "common", "m", "cont_e4")
     )
     sh.unpersist()
+    kept.unpersist()
     return out
 
 
@@ -430,28 +438,50 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Band-exact search: split the 48-bit fingerprint into max_hamming+1
-    bands; any pair within the radius matches exactly in >= 1 band
-    (pigeonhole), so the equi-join on (band, bits) finds ALL such pairs --
-    no recall loss -- while touching O(docs x bands) rows.
+    Piece-multiprobe exact search (HmSearch's trade, r13): split the
+    48-bit fingerprint into ceil((max_hamming+1)/2) WIDE pieces and
+    probe each piece's hamming<=1 ball -- any pair within the radius
+    has SOME piece with <= 1 mismatching bit (pigeonhole over
+    2*pieces > max_hamming errors), so joining probe(x) x exact(y) on
+    (piece_idx, piece_bits) finds ALL such pairs with zero recall
+    loss. vs the old max_hamming+1 exact-match bands: the probe side
+    carries (width+1)x more rows, but the join key space grows from
+    2^12 to 2^24, so expected false candidates drop ~n^2*4/2^12 ->
+    ~n^2*2*25/2^25 (~1000x) -- the sf10 rehearsal measured the band
+    join going quadratic at 500k docs (cold 15.9 s at sf1 ->
+    712.9 s at sf10, x44.8 for 10x data; the piece-probe restores the
+    near-linear decade). Worst case remains sum(bucket^2) under
+    fingerprint skew, now over the 2^24 space.
     """
-    bands = max_hamming + 1
-    width = th.SIMHASH_BITS // bands
+    pieces = (max_hamming + 2) // 2  # some piece has <= 1 error
+    width = th.SIMHASH_BITS // pieces
     fp = simhash_fingerprints(df, text, id_col).persist()
-    banded = fp.select(
+    piece_expr = (
+        f"transform(sequence(0, {pieces - 1}), p -> "
+        f"named_struct('piece_idx', p, 'piece_bits', "
+        f"shiftright(simhash, p * {width}) % {1 << width}))"
+    )
+    index = fp.select(
         F.col(id_col),
         F.col("simhash"),
+        F.explode(F.expr(piece_expr)).alias("pb"),
+    ).select(id_col, "simhash", "pb.piece_idx", "pb.piece_bits")
+    # probe side: the piece value itself + its `width` single-bit flips
+    probes = index.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("piece_idx"),
         F.explode(
             F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"named_struct('band_idx', b, 'band_bits', "
-                f"shiftright(simhash, b * {width}) % {1 << width}))"
+                f"transform(sequence(0, {width}), j -> CASE WHEN j = 0 "
+                f"THEN piece_bits ELSE piece_bits ^ shiftleft(1L, j - 1) "
+                f"END)"
             )
-        ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band_idx", "bb.band_bits")
+        ).alias("piece_bits"),
+    )
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band_idx", "band_bits"])
+        probes.alias("x")
+        .join(index.alias("y"), ["piece_idx", "piece_bits"])
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(
             F.col(f"x.{id_col}").alias("doc_a"),
