@@ -270,28 +270,36 @@ def containment_pairs(
     so per-shingle fan-out stays bounded at df_cap^2); the jaccard
     prefix/length filters are deliberately NOT applied -- both assume a
     bounded size RATIO, which containment explicitly allows. Exact
-    containment is verified on the full shingle sets of the surviving
-    candidates only, reported in exact 1e-4 integer units (no float
+    containment is reported in exact 1e-4 integer units (no float
     rounding to diverge across engines). A qualifying pair is missed
     only if every shared shingle is df-hot -- i.e. the overlap is pure
     boilerplate (same recall argument, and test, as jaccard's cap).
-    """
+
+    Verification is COUNT-BASED, never array-shipping (r13): shingles
+    are distinct per doc, so the candidate equi-join already emits
+    exactly one row per shared NON-hot shingle -- counting rows per
+    pair IS |A cap B| over the capped vocabulary -- and the few shared
+    HOT shingles are added back by joining the surviving pairs against
+    each doc's (id, hot-shingle) rows (a doc carries few DISTINCT hot
+    shingles even when each is corpus-frequent). The sf10 rehearsal
+    measured the old array-verify (full shingle arrays joined onto
+    every candidate pair) at 35x cold for 10x docs on a LINEAR
+    candidate volume -- the arrays were ~50x the candidate wire."""
     sh = shingle_df(df, text, id_col, n).persist()
     exploded = sh.select(
         F.col(id_col), F.explode("shingles").alias("sh_h")
     )
     w_df = Window.partitionBy("sh_h")
-    kept = (
+    flagged = (
         exploded.withColumn("df", F.count("*").over(w_df))
-        .where(F.col("df") <= df_cap)
         # Materialize before the self-join (ngram_jaccard_pairs'
         # lifecycle): without it each join side re-runs the shingle
-        # explode + df window -- measured at the sf10 decade as most of
-        # a 46x cold blowup on a provably LINEAR candidate volume
-        # (12.7M -> 126.6M pairs for 10x docs).
+        # explode + df window.
         .persist()
     )
-    cand = (
+    kept = flagged.where(F.col("df") <= df_cap)
+    # one row per shared non-hot shingle -> count = |A cap B| (capped)
+    common_kept = (
         kept.alias("x")
         .join(kept.alias("y"), "sh_h")
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
@@ -299,19 +307,43 @@ def containment_pairs(
             F.col(f"x.{id_col}").alias("doc_a"),
             F.col(f"y.{id_col}").alias("doc_b"),
         )
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__ck"))
     )
-    side = sh.select(id_col, "shingles", "n_sh")
+    # shared HOT shingles for the surviving pairs only: per-doc hot rows
+    # are few (distinct hot shingles per doc), so both joins are
+    # pair-bounded
+    hot = flagged.where(F.col("df") > df_cap).select(id_col, "sh_h")
+    common_hot = (
+        common_kept.select("doc_a", "doc_b")
+        .join(hot.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .join(
+            hot.withColumnRenamed(id_col, "doc_b"),
+            ["doc_b", "sh_h"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__ch"))
+    )
+    sizes = sh.select(id_col, "n_sh")
     verified = (
-        cand.join(side.withColumnRenamed(id_col, "doc_a"), "doc_a")
-        .withColumnRenamed("shingles", "sh_a")
-        .withColumnRenamed("n_sh", "n_a")
-        .join(side.withColumnRenamed(id_col, "doc_b"), "doc_b")
-        .withColumnRenamed("shingles", "sh_b")
-        .withColumnRenamed("n_sh", "n_b")
+        common_kept.join(common_hot, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
         .withColumn(
             "common",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long"),
+            (F.col("__ck") + F.coalesce(F.col("__ch"), F.lit(0))).cast(
+                "long"
+            ),
         )
         .withColumn("m", F.least("n_a", "n_b").cast("long"))
         .withColumn(
@@ -326,7 +358,7 @@ def containment_pairs(
         verified.select("doc_a", "doc_b", "common", "m", "cont_e4")
     )
     sh.unpersist()
-    kept.unpersist()
+    flagged.unpersist()
     return out
 
 
