@@ -84,6 +84,13 @@ _R13_PRIORITY: list[str] = [
     "winsorized_mean_by_type",
     "dedup_cross_source_matrix",
     "embedding_norm_outliers",
+    "holt_winters_seasonal",
+    "spearman_rho_daily",
+    "funnel_dropoff",
+    "weighted_reservoir_sample",
+    "vocab_df_zipf",
+    "doc_idf_profile",
+    "doc_boilerplate_simpson",
 ]
 
 
@@ -104,6 +111,7 @@ def _registry() -> tuple[dict, dict]:
     import abr_etl_spark.plans.analytics10 as analytics10
     import abr_etl_spark.plans.analytics11 as analytics11
     import abr_etl_spark.plans.analytics12 as analytics12
+    import abr_etl_spark.plans.analytics13 as analytics13
 
     modules = [
         analytics,
@@ -118,6 +126,7 @@ def _registry() -> tuple[dict, dict]:
         analytics10,
         analytics11,
         analytics12,
+        analytics13,
         semistructured,
     ]
     try:
@@ -202,6 +211,12 @@ def _registry() -> tuple[dict, dict]:
         import abr_etl_spark.plans.llm_pipeline12 as llm_pipeline12
 
         modules.append(llm_pipeline12)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline13 as llm_pipeline13
+
+        modules.append(llm_pipeline13)
     except ImportError:
         pass
     for m in modules:

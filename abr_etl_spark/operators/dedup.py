@@ -85,6 +85,40 @@ def shingle_df(
     )
 
 
+def shingle_doc_df(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Doc-exploded shingle frame WITH corpus document frequencies:
+    (id, sh_h, n_sh, df). ONE corpus pass (tokenize + shingle explode)
+    plus one count window keyed on the 8-byte shingle hash -- the same
+    lineage ngram_jaccard_pairs builds internally (its ``flagged``
+    frame), reproduced verbatim so the analyzed plans canonicalize
+    equal and Spark's CacheManager serves idf consumers from the pair
+    machinery's cache whenever a dedup key already ran this session.
+    Standalone cost: the scan + the df shuffle; NEVER the candidate
+    self-join."""
+    sh = shingle_df(df, text, id_col, n)
+    exploded = sh.select(
+        F.col(id_col), F.col("n_sh"), F.explode("shingles").alias("sh_h")
+    )
+    return exploded.withColumn(
+        "df", F.count("*").over(Window.partitionBy("sh_h"))
+    )
+
+
+def shingle_df_census(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Vocab-grain (s, df) shingle document-frequency census -- the
+    same canonical plan ngram_jaccard_pairs(with_census=True) exposes,
+    built WITHOUT the pair machinery: census-only consumers (Zipf
+    reports, idf profiles) pay one corpus pass, and in a session where
+    a dedup key already materialized the census, CacheManager plan
+    matching serves it from that cache."""
+    flagged = shingle_doc_df(df, text, id_col, n)
+    return flagged.select(F.col("sh_h").alias("s"), "df").distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,

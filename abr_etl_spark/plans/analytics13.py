@@ -1,0 +1,611 @@
+"""Round-13 second-wave analytics: the four §7.19 operator candidates.
+
+- ``holt_winters_seasonal``: the THIRD smoothing term -- multiplicative
+  day-of-week seasonality around the double-exponential level/trend
+  (holt_winters_forecast x seasonal_index_dow, composed per event type,
+  all-integer rational arithmetic).
+- ``spearman_rho_daily``: Spearman rank correlation (average-tie ranks)
+  between each type's daily count and value series -- the third rank
+  geometry beside kendall_tau_daily (pairwise signs) and
+  regr_slope_per_user (linear).
+- ``funnel_dropoff``: the per-stage attrition table over funnel_counts'
+  conversion grain -- where users leave, not just how many finish.
+- ``weighted_reservoir_sample``: Efraimidis-Spirakis A-Res weighted
+  sampling (top-k by u^(1/w)) made INTEGER-EXACT by restricting weights
+  to powers of two and comparing u^(1/w) through its 4th power --
+  (h+1)^(4/w) * p^(4-4/w) fits DECIMAL(38,0), so both engines replay
+  the identical race with no libm pow/ln anywhere.
+
+Reference parity: downstream-of-the-weekly-delta analytics (SURVEY.md
+§2.B rationale); the sampler is the training-data-pipeline ask
+(weighted corpus subsampling with an auditable replayable seed).
+
+Scale notes: every window here is partitioned (event_type / lang /
+lang+bucket); the sampler never sorts the corpus -- a 4096-cell key
+histogram picks the per-lang cutoff bucket and only survivors reach
+the top-k window (the gini/abc two-level device applied to top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from abr_etl_spark.functions import texthash as th
+from abr_etl_spark.sources.lake import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_DOW_ANCHOR = "1992-01-06"  # a Monday (shared with seasonal_index_dow)
+
+
+def _halfup(num: str, den: str) -> str:
+    """Sign-safe half-up rational rounding ``round(num/den)`` for a
+    POSITIVE denominator expression, exact on both engines: the pmod
+    remainder makes the final integer division a floor even for
+    negative numerators (the time_weighted_avg device, generalized to
+    expression denominators)."""
+    x = f"(2 * ({num}) + ({den}))"
+    return f"(({x} - pmod({x}, 2 * ({den}))) DIV (2 * ({den})))"
+
+
+def _halfup_dk(num: str, den: str) -> str:
+    """DuckDB twin of _halfup (pmod spelled ((x%y)+y)%y; // floors)."""
+    x = f"(2 * ({num}) + ({den}))"
+    y = f"(2 * ({den}))"
+    return f"(({x} - ((({x}) % {y} + {y}) % {y})) // {y})"
+
+
+# ------------------------------------------------- holt_winters_seasonal
+
+#: smoothing window depth and closed-form weight totals -- shared with
+#: holt_winters_forecast (analytics12) so the two keys' level/trend
+#: machinery is literally the same kernel.
+from abr_etl_spark.plans.analytics12 import (  # noqa: E402
+    HW_D1,
+    HW_D2,
+    HW_W,
+    _hw_round_e4,
+    _hw_round_e4_duck,
+)
+
+
+def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative-seasonal Holt-Winters: per event type, (1) the
+    day-of-week seasonal index idx(d) = mean value on DOW d / overall
+    mean (seasonal_index_dow's cross-multiplied rational, computed at
+    the DAY grain so weekday coverage, not event volume, weighs each
+    cell), (2) the series seasonally ADJUSTED by that index, (3)
+    Brown's double smooth of the adjusted series (holt_winters_forecast's
+    closed-form integer kernel), and (4) the one-step forecast
+    RE-INFLATED by the next calendar day's index. Output (event_type,
+    day, v_e4, idx_e6, sa_e4, sf_e4): observed value, own-DOW index in
+    1e-6 units, seasonally-adjusted value, and the seasonal forecast
+    for day+1 -- all half-up fixed-point BIGINT.
+
+    Determinism: the index is a RATIONAL carried as (num, den) integer
+    pairs (num = s_d * c_all, den = c_d * s_all over the day-grain
+    cells), so adjust = v*den/num and re-inflate = f*num'/den' are each
+    ONE sign-safe half-up division in DECIMAL(38,0) -- no float ever;
+    the smoothing is the pinned power-weight fold. Degenerate guards:
+    a type whose value mass is <= 0 (the all-NULL lake) or a next-DOW
+    never observed yields NULL for the affected report columns, never
+    a raise. Headroom: daily sums ~1e12 x DOW mass ~1e15 x day count
+    ~1e4 stays < 1e31 << 1e38.
+
+    Scale shape: ONE events scan map-side combines to the (type, day)
+    grain; cells/totals re-aggregate the day-grain frame (<= 7|types|
+    rows, broadcast back); the {HW_W} lags share one (event_type)-
+    partitioned window. 100 TB cost = the scan."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("v"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.coalesce(F.sum("v"), F.lit(0)).alias("v_e4")
+    ).withColumn(
+        "dow",
+        F.expr(
+            f"pmod(datediff(CAST(day AS DATE), DATE '{_DOW_ANCHOR}'), 7)"
+        ),
+    )
+    cells = daily.groupBy("event_type", "dow").agg(
+        F.count("*").alias("c_d"), F.sum("v_e4").alias("s_d")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").alias("c_all"), F.sum("v_e4").alias("s_all")
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    num = dec.format("s_d * c_all")  # idx numerator
+    den = dec.format("c_d * s_all")  # idx denominator
+    withidx = (
+        daily.join(broadcast(cells), ["event_type", "dow"])
+        .join(broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "dow",
+            "v_e4",
+            F.expr(
+                f"CASE WHEN {den} > 0 AND {num} > 0 THEN CAST("
+                f"{_halfup(f'{num} * 1000000', den)} AS BIGINT) END"
+            ).alias("idx_e6"),
+            F.expr(
+                f"CASE WHEN {den} > 0 AND {num} > 0 THEN CAST("
+                + _halfup(f"{dec.format('v_e4')} * ({den})", num)
+                + " AS BIGINT) END"
+            ).alias("sa_e4"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    s1 = sum(
+        F.coalesce(F.lag("sa_e4", j).over(w), F.lit(0))
+        * F.lit(2 ** (HW_W - 1 - j))
+        for j in range(HW_W)
+    )
+    s2 = sum(
+        F.coalesce(F.lag("sa_e4", j).over(w), F.lit(0))
+        * F.lit((j + 1) * 2 ** (HW_W - 1 - j))
+        for j in range(HW_W)
+    )
+    sm = withidx.select(
+        "event_type",
+        "day",
+        "dow",
+        "v_e4",
+        "idx_e6",
+        "sa_e4",
+        s1.cast("long").alias("__s1"),
+        s2.cast("long").alias("__s2"),
+    ).withColumn(
+        "f_adj",
+        F.expr(
+            _hw_round_e4(
+                f"3 * __s1 * {HW_D2} - 2 * __s2 * {HW_D1}", HW_D1 * HW_D2
+            )
+        ),
+    ).withColumn("dow_next", F.expr("pmod(dow + 1, 7)"))
+    nxt = cells.select(
+        "event_type",
+        F.col("dow").alias("dow_next"),
+        F.col("c_d").alias("c_dn"),
+        F.col("s_d").alias("s_dn"),
+    )
+    num2 = dec.format("s_dn * c_all")
+    den2 = dec.format("c_dn * s_all")
+    return (
+        sm.join(broadcast(nxt), ["event_type", "dow_next"], "left")
+        .join(broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "v_e4",
+            "idx_e6",
+            "sa_e4",
+            F.expr(
+                f"CASE WHEN {den2} > 0 AND {num2} > 0 THEN CAST("
+                + _halfup(f"{dec.format('f_adj')} * ({num2})", den2)
+                + " AS BIGINT) END"
+            ).alias("sf_e4"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+QUERIES["holt_winters_seasonal"] = holt_winters_seasonal
+
+
+def _hws_oracle() -> str:
+    lag_s1 = " + ".join(
+        f"coalesce(lag(sa_e4, {j}) OVER w, 0) * {2 ** (HW_W - 1 - j)}"
+        for j in range(HW_W)
+    )
+    lag_s2 = " + ".join(
+        f"coalesce(lag(sa_e4, {j}) OVER w, 0)"
+        f" * {(j + 1) * 2 ** (HW_W - 1 - j)}"
+        for j in range(HW_W)
+    )
+    hug = "CAST({} AS HUGEINT)"
+    num = hug.format("s_d * c_all")
+    den = hug.format("c_d * s_all")
+    num2 = hug.format("s_dn * c_all")
+    den2 = hug.format("c_dn * s_all")
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT event_type,
+                   strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   ((CAST(ts AS DATE) - DATE '{_DOW_ANCHOR}') % 7 + 7) % 7
+                       AS dow,
+                   CAST(coalesce(sum(
+                       CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                   ), 0) AS BIGINT) AS v_e4
+            FROM events GROUP BY 1, 2, 3
+        ), cells AS (
+            SELECT event_type, dow, count(*) AS c_d, sum(v_e4) AS s_d
+            FROM daily GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, count(*) AS c_all, sum(v_e4) AS s_all
+            FROM daily GROUP BY 1
+        ), adj AS (
+            SELECT d.event_type, d.day, d.dow, d.v_e4,
+                   CASE WHEN {den} > 0 AND {num} > 0 THEN CAST(
+                       {_halfup_dk(f"{num} * 1000000", den)} AS BIGINT)
+                   END AS idx_e6,
+                   CASE WHEN {den} > 0 AND {num} > 0 THEN CAST(
+                       {_halfup_dk(f"{hug.format('d.v_e4')} * ({den})", num)}
+                       AS BIGINT)
+                   END AS sa_e4
+            FROM daily d
+            JOIN cells USING (event_type, dow)
+            JOIN tot USING (event_type)
+        ), sm AS (
+            SELECT event_type, day, dow, v_e4, idx_e6, sa_e4,
+                   CAST({lag_s1} AS BIGINT) AS s1,
+                   CAST({lag_s2} AS BIGINT) AS s2
+            FROM adj
+            WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+        ), fc AS (
+            SELECT *, CAST({_hw_round_e4_duck(
+                f"3 * s1 * {HW_D2} - 2 * s2 * {HW_D1}", HW_D1 * HW_D2
+            )} AS BIGINT) AS f_adj,
+                   (dow + 1) % 7 AS dow_next
+            FROM sm
+        )
+        SELECT f.event_type, f.day, f.v_e4, f.idx_e6, f.sa_e4,
+               CASE WHEN {den2} > 0 AND {num2} > 0 THEN CAST(
+                   {_halfup_dk(f"{hug.format('f.f_adj')} * ({num2})", den2)}
+                   AS BIGINT)
+               END AS sf_e4
+        FROM fc f
+        LEFT JOIN (SELECT event_type, dow AS dow_next, c_d AS c_dn,
+                          s_d AS s_dn FROM cells) n
+            USING (event_type, dow_next)
+        JOIN tot USING (event_type)
+        ORDER BY f.event_type, f.day
+    """
+
+
+ORACLES["holt_winters_seasonal"] = _hws_oracle()
+
+# ---------------------------------------------------- spearman_rho_daily
+
+
+def spearman_rho_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-AVERAGED ranks) between each
+    type's daily event count and daily total value -- the monotone-
+    association twin of kendall_tau_daily that weighs rank DISTANCE,
+    not just pair sign. Output (event_type, n_days, rho_e6).
+
+    Determinism: average ranks with ties are half-integers, so both
+    engines carry 2x the rank (R2 = 2*rank() + ties - 1, exact BIGINT
+    off two partitioned windows per axis); rho is then Pearson over the
+    R2 pairs -- the 4x scale cancels -- reported as ONE pinned-text
+    double expression round(.., 6) over five exact integer sums
+    (identical IEEE on both engines; sqrt is correctly rounded), NULL
+    when either axis is constant (the all-NULL lake collapses value to
+    one tie) or n_days < 2. Headroom: n*Sxx ~ 4*n_days^4 wraps int64
+    past ~40k distinct days (a century of daily grain) -- widen to
+    DECIMAL(38,0) before that.
+
+    Scale shape: ONE scan to the (type, day) grain; four windows all
+    partitioned by event_type (frames day-grain, calendar-bounded);
+    |types| report rows. 100 TB cost = the scan."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count("*").alias("cnt"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("v"),
+    )
+    def r2(col: str) -> F.Column:
+        wr = Window.partitionBy("event_type").orderBy(F.col(col).asc())
+        wt = Window.partitionBy("event_type", col)
+        return (
+            2 * F.rank().over(wr) + F.count("*").over(wt) - 1
+        ).cast("long")
+
+    ranked = daily.select(
+        "event_type", r2("cnt").alias("rx"), r2("v").alias("ry")
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.expr("rx * rx")).cast("long").alias("sxx"),
+        F.sum(F.expr("ry * ry")).cast("long").alias("syy"),
+        F.sum(F.expr("rx * ry")).cast("long").alias("sxy"),
+    )
+    rho = (
+        "CASE WHEN n >= 2 AND n * sxx - sx * sx > 0"
+        " AND n * syy - sy * sy > 0 THEN "
+        "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /"
+        " sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)"
+        " ELSE NULL END"
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr(rho).alias("rho_e6"),
+    ).orderBy("event_type")
+
+
+QUERIES["spearman_rho_daily"] = spearman_rho_daily
+
+ORACLES["spearman_rho_daily"] = """
+    WITH daily AS (
+        SELECT event_type,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(coalesce(sum(
+                   CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)
+                   AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type,
+               CAST(2 * rank() OVER (PARTITION BY event_type
+                        ORDER BY cnt ASC)
+                    + count(*) OVER (PARTITION BY event_type, cnt)
+                    - 1 AS BIGINT) AS rx,
+               CAST(2 * rank() OVER (PARTITION BY event_type
+                        ORDER BY v ASC)
+                    + count(*) OVER (PARTITION BY event_type, v)
+                    - 1 AS BIGINT) AS ry
+        FROM daily
+    ), agg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rx) AS BIGINT) AS sx,
+               CAST(sum(ry) AS BIGINT) AS sy,
+               CAST(sum(rx * rx) AS BIGINT) AS sxx,
+               CAST(sum(ry * ry) AS BIGINT) AS syy,
+               CAST(sum(rx * ry) AS BIGINT) AS sxy
+        FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                AND n * syy - sy * sy > 0 THEN
+               round((CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy) /
+                     sqrt((CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy
+                             - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS rho_e6
+    FROM agg
+    ORDER BY event_type
+"""
+
+# --------------------------------------------------------- funnel_dropoff
+
+
+def funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition over the ordered view -> click -> purchase
+    funnel: funnel_counts answers 'how many finish'; this answers
+    'WHERE do they leave'. Output one row per stage (stage_idx, stage,
+    entered, converted, dropped, conv_e6) where entered is the prior
+    stage's conversions (stage 1 enters every user), dropped = entered
+    - converted, and conv_e6 the half-up micro-rate.
+
+    Determinism: pure conditional counting off each user's first-touch
+    timestamps (strict < ordering, funnel_counts' rule); the rate is
+    one integer half-up division, NULL when entered = 0 (empty lake).
+
+    Scale shape: one scan map-side combines to the user grain, ONE
+    global 6-counter aggregate, and the 3-row stage table explodes
+    from a literal array -- no per-stage scans, no self-joins. 100 TB
+    cost = the scan."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    agg = firsts.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long"))
+        .cast("long")
+        .alias("s1"),
+        F.sum((F.col("t_view") < F.col("t_click")).cast("long"))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            (
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("s3"),
+    )
+    stages = agg.select(
+        F.explode(
+            F.expr(
+                "array("
+                "named_struct('stage_idx', 1L, 'stage', 'view',"
+                " 'entered', n_users, 'converted', s1),"
+                "named_struct('stage_idx', 2L, 'stage', 'click',"
+                " 'entered', s1, 'converted', s2),"
+                "named_struct('stage_idx', 3L, 'stage', 'purchase',"
+                " 'entered', s2, 'converted', s3))"
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        F.col("s.stage_idx").alias("stage_idx"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.entered").alias("entered"),
+        F.col("s.converted").alias("converted"),
+        (F.col("s.entered") - F.col("s.converted")).alias("dropped"),
+        F.expr(
+            "CASE WHEN s.entered > 0 THEN "
+            + _halfup("s.converted * 1000000", "s.entered")
+            + " END"
+        ).alias("conv_e6"),
+    ).orderBy("stage_idx")
+
+
+QUERIES["funnel_dropoff"] = funnel_dropoff
+
+ORACLES["funnel_dropoff"] = f"""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN t_view < t_click
+                             AND t_click < t_purchase
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s3
+        FROM firsts
+    ), stages AS (
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+               n_users AS entered, s1 AS converted FROM agg
+        UNION ALL
+        SELECT 2, 'click', s1, s2 FROM agg
+        UNION ALL
+        SELECT 3, 'purchase', s2, s3 FROM agg
+    )
+    SELECT stage_idx, stage, entered, converted,
+           entered - converted AS dropped,
+           CASE WHEN entered > 0 THEN CAST(
+               {_halfup_dk("converted * 1000000", "entered")} AS BIGINT)
+           END AS conv_e6
+    FROM stages
+    ORDER BY stage_idx
+"""
+
+# ------------------------------------------------ weighted_reservoir_sample
+
+#: reservoir size per language stratum.
+WRS_K = 16
+#: key-histogram cells for the cutoff pre-filter (the two-level top-k
+#: device: only rows in buckets that can still reach the reservoir
+#: survive to the window).
+WRS_BUCKETS = 4096
+#: public-domain LCG mix (Numerical Recipes constants) over doc_id,
+#: reduced mod the Mersenne prime shared with the minhash family.
+WRS_A = 1103515245
+WRS_B = 12345
+#: length tiers -> sampling weight (powers of two so the A-Res key
+#: u^(1/w) is exactly comparable through its 4th power).
+WRS_TIER_HI = 350  # n_chars >= -> w = 4
+WRS_TIER_LO = 220  # n_chars >= -> w = 2
+_P = th.P
+_P4 = _P**4
+_BW = _P4 // WRS_BUCKETS
+
+
+def _wrs_key(h: str, w: str, *, duck: bool) -> str:
+    """The A-Res sort key u^(1/w) carried EXACTLY: with u = h/p and
+    weights in {{1,2,4}}, u_a^(1/wa) >= u_b^(1/wb) iff
+    h_a^(4/wa) p^(4-4/wa) >= h_b^(4/wb) p^(4-4/wb) (both sides raised
+    to the 4th power and scaled by p^4) -- every quantity <= p^4 ~
+    2.1e37 fits DECIMAL(38,0)/HUGEINT."""
+    d = (
+        f"CAST({h} AS HUGEINT)" if duck else f"CAST({h} AS DECIMAL(38,0))"
+    )
+    return (
+        f"CASE WHEN {w} = 4 THEN {d} * {_P**3}"
+        f" WHEN {w} = 2 THEN {d} * ({h}) * {_P**2}"
+        f" ELSE {d} * ({h}) * ({h}) * ({h}) END"
+    )
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis-Spirakis A-Res): per
+    language, the {WRS_K} documents with the largest u^(1/w), where u
+    is a replayable LCG uniform from doc_id and w a length-tier weight
+    (long docs 4x as likely as short) -- the standard weighted
+    subsample a corpus-mixing pipeline draws, with an auditable seed.
+    Output (lang, rn, doc_id, w).
+
+    Determinism: u = (({WRS_A} * doc_id + {WRS_B}) mod p + 1)/p is pure
+    integer; the race order u^(1/w) is compared EXACTLY through its 4th
+    power in DECIMAL(38,0) (weights restricted to powers of two -- see
+    _wrs_key), so no libm pow/ln/exp runs on either engine and the
+    selected set is bit-identical; ties (impossible unless two docs
+    share an LCG value AND a tier) break on doc_id.
+
+    Scale shape: the corpus is NEVER globally sorted -- keys histogram
+    into {WRS_BUCKETS} range cells per language (one map-side-combined
+    census, <= {WRS_BUCKETS}|langs| rows), a lang-partitioned prefix
+    over the census picks the cutoff cell that can still reach rank
+    {WRS_K}, and only rows at or above it (~K + one cell's occupancy)
+    reach the top-k window. 100 TB cost = the scan + a reservoir-sized
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.expr(
+            f"pmod({WRS_A} * pmod(doc_id, {_P}) + {WRS_B}, {_P}) + 1"
+        ).alias("h"),
+        F.expr(
+            f"CASE WHEN n_chars >= {WRS_TIER_HI} THEN 4"
+            f" WHEN n_chars >= {WRS_TIER_LO} THEN 2 ELSE 1 END"
+        ).alias("w"),
+    )
+    keyed = d.withColumn(
+        "key", F.expr(_wrs_key("h", "w", duck=False))
+    ).withColumn("b", F.expr(f"CAST(key DIV {_BW} AS INT)"))
+    census = keyed.groupBy("lang", "b").agg(F.count("*").alias("cnt"))
+    wc = Window.partitionBy("lang").orderBy(F.col("b").desc())
+    cutoff = (
+        census.withColumn("run", F.sum("cnt").over(wc))
+        .where(F.col("run") - F.col("cnt") < WRS_K)
+        .groupBy("lang")
+        .agg(F.min("b").alias("cut_b"))
+    )
+    survivors = keyed.join(broadcast(cutoff), "lang").where(
+        F.col("b") >= F.col("cut_b")
+    )
+    wk = Window.partitionBy("lang").orderBy(
+        F.col("key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= WRS_K)
+        .select("lang", F.col("rn").cast("long").alias("rn"), "doc_id", F.col("w").cast("long").alias("w"))
+        .orderBy("lang", "rn")
+    )
+
+
+QUERIES["weighted_reservoir_sample"] = weighted_reservoir_sample
+
+ORACLES["weighted_reservoir_sample"] = f"""
+    WITH keyed AS (
+        SELECT lang, doc_id,
+               ((({WRS_A} * ((doc_id % {_P} + {_P}) % {_P}) + {WRS_B})
+                 % {_P} + {_P}) % {_P}) + 1 AS h,
+               CASE WHEN n_chars >= {WRS_TIER_HI} THEN 4
+                    WHEN n_chars >= {WRS_TIER_LO} THEN 2 ELSE 1 END AS w
+        FROM documents
+    ), ranked AS (
+        SELECT lang, doc_id, w,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY {_wrs_key("h", "w", duck=True)} DESC,
+                            doc_id ASC) AS rn
+        FROM keyed
+    )
+    SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, CAST(w AS BIGINT) AS w
+    FROM ranked
+    WHERE rn <= {WRS_K}
+    ORDER BY lang, rn
+"""

@@ -1,0 +1,301 @@
+"""Round-13 census-derived idf family (SURVEY §7.19): three keys that
+read the shingle document-frequency statistics the dedup candidate
+machinery computes anyway.
+
+- ``vocab_df_zipf``: the VOCABULARY-grain Zipf report over shingle
+  document frequencies (zipf_tail_by_source measures the token grain;
+  template-stamped corpora flatten here first because stamped n-grams
+  out-rank natural collocations).
+- ``doc_idf_profile``: per-document idf mass off the rational idf
+  surrogate w(s) = N DIV df(s) (dedup_weighted_jaccard's weights,
+  reported at the doc grain) -- the ranking feature curation teams
+  sort by when mining "informative" documents.
+- ``doc_boilerplate_simpson``: per-document concentration of corpus df
+  mass (Gini-Simpson over the doc's shingle dfs, plus the hottest
+  shingle's share) -- a boilerplate detector that needs NO line-level
+  parsing, integer-exact.
+
+Engine economics: all three consume ``shingle_doc_df`` /
+``shingle_df_census`` (operators/dedup.py), whose plans canonicalize
+equal to the pair machinery's internal frames -- in a session where any
+dedup key ran (the bench, the driver), Spark's CacheManager serves the
+census from cache and these keys cost one shuffle; standalone they pay
+exactly ONE corpus pass each, never the candidate self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from abr_etl_spark.functions import texthash as th
+from abr_etl_spark.plans.analytics13 import _halfup, _halfup_dk
+from abr_etl_spark.sources.lake import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+#: DuckDB twin of the engine's shingle df census (string shingles; the
+#: engine keys on 64-bit gram hashes -- identical df multisets absent a
+#: hash collision, the certified weighted-jaccard equivalence).
+_DK_CENSUS = f"""
+    t AS MATERIALIZED (
+        SELECT doc_id, {th.dk_shingles("text", 3)} AS sh FROM documents
+    ), e AS MATERIALIZED (
+        SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM t
+    ), census AS MATERIALIZED (
+        SELECT s, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY s
+    )
+"""
+
+# ------------------------------------------------------- vocab_df_zipf
+
+#: rank anchors for the df-tail slope (deeper than the token-grain
+#: zipf_tail anchors: shingle vocabularies are hapax-heavy, so the
+#: interesting curvature sits past rank ~100).
+VDZ_R_LO = 10
+VDZ_R_HI = 1000
+
+
+def vocab_df_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf report over the SHINGLE document-frequency distribution:
+    vocabulary size, hapax share (shingles appearing in exactly one
+    document -- natural prose keeps this high; template stamping
+    collapses it), and the two-anchor log-log tail slope between the
+    rank-{VDZ_R_LO} and rank-{VDZ_R_HI} most document-frequent
+    shingles. Output ONE row (n_vocab, hapax, hapax_share_e6, f_lo,
+    f_hi, slope_e4).
+
+    Determinism: counts and the half-up share are exact integers; the
+    anchors are the rank-{VDZ_R_LO}/{VDZ_R_HI} values of the SORTED df
+    multiset (tie order between equal dfs cannot change them), pulled
+    from a {VDZ_R_HI}-row ORDER BY ... LIMIT -- no window at all; the
+    only float math is one ln expression over two exact BIGINTs (the
+    zipf_tail_by_source device). Lakes with fewer than {VDZ_R_HI}
+    distinct shingles report NULL anchors/slope, never raise.
+
+    Scale shape: the census is one corpus pass (cache-shared with the
+    dedup machinery); the report aggregates it to 1 row, the anchor
+    frame is a top-{VDZ_R_HI} TakeOrdered (no global sort shuffle).
+    100 TB cost = the census pass."""
+    from abr_etl_spark.operators.dedup import shingle_df_census
+
+    d = load_table(spark, sf_dir, "documents")
+    census = shingle_df_census(d)
+    base = census.agg(
+        F.count("*").cast("long").alias("n_vocab"),
+        F.coalesce(
+            F.sum((F.col("df") == 1).cast("long")), F.lit(0)
+        ).cast("long").alias("hapax"),
+    )
+    top = (
+        census.orderBy(F.col("df").desc(), F.col("s").asc())
+        .limit(VDZ_R_HI)
+        .agg(
+            F.expr(
+                "sort_array(collect_list(df), false)"
+            ).alias("__dfs")
+        )
+        .select(
+            F.expr(f"try_element_at(__dfs, {VDZ_R_LO})").alias("f_lo"),
+            F.expr(f"try_element_at(__dfs, {VDZ_R_HI})").alias("f_hi"),
+        )
+    )
+    return base.crossJoin(top).select(
+        "n_vocab",
+        "hapax",
+        F.expr(
+            "CASE WHEN n_vocab > 0 THEN "
+            + _halfup("hapax * 1000000", "n_vocab")
+            + " END"
+        ).alias("hapax_share_e6"),
+        F.col("f_lo").cast("long").alias("f_lo"),
+        F.col("f_hi").cast("long").alias("f_hi"),
+        F.expr(
+            "CASE WHEN f_lo IS NOT NULL AND f_hi IS NOT NULL THEN "
+            "CAST(round((ln(CAST(f_lo AS DOUBLE)) -"
+            " ln(CAST(f_hi AS DOUBLE))) /"
+            f" (ln({VDZ_R_HI}.0) - ln({VDZ_R_LO}.0))"
+            " * 10000, 0) AS BIGINT) END"
+        ).alias("slope_e4"),
+    )
+
+
+QUERIES["vocab_df_zipf"] = vocab_df_zipf
+
+ORACLES["vocab_df_zipf"] = f"""
+    WITH {_DK_CENSUS}, base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+               CAST(coalesce(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS hapax
+        FROM census
+    ), top AS (
+        SELECT list(df ORDER BY df DESC)[{VDZ_R_LO}] AS f_lo,
+               list(df ORDER BY df DESC)[{VDZ_R_HI}] AS f_hi
+        FROM (SELECT df FROM census ORDER BY df DESC LIMIT {VDZ_R_HI})
+    )
+    SELECT n_vocab, hapax,
+           CASE WHEN n_vocab > 0 THEN CAST(
+               {_halfup_dk("hapax * 1000000", "n_vocab")} AS BIGINT)
+           END AS hapax_share_e6,
+           CAST(f_lo AS BIGINT) AS f_lo,
+           CAST(f_hi AS BIGINT) AS f_hi,
+           CASE WHEN f_lo IS NOT NULL AND f_hi IS NOT NULL THEN
+               CAST(round((ln(CAST(f_lo AS DOUBLE)) -
+                           ln(CAST(f_hi AS DOUBLE))) /
+                          (ln({VDZ_R_HI}.0) - ln({VDZ_R_LO}.0))
+                          * 10000, 0) AS BIGINT)
+           END AS slope_e4
+    FROM base CROSS JOIN top
+"""
+
+# ------------------------------------------------------ doc_idf_profile
+
+
+def doc_idf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document idf profile off the rational idf surrogate
+    w(s) = N DIV df(s) (rare shingles weigh ~N, corpus boilerplate ~1;
+    no libm): the doc's distinct-shingle count, total idf mass, and
+    half-up mean idf per shingle. Output (doc_id, n_sh, idf_sum,
+    idf_mean_e4) -- the doc-grain tf-idf vector norm for shingle
+    features (tf = 1 per distinct shingle by construction).
+
+    Determinism: pure BIGINT -- the weight is an integer division, the
+    mean one sign-safe half-up division; n_sh >= 1 for every doc (the
+    whole-text fallback shingle), so no zero denominators. Headroom:
+    idf_sum <= n_sh * N ~ 5e2 * 5e6 well inside int64 at the certified
+    decades; widen to DECIMAL(38,0) past ~1e13 doc-shingles.
+
+    Scale shape: one corpus pass to the exploded (doc, shingle, df)
+    frame (cache-shared with the dedup machinery's candidate lineage),
+    one map-side-combinable groupBy back to the doc grain. The shuffle
+    carries (doc_id, 8-byte hash, two BIGINTs), never text. 100 TB
+    cost = the pass + one doc-grain shuffle."""
+    from abr_etl_spark.operators.dedup import shingle_doc_df
+
+    d = load_table(spark, sf_dir, "documents")
+    flagged = shingle_doc_df(d)
+    tot = d.agg(F.count("*").alias("__n"))
+    return (
+        flagged.crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_sh").cast("long").alias("n_sh"),
+            F.sum(F.expr("__n DIV df")).cast("long").alias("idf_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "idf_sum",
+            F.expr(
+                "CAST("
+                + _halfup("idf_sum * 10000", "n_sh")
+                + " AS BIGINT)"
+            ).alias("idf_mean_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["doc_idf_profile"] = doc_idf_profile
+
+ORACLES["doc_idf_profile"] = f"""
+    WITH {_DK_CENSUS}, n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    ), per_doc AS (
+        SELECT e.doc_id,
+               CAST(max(e.n_sh) AS BIGINT) AS n_sh,
+               CAST(sum((SELECT n FROM n) // c.df) AS BIGINT) AS idf_sum
+        FROM e JOIN census c USING (s)
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_sh, idf_sum,
+           CAST({_halfup_dk("idf_sum * 10000", "n_sh")} AS BIGINT)
+               AS idf_mean_e4
+    FROM per_doc
+    ORDER BY doc_id
+"""
+
+# ----------------------------------------------- doc_boilerplate_simpson
+
+
+def doc_boilerplate_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate concentration: treat the doc's shingles'
+    corpus document frequencies as a mass distribution and report its
+    Gini-Simpson diversity 1 - sum((df_s/T)^2) with T = sum df_s, plus
+    the hottest shingle's mass share -- a template-stamped page
+    concentrates df mass on a few corpus-wide shingles (low Simpson,
+    high hot share) while natural prose spreads it. Output (doc_id,
+    n_sh, df_mass, hot_df, hot_share_e6, simpson_e6).
+
+    Determinism: Simpson avoids Shannon's per-row ln SUM (cross-engine
+    float addition order) -- sum(df^2) and T are exact BIGINTs, the two
+    reports are sign-safe half-up divisions in DECIMAL(38,0) (ssq*1e6
+    wraps int64 past ~1e12 per-doc df mass, hence the widening); T >= 1
+    always (every shingle has df >= 1).
+
+    Scale shape: identical to doc_idf_profile -- one cache-shared
+    corpus pass, one doc-grain map-side-combinable groupBy."""
+    from abr_etl_spark.operators.dedup import shingle_doc_df
+
+    d = load_table(spark, sf_dir, "documents")
+    flagged = shingle_doc_df(d)
+    dec = "CAST({} AS DECIMAL(38,0))"
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.max("n_sh").cast("long").alias("n_sh"),
+            F.sum("df").cast("long").alias("df_mass"),
+            F.max("df").cast("long").alias("hot_df"),
+            F.sum(F.expr("df * df")).cast("long").alias("__ssq"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "df_mass",
+            "hot_df",
+            F.expr(
+                "CASE WHEN df_mass > 0 THEN CAST("
+                + _halfup(dec.format("hot_df") + " * 1000000", "df_mass")
+                + " AS BIGINT) END"
+            ).alias("hot_share_e6"),
+            F.expr(
+                "CASE WHEN df_mass > 0 THEN 1000000 - CAST("
+                + _halfup(
+                    dec.format("__ssq") + " * 1000000",
+                    dec.format("df_mass") + " * df_mass",
+                )
+                + " AS BIGINT) END"
+            ).alias("simpson_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["doc_boilerplate_simpson"] = doc_boilerplate_simpson
+
+_HUG = "CAST({} AS HUGEINT)"
+ORACLES["doc_boilerplate_simpson"] = f"""
+    WITH {_DK_CENSUS}, per_doc AS (
+        SELECT e.doc_id,
+               CAST(max(e.n_sh) AS BIGINT) AS n_sh,
+               CAST(sum(c.df) AS BIGINT) AS df_mass,
+               CAST(max(c.df) AS BIGINT) AS hot_df,
+               CAST(sum(c.df * c.df) AS BIGINT) AS ssq
+        FROM e JOIN census c USING (s)
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_sh, df_mass, hot_df,
+           CASE WHEN df_mass > 0 THEN CAST(
+               {_halfup_dk(_HUG.format("hot_df") + " * 1000000",
+                           "df_mass")} AS BIGINT)
+           END AS hot_share_e6,
+           CASE WHEN df_mass > 0 THEN 1000000 - CAST(
+               {_halfup_dk(_HUG.format("ssq") + " * 1000000",
+                           _HUG.format("df_mass") + " * df_mass")}
+               AS BIGINT)
+           END AS simpson_e6
+    FROM per_doc
+    ORDER BY doc_id
+"""

@@ -218,6 +218,17 @@ HEADLINERS = [
     "boilerplate_line_census",
     "dedup_cross_source_matrix",
     "embedding_norm_outliers",
+    # r13 second wave: seasonal forecasting, rank correlation, funnel
+    # attrition, the integer-exact weighted reservoir, and the
+    # census-derived idf family (the census keys price the CacheManager
+    # reuse after the dedup keys above, like the contamination matrix).
+    "holt_winters_seasonal",
+    "spearman_rho_daily",
+    "funnel_dropoff",
+    "weighted_reservoir_sample",
+    "vocab_df_zipf",
+    "doc_idf_profile",
+    "doc_boilerplate_simpson",
 ]
 
 
