@@ -91,6 +91,9 @@ _R13_PRIORITY: list[str] = [
     "vocab_df_zipf",
     "doc_idf_profile",
     "doc_boilerplate_simpson",
+    "funnel_time_to_convert",
+    "page_hinkley_drift",
+    "source_df_zipf",
 ]
 
 

@@ -609,3 +609,219 @@ ORACLES["weighted_reservoir_sample"] = f"""
     WHERE rn <= {WRS_K}
     ORDER BY lang, rn
 """
+
+# ----------------------------------------------- funnel_time_to_convert
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel transition: among users
+    who complete view -> click (and click -> purchase, and the overall
+    view -> purchase path, all at first-touch timestamps with the
+    strict ordering funnel_counts/funnel_dropoff use), the lag
+    distribution -- funnel_dropoff says how many convert, this says how
+    LONG conversion takes. Output (transition, n, p50_us, p90_us,
+    mean_us): exact microsecond lags, interpolated p50/p90 and the mean
+    all rounded half-up to integer microseconds.
+
+    Determinism: lags are exact BIGINT microseconds (unix_micros <->
+    epoch_us parity); the percentile bounds use the winsorized_mean
+    device (percentile <-> quantile_cont parity, half-up to integer)
+    and the mean is one sign-safe half-up division -- no float
+    accumulation anywhere.
+
+    Scale shape: one scan map-side combines to the user grain, the
+    transition rows explode from a 3-element literal array per user
+    (<= 3 rows out per user, most filtered by the conversion
+    predicate), one |transitions|-row aggregate. 100 TB cost = the
+    scan."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    lags = firsts.select(
+        F.explode(
+            F.expr(
+                "filter(array("
+                "named_struct('transition', 'view_to_click', 'lag_us',"
+                " CASE WHEN t_view < t_click THEN"
+                " unix_micros(t_click) - unix_micros(t_view) END),"
+                "named_struct('transition', 'click_to_purchase', 'lag_us',"
+                " CASE WHEN t_view < t_click AND t_click < t_purchase THEN"
+                " unix_micros(t_purchase) - unix_micros(t_click) END),"
+                "named_struct('transition', 'view_to_purchase', 'lag_us',"
+                " CASE WHEN t_view < t_click AND t_click < t_purchase THEN"
+                " unix_micros(t_purchase) - unix_micros(t_view) END)"
+                "), s -> s.lag_us IS NOT NULL)"
+            )
+        ).alias("s")
+    ).select(
+        F.col("s.transition").alias("transition"),
+        F.col("s.lag_us").alias("lag_us"),
+    )
+    return (
+        lags.groupBy("transition")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                "CAST(floor(percentile(lag_us, 0.5) + 0.5) AS BIGINT)"
+            ).alias("p50_us"),
+            F.expr(
+                "CAST(floor(percentile(lag_us, 0.9) + 0.5) AS BIGINT)"
+            ).alias("p90_us"),
+            F.expr(
+                "CAST("
+                + _halfup("sum(lag_us)", "count(*)")
+                + " AS BIGINT)"
+            ).alias("mean_us"),
+        )
+        .orderBy("transition")
+    )
+
+
+QUERIES["funnel_time_to_convert"] = funnel_time_to_convert
+
+ORACLES["funnel_time_to_convert"] = f"""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    ), lags AS (
+        SELECT 'view_to_click' AS transition,
+               epoch_us(t_click) - epoch_us(t_view) AS lag_us
+        FROM firsts WHERE t_view < t_click
+        UNION ALL
+        SELECT 'click_to_purchase',
+               epoch_us(t_purchase) - epoch_us(t_click)
+        FROM firsts WHERE t_view < t_click AND t_click < t_purchase
+        UNION ALL
+        SELECT 'view_to_purchase',
+               epoch_us(t_purchase) - epoch_us(t_view)
+        FROM firsts WHERE t_view < t_click AND t_click < t_purchase
+    )
+    SELECT transition, CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(quantile_cont(lag_us, 0.5) + 0.5) AS BIGINT)
+               AS p50_us,
+           CAST(floor(quantile_cont(lag_us, 0.9) + 0.5) AS BIGINT)
+               AS p90_us,
+           CAST({_halfup_dk("sum(lag_us)", "count(*)")} AS BIGINT)
+               AS mean_us
+    FROM lags
+    GROUP BY transition
+    ORDER BY transition
+"""
+
+# --------------------------------------------------- page_hinkley_drift
+
+#: Page-Hinkley tolerated-drift term delta, in 1e-4 value units. Zero
+#: makes the statistic the pure mean-shift detector; report consumers
+#: threshold max_ph_e4 themselves (lambda is a policy, not a fact).
+PH_DELTA_E4 = 0
+
+
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift statistic over each type's daily value
+    series: m_t = sum_{{s<=t}} (x_s - mu_s - delta) with mu_s the
+    RUNNING mean (unlike cusum_changepoint_daily's fixed reference
+    window), M_t = min m, and PH_t = m_t - M_t; the report is the peak
+    PH and the day it first peaks -- the classic sequential mean-shift
+    monitor (Page 1954, Hinkley 1971). Output (event_type, n_days,
+    max_ph_e4, peak_day).
+
+    Determinism: the running mean is QUANTIZED to half-up integer e4
+    units each day (mu_s = round(S_s/s), the pmod device), so m_t, M_t
+    and PH_t are exact BIGINTs on both engines -- the documented
+    quantization (<= 0.5e-4/day) replaces the textbook's float
+    recursion; peak_day is the MIN day attaining the max (explicit
+    tie-break, not an arbitrary max_by). All-NULL lakes coalesce to a
+    constant-zero series: PH = 0 everywhere, peak_day = first day.
+
+    Scale shape: ONE scan to the (type, day) grain; three
+    type-partitioned running windows over calendar-bounded frames;
+    |types| report rows. 100 TB cost = the scan."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("v"),
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.coalesce(F.sum("v"), F.lit(0)).alias("v_e4")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    cur = (
+        daily.withColumn("t", F.row_number().over(w))
+        .withColumn("s_t", F.sum("v_e4").over(w))
+        .withColumn("mu", F.expr(_halfup("s_t", "t")))
+        .withColumn(
+            "dev", F.col("v_e4") - F.col("mu") - F.lit(PH_DELTA_E4)
+        )
+        .withColumn("m", F.sum("dev").over(w))
+        .withColumn("mmin", F.min("m").over(w))
+        .withColumn("ph", F.col("m") - F.col("mmin"))
+    )
+    peak = cur.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("ph").cast("long").alias("max_ph_e4"),
+    )
+    return (
+        cur.join(broadcast(peak), "event_type")
+        .where(F.col("ph") == F.col("max_ph_e4"))
+        .groupBy("event_type", "n_days", "max_ph_e4")
+        .agg(F.min("day").alias("peak_day"))
+        .select("event_type", "n_days", "max_ph_e4", "peak_day")
+        .orderBy("event_type")
+    )
+
+
+QUERIES["page_hinkley_drift"] = page_hinkley_drift
+
+ORACLES["page_hinkley_drift"] = f"""
+    WITH daily AS (
+        SELECT event_type,
+               strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(coalesce(sum(
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT)), 0)
+                   AS BIGINT) AS v_e4
+        FROM events GROUP BY 1, 2
+    ), run AS (
+        SELECT event_type, day, v_e4,
+               row_number() OVER w AS t,
+               sum(v_e4) OVER w AS s_t
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+    ), dev AS (
+        SELECT event_type, day, v_e4,
+               v_e4 - {_halfup_dk("s_t", "t")} - {PH_DELTA_E4} AS d
+        FROM run
+    ), m AS (
+        SELECT event_type, day,
+               sum(d) OVER (PARTITION BY event_type
+                            ORDER BY day ASC) AS m
+        FROM dev
+    ), ph AS (
+        SELECT event_type, day,
+               m - min(m) OVER (PARTITION BY event_type
+                                ORDER BY day ASC) AS ph
+        FROM m
+    ), peak AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(max(ph) AS BIGINT) AS max_ph_e4
+        FROM ph GROUP BY 1
+    )
+    SELECT p.event_type, p.n_days, p.max_ph_e4,
+           min(h.day) AS peak_day
+    FROM peak p JOIN ph h
+      ON h.event_type = p.event_type AND h.ph = p.max_ph_e4
+    GROUP BY 1, 2, 3
+    ORDER BY p.event_type
+"""

@@ -299,3 +299,134 @@ ORACLES["doc_boilerplate_simpson"] = f"""
     FROM per_doc
     ORDER BY doc_id
 """
+
+# ------------------------------------------------------ source_df_zipf
+
+#: per-source anchors sit shallower than the corpus-wide ones: a single
+#: source's shingle vocabulary is ~1/|sources| of the corpus.
+SDZ_R_LO = 5
+SDZ_R_HI = 200
+
+
+def source_df_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE shingle df-Zipf monitor: vocab_df_zipf's report split
+    by feed, so ONE template-stamped source cannot hide inside a
+    healthy corpus-wide slope (the same source split zipf_tail_by_source
+    applies at the token grain). Output (source, n_vocab, hapax,
+    hapax_share_e6, f_lo, f_hi, slope_e4) for every source; anchors at
+    ranks {SDZ_R_LO}/{SDZ_R_HI}, NULL when the source's vocabulary is
+    shallower.
+
+    Determinism: per-source df = count per (source, shingle) -- a doc's
+    shingles are distinct, so the plain count IS the document frequency;
+    anchors read the rank-k df off a (source)-partitioned row_number
+    ordered (df DESC, s ASC) -- equal-df tie order differs between the
+    engines' shingle representations but cannot change the rank-k df
+    VALUE; hapax share is one half-up division; the slope is the
+    two-scalar ln device.
+
+    Scale shape: one corpus pass to the (source, shingle) census
+    (map-side combinable), one source-partitioned window over the
+    vocabulary-grain census (zipf_tail_by_source's accepted shape --
+    type-cardinality-, not corpus-, sized), |sources| report rows."""
+    d = load_table(spark, sf_dir, "documents")
+    from abr_etl_spark.operators.dedup import shingle_df as _shingle_df
+
+    sh = _shingle_df(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    census = (
+        sh.select("source", F.explode("shingles").alias("s"))
+        .groupBy("source", "s")
+        .agg(F.count("*").alias("df"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("source").orderBy(
+        F.col("df").desc(), F.col("s").asc()
+    )
+    ranked = census.withColumn("rk", F.row_number().over(w))
+    base = census.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_vocab"),
+        F.coalesce(
+            F.sum((F.col("df") == 1).cast("long")), F.lit(0)
+        ).cast("long").alias("hapax"),
+    )
+    anchors = (
+        ranked.where(F.col("rk").isin(SDZ_R_LO, SDZ_R_HI))
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.when(F.col("rk") == SDZ_R_LO, F.col("df"))
+            ).alias("f_lo"),
+            F.max(
+                F.when(F.col("rk") == SDZ_R_HI, F.col("df"))
+            ).alias("f_hi"),
+        )
+    )
+    return (
+        base.join(anchors, "source", "left")
+        .select(
+            "source",
+            "n_vocab",
+            "hapax",
+            F.expr(
+                "CASE WHEN n_vocab > 0 THEN "
+                + _halfup("hapax * 1000000", "n_vocab")
+                + " END"
+            ).alias("hapax_share_e6"),
+            F.col("f_lo").cast("long").alias("f_lo"),
+            F.col("f_hi").cast("long").alias("f_hi"),
+            F.expr(
+                "CASE WHEN f_lo IS NOT NULL AND f_hi IS NOT NULL THEN "
+                "CAST(round((ln(CAST(f_lo AS DOUBLE)) -"
+                " ln(CAST(f_hi AS DOUBLE))) /"
+                f" (ln({SDZ_R_HI}.0) - ln({SDZ_R_LO}.0))"
+                " * 10000, 0) AS BIGINT) END"
+            ).alias("slope_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["source_df_zipf"] = source_df_zipf
+
+ORACLES["source_df_zipf"] = f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, source, {th.dk_shingles("text", 3)} AS sh
+        FROM documents
+    ), census AS MATERIALIZED (
+        SELECT source, s, CAST(count(*) AS BIGINT) AS df FROM (
+            SELECT source, unnest(sh) AS s FROM t
+        ) GROUP BY source, s
+    ), ranked AS (
+        SELECT source, df,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY df DESC, s ASC) AS rk
+        FROM census
+    ), base AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+               CAST(coalesce(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS hapax
+        FROM census GROUP BY 1
+    ), anchors AS (
+        SELECT source,
+               max(CASE WHEN rk = {SDZ_R_LO} THEN df END) AS f_lo,
+               max(CASE WHEN rk = {SDZ_R_HI} THEN df END) AS f_hi
+        FROM ranked GROUP BY 1
+    )
+    SELECT b.source, b.n_vocab, b.hapax,
+           CASE WHEN n_vocab > 0 THEN CAST(
+               {_halfup_dk("hapax * 1000000", "n_vocab")} AS BIGINT)
+           END AS hapax_share_e6,
+           CAST(f_lo AS BIGINT) AS f_lo,
+           CAST(f_hi AS BIGINT) AS f_hi,
+           CASE WHEN f_lo IS NOT NULL AND f_hi IS NOT NULL THEN
+               CAST(round((ln(CAST(f_lo AS DOUBLE)) -
+                           ln(CAST(f_hi AS DOUBLE))) /
+                          (ln({SDZ_R_HI}.0) - ln({SDZ_R_LO}.0))
+                          * 10000, 0) AS BIGINT)
+           END AS slope_e4
+    FROM base b LEFT JOIN anchors a USING (source)
+    ORDER BY b.source
+"""

@@ -356,3 +356,117 @@ def test_vocab_df_zipf_small_lake_reports_null_anchors(spark, tmp_path):
     assert r["n_vocab"] == 1 and r["hapax"] == 1
     assert r["hapax_share_e6"] == 1_000_000
     assert r["f_lo"] is None and r["slope_e4"] is None
+
+
+# ------------------------------------------------- funnel_time_to_convert
+
+
+def test_funnel_time_to_convert_exact_lags(spark, tmp_path):
+    """Three converting users with 1/2/4-minute view->click lags: p50
+    is the exact interpolated middle, the mean the half-up integer."""
+    t = lambda m: _T0 + timedelta(minutes=m)  # noqa: E731
+    rows = []
+    eid = 0
+    for u, (lag_c, lag_p) in enumerate([(1, 10), (2, 20), (4, 40)], 1):
+        rows += [
+            (eid, t(0), u, "view", 1.0, None),
+            (eid + 1, t(lag_c), u, "click", 1.0, None),
+            (eid + 2, t(lag_p), u, "purchase", 1.0, None),
+        ]
+        eid += 3
+    out = {
+        r["transition"]: r
+        for r in a13.funnel_time_to_convert(
+            spark, _events_lake(spark, tmp_path, rows)
+        ).collect()
+    }
+    m_us = 60_000_000
+    vc = out["view_to_click"]
+    assert vc["n"] == 3
+    assert vc["p50_us"] == 2 * m_us
+    assert vc["mean_us"] == round((1 + 2 + 4) / 3 * m_us)
+    vp = out["view_to_purchase"]
+    assert vp["p50_us"] == 20 * m_us
+    # p90 interpolates between the 2nd and 3rd order stats: 2 + 0.8*2
+    assert vc["p90_us"] == round((2 + 0.8 * 2) * m_us)
+
+
+# ----------------------------------------------------- page_hinkley_drift
+
+
+def test_page_hinkley_flat_series_is_zero(spark, tmp_path):
+    rows = [
+        (i, _T0 + timedelta(days=i), 1, "view", 5.0, None)
+        for i in range(10)
+    ]
+    out = a13.page_hinkley_drift(
+        spark, _events_lake(spark, tmp_path, rows)
+    ).collect()
+    assert out[0]["max_ph_e4"] == 0
+    assert out[0]["peak_day"] == "2024-01-01"  # min-day tie-break
+
+
+def test_page_hinkley_peaks_after_the_shift(spark, tmp_path):
+    """10 quiet days then 10 elevated days: the PH statistic must peak
+    at the END of the elevated run (running-mean deviations keep
+    accumulating), and the max must be positive."""
+    rows = [
+        (
+            i,
+            _T0 + timedelta(days=i),
+            1,
+            "view",
+            1.0 if i < 10 else 100.0,
+            None,
+        )
+        for i in range(20)
+    ]
+    out = a13.page_hinkley_drift(
+        spark, _events_lake(spark, tmp_path, rows)
+    ).collect()[0]
+    assert out["max_ph_e4"] > 0
+    assert out["peak_day"] == "2024-01-20"
+    assert out["n_days"] == 20
+
+
+# --------------------------------------------------------- source_df_zipf
+
+
+def test_source_df_zipf_splits_the_stamped_source(spark, tmp_path):
+    """A stamped source (every doc shares one template sentence) must
+    show a LOWER hapax share than a source of fully unique prose."""
+    import abr_etl_spark.plans.llm_pipeline13 as _lp13
+
+    stamp = "all rights reserved by the template press office"
+    rows = [
+        (
+            i,
+            f"{stamp} plus a tiny unique suffix {i}",
+            "en",
+            "stamped",
+            80,
+        )
+        for i in range(20)
+    ] + [
+        (
+            100 + i,
+            f"completely original passage number {i} with words "
+            f"{i * 3} {i * 7} {i * 11} never repeated elsewhere",
+            "en",
+            "natural",
+            90,
+        )
+        for i in range(20)
+    ]
+    out = {
+        r["source"]: r
+        for r in _lp13.source_df_zipf(
+            spark, _docs_lake(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert (
+        out["stamped"]["hapax_share_e6"] < out["natural"]["hapax_share_e6"]
+    )
+    # both vocabularies are far shallower than rank 200 -> NULL anchors
+    assert out["stamped"]["f_hi"] is None
+    assert out["stamped"]["slope_e4"] is None
