@@ -94,6 +94,7 @@ _R13_PRIORITY: list[str] = [
     "funnel_time_to_convert",
     "page_hinkley_drift",
     "source_df_zipf",
+    "q2_min_cost_supplier",
 ]
 
 

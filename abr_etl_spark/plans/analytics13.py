@@ -825,3 +825,118 @@ ORACLES["page_hinkley_drift"] = f"""
     GROUP BY 1, 2, 3
     ORDER BY p.event_type
 """
+
+# ------------------------------------------------ q2_min_cost_supplier
+
+#: part slice for the Q2 shape (selective but non-empty at sf0.001).
+Q2_MIN_SIZE = 40
+Q2_REGION = "EUROPE"
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape on this schema (no partsupp table -- lineitem is
+    the supply relation, the q11/q20 convention): for every part of
+    size >= {Q2_MIN_SIZE}, the {Q2_REGION} supplier(s) whose unit cost
+    equals the MINIMUM unit cost any {Q2_REGION} supplier quotes for
+    that part -- the classic correlated-min subquery, expressed as one
+    per-part window min instead of a rescan. Output (p_partkey,
+    p_brand, s_name, n_name, acctbal_cents, cost_e4), Q2's ordering
+    (acctbal DESC then name keys) made total.
+
+    Determinism: unit cost is the half-up integer e4 unit price
+    round(extendedprice/quantity) -- exact on both engines via the pmod
+    device -- so the correlated min and the equality against it are
+    integer comparisons, never float; acctbal reports as exact half-up
+    cents.
+
+    Scale shape: suppliers filter through two BROADCAST dims (nation,
+    region); the (part, supp) cost grain is one map-side-combinable
+    groupBy of the lineitem scan; the correlated min is one
+    part-partitioned window over that grain (q20's device -- same
+    shuffle produces the pair and the threshold); the part attributes
+    join at the part grain with AQE free to broadcast the filtered
+    side. 100 TB cost = the lineitem scan + one pair-grain shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_size") >= Q2_MIN_SIZE
+    )
+    geo = (
+        s.join(
+            broadcast(n), s.s_nationkey == n.n_nationkey
+        )
+        .join(
+            broadcast(r.where(F.col("r_name") == Q2_REGION)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+    unit = F.expr(
+        _halfup(
+            "CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)",
+            "CAST(l_quantity AS BIGINT)",
+        )
+    )
+    cost = (
+        l.select("l_partkey", "l_suppkey", unit.alias("u"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("u").cast("long").alias("cost_e4"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        cost.join(geo, cost.l_suppkey == geo.s_suppkey)
+        .withColumn("__min", F.min("cost_e4").over(w))
+        .where(F.col("cost_e4") == F.col("__min"))
+    )
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.expr(
+                "CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)"
+            ).alias("acctbal_cents"),
+            "cost_e4",
+        )
+        .orderBy(
+            F.col("acctbal_cents").desc(),
+            "n_name",
+            "s_name",
+            "p_partkey",
+        )
+    )
+
+
+QUERIES["q2_min_cost_supplier"] = q2_min_cost_supplier
+
+ORACLES["q2_min_cost_supplier"] = f"""
+    WITH geo AS (
+        SELECT s_suppkey, s_name, n_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{Q2_REGION}'
+    ), cost AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(min({_halfup_dk(
+                   "CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)",
+                   "CAST(l_quantity AS BIGINT)")}) AS BIGINT) AS cost_e4
+        FROM lineitem GROUP BY 1, 2
+    ), best AS (
+        SELECT c.l_partkey, c.l_suppkey, c.cost_e4,
+               g.s_name, g.n_name, g.s_acctbal,
+               min(c.cost_e4) OVER (PARTITION BY c.l_partkey) AS mn
+        FROM cost c JOIN geo g ON c.l_suppkey = g.s_suppkey
+    )
+    SELECT p.p_partkey, p.p_brand, b.s_name, b.n_name,
+           CAST(floor(b.s_acctbal * 100 + 0.5) AS BIGINT)
+               AS acctbal_cents,
+           b.cost_e4
+    FROM best b JOIN part p ON b.l_partkey = p.p_partkey
+    WHERE b.cost_e4 = b.mn AND p.p_size >= {Q2_MIN_SIZE}
+    ORDER BY acctbal_cents DESC, b.n_name, b.s_name, p.p_partkey
+"""

@@ -232,6 +232,7 @@ HEADLINERS = [
     "funnel_time_to_convert",
     "page_hinkley_drift",
     "source_df_zipf",
+    "q2_min_cost_supplier",
 ]
 
 

@@ -470,3 +470,68 @@ def test_source_df_zipf_splits_the_stamped_source(spark, tmp_path):
     # both vocabularies are far shallower than rank 200 -> NULL anchors
     assert out["stamped"]["f_hi"] is None
     assert out["stamped"]["slope_e4"] is None
+
+
+# ------------------------------------------------- q2_min_cost_supplier
+
+
+def test_q2_keeps_only_the_min_cost_suppliers(spark, tmp_path):
+    """Two European suppliers quote part 1 (unit costs 2.0 and 3.0) and
+    one quotes part 2; only the cheapest quote per part survives, and a
+    non-European supplier can never win."""
+    d = tmp_path / "lake"
+    d.mkdir(parents=True)
+
+    def w(name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(d / f"{name}.parquet")
+        )
+
+    w("region", [(0, "EUROPE"), (1, "ASIA")], "r_regionkey long, r_name string")
+    w(
+        "nation",
+        [(10, "FRANCE", 0), (20, "JAPAN", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    w(
+        "supplier",
+        [(1, "s_eu_cheap", 10, 50.0), (2, "s_eu_dear", 10, 900.0),
+         (3, "s_asia", 20, 10.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    w(
+        "part",
+        [(1, "p1", "B1", "T", 45, 1.0), (2, "p2", "B2", "T", 45, 1.0),
+         (3, "p_small", "B3", "T", 5, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    # lineitem rows: (partkey, suppkey, qty, extendedprice) + the full
+    # production schema the load_table type contract expects
+    li = [
+        (1, 1, 10.0, 20.0),   # part 1, cheap: unit 2.0
+        (1, 2, 10.0, 30.0),   # part 1, dear: unit 3.0
+        (1, 3, 10.0, 1.0),    # part 1, asia: unit 0.1 (must not win)
+        (2, 2, 4.0, 14.0),    # part 2, dear: unit 3.5
+        (3, 1, 1.0, 1.0),     # part 3 too small -> filtered
+    ]
+    w(
+        "lineitem",
+        [
+            (i + 1, pk, sk, 1, q, ep, 0.0, 0.0, "N", "O",
+             datetime(1995, 1, 1))
+            for i, (pk, sk, q, ep) in enumerate(li)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    from abr_etl_spark.plans.analytics13 import q2_min_cost_supplier
+
+    out = q2_min_cost_supplier(spark, str(d)).collect()
+    got = {(r["p_partkey"], r["s_name"]): r for r in out}
+    assert set(got) == {(1, "s_eu_cheap"), (2, "s_eu_dear")}
+    assert got[(1, "s_eu_cheap")]["cost_e4"] == 20_000
+    assert got[(2, "s_eu_dear")]["cost_e4"] == 35_000
+    assert got[(1, "s_eu_cheap")]["acctbal_cents"] == 5_000

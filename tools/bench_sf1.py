@@ -49,6 +49,20 @@ HEAVY_KEYS = [
     # scan-shaped headliners for the baseline ratio
     "q1_pricing_summary",
     "q3_shipping_priority",
+    # r13 wave 2/3 keys: the corpus-shaped ones (census idf family, the
+    # bucketed reservoir) plus the day-grain reports and the Q2 window
+    # join -- each ratio shows whether the shape holds a decade up.
+    "holt_winters_seasonal",
+    "spearman_rho_daily",
+    "funnel_dropoff",
+    "funnel_time_to_convert",
+    "page_hinkley_drift",
+    "weighted_reservoir_sample",
+    "vocab_df_zipf",
+    "doc_idf_profile",
+    "doc_boilerplate_simpson",
+    "source_df_zipf",
+    "q2_min_cost_supplier",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
