@@ -549,8 +549,11 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     census, <= {WRS_BUCKETS}|langs| rows), a lang-partitioned prefix
     over the census picks the cutoff cell that can still reach rank
     {WRS_K}, and only rows at or above it (~K + one cell's occupancy)
-    reach the top-k window. 100 TB cost = the scan + a reservoir-sized
-    shuffle."""
+    reach the top-k window. 100 TB cost = TWO key-column scans (the
+    census pass, then the cutoff filter -- columnar pruning keeps each
+    to (lang, doc_id, n_chars)) + a reservoir-sized shuffle; the
+    two-scan trade buys out the full per-lang corpus sort a plain
+    top-k window would pay."""
     d = load_table(spark, sf_dir, "documents").select(
         "lang",
         "doc_id",

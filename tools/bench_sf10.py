@@ -55,6 +55,19 @@ SCAN_KEYS = [
     "ann_bruteforce",
     "ann_ivf_pq",
     "lsh_band_sweep",
+    # r13 wave 2/3: the corpus-shaped newcomers (census idf family,
+    # the two-scan bucketed reservoir) and the new day-grain monitors,
+    # so the third decade covers every r13-born shape too.
+    "doc_idf_profile",
+    "doc_boilerplate_simpson",
+    "vocab_df_zipf",
+    "source_df_zipf",
+    "weighted_reservoir_sample",
+    "holt_winters_seasonal",
+    "page_hinkley_drift",
+    "spearman_rho_daily",
+    "funnel_time_to_convert",
+    "q2_min_cost_supplier",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
