@@ -330,10 +330,19 @@ def source_df_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-grain census (zipf_tail_by_source's accepted shape --
     type-cardinality-, not corpus-, sized), |sources| report rows."""
     d = load_table(spark, sf_dir, "documents")
-    from abr_etl_spark.operators.dedup import shingle_df as _shingle_df
+    from abr_etl_spark.operators.dedup import ensure_parallelism
 
-    sh = _shingle_df(d).join(
-        d.select("doc_id", "source"), "doc_id"
+    # carry source THROUGH the shingle projection (no doc-grain
+    # join-back): one scan, tokens materialized once per row
+    sh = (
+        ensure_parallelism(d)
+        .select("source", F.expr(th.sp_tokens("text")).alias("__tok"))
+        .select(
+            "source",
+            F.expr(
+                th.sp_shingle_hashes_from_tokens("__tok", 3)
+            ).alias("shingles"),
+        )
     )
     census = (
         sh.select("source", F.explode("shingles").alias("s"))
