@@ -63,8 +63,8 @@ def running_counts_stateful(events: DataFrame) -> DataFrame:
 # protobuf-equipped cluster can switch between them freely.)
 # Availability re-checks: r8 absent, r9 absent, r10 absent, r11 absent
 # (2026-08-14), r12 absent (2026-08-15: `importlib.util.find_spec` finds
-# neither google.protobuf nor grpc), r13 absent (2026-08-15: import
-# google.protobuf still raises ModuleNotFoundError)
+# neither google.protobuf nor grpc), r13 absent (2026-08-15 and again
+# 2026-08-16: import google.protobuf still raises ModuleNotFoundError)
 # -- the gated twin stays pytest-skipped; promote to a driver-checked
 # key the round protobuf appears.
 
