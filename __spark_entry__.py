@@ -95,6 +95,7 @@ _R13_PRIORITY: list[str] = [
     "page_hinkley_drift",
     "source_df_zipf",
     "q2_min_cost_supplier",
+    "association_rules",
 ]
 
 

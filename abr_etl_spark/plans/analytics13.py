@@ -943,3 +943,139 @@ ORACLES["q2_min_cost_supplier"] = f"""
     WHERE b.cost_e4 = b.mn AND p.p_size >= {Q2_MIN_SIZE}
     ORDER BY acctbal_cents DESC, b.n_name, b.s_name, p.p_partkey
 """
+
+# ---------------------------------------------------- association_rules
+
+#: minimum co-occurrence count for a rule (support floor: a pair seen
+#: once is an anecdote, not a rule).
+AR_MIN_PAIR = 2
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over basket_pairs' co-occurrence vocabulary:
+    every directed rule ant -> cons from part pairs bought together in
+    >= {AR_MIN_PAIR} orders, with the three classic strengths --
+    support (pair share of baskets), confidence (pair share of the
+    antecedent's baskets) and lift (confidence over the consequent's
+    base rate). Output (ant, cons, n_pair, n_ant, n_cons, supp_e6,
+    conf_e6, lift_e6) -- the recommendations table basket_pairs' raw
+    counts feed.
+
+    Determinism: all three strengths are exact integer rationals in
+    half-up e6 units (lift cross-multiplies N*n_pair against
+    n_ant*n_cons in DECIMAL(38,0) -- ~1e9 baskets x 1e6-basket parts
+    stays < 1e27); both directions of a pair emit explicitly, so no
+    arbitrary orientation survives.
+
+    Scale shape: the pair census is basket_pairs' within-order
+    self-join (quadratic in BASKET SIZE only, <= 21 pairs per TPC-H
+    order, map-side combined); per-part basket counts are one more
+    combine of the SAME distinct (order, part) projection; the rule
+    table joins pair rows to two |parts|-grain count frames on part
+    keys (AQE broadcasts the smaller side) plus one 1-row basket-total
+    broadcast. 100 TB cost = the lineitem scan + the pair-vocabulary
+    shuffle."""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = l.select("l_orderkey", F.col("l_partkey").alias("ant"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("cons"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= AR_MIN_PAIR)
+    )
+    per_part = l.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_part")
+    )
+    tot = l.select("l_orderkey").distinct().agg(
+        F.count("*").cast("long").alias("n_baskets")
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    return (
+        pairs.join(
+            per_part.select(
+                F.col("l_partkey").alias("ant"),
+                F.col("n_part").alias("n_ant"),
+            ),
+            "ant",
+        )
+        .join(
+            per_part.select(
+                F.col("l_partkey").alias("cons"),
+                F.col("n_part").alias("n_cons"),
+            ),
+            "cons",
+        )
+        .crossJoin(broadcast(tot))
+        .select(
+            "ant",
+            "cons",
+            "n_pair",
+            "n_ant",
+            "n_cons",
+            F.expr(
+                "CAST("
+                + _halfup("n_pair * 1000000", "n_baskets")
+                + " AS BIGINT)"
+            ).alias("supp_e6"),
+            F.expr(
+                "CAST("
+                + _halfup("n_pair * 1000000", "n_ant")
+                + " AS BIGINT)"
+            ).alias("conf_e6"),
+            F.expr(
+                "CAST("
+                + _halfup(
+                    dec.format("n_baskets")
+                    + " * n_pair * 1000000",
+                    dec.format("n_ant") + " * n_cons",
+                )
+                + " AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+        .orderBy("ant", "cons")
+    )
+
+
+QUERIES["association_rules"] = association_rules
+
+_AR_HUG = "CAST({} AS HUGEINT)"
+ORACLES["association_rules"] = f"""
+    WITH l AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS ant, b.l_partkey AS cons,
+               CAST(count(*) AS BIGINT) AS n_pair
+        FROM l a JOIN l b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {AR_MIN_PAIR}
+    ), per_part AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+        FROM l GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+        FROM l
+    )
+    SELECT p.ant, p.cons, p.n_pair,
+           pa.n_part AS n_ant, pc.n_part AS n_cons,
+           CAST({_halfup_dk("p.n_pair * 1000000", "n_baskets")}
+               AS BIGINT) AS supp_e6,
+           CAST({_halfup_dk("p.n_pair * 1000000", "pa.n_part")}
+               AS BIGINT) AS conf_e6,
+           CAST({_halfup_dk(
+               _AR_HUG.format("n_baskets") + " * p.n_pair * 1000000",
+               _AR_HUG.format("pa.n_part") + " * pc.n_part")}
+               AS BIGINT) AS lift_e6
+    FROM pairs p
+    JOIN per_part pa ON p.ant = pa.l_partkey
+    JOIN per_part pc ON p.cons = pc.l_partkey
+    CROSS JOIN tot
+    ORDER BY p.ant, p.cons
+"""

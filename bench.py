@@ -233,6 +233,7 @@ HEADLINERS = [
     "page_hinkley_drift",
     "source_df_zipf",
     "q2_min_cost_supplier",
+    "association_rules",
 ]
 
 

@@ -535,3 +535,43 @@ def test_q2_keeps_only_the_min_cost_suppliers(spark, tmp_path):
     assert got[(1, "s_eu_cheap")]["cost_e4"] == 20_000
     assert got[(2, "s_eu_dear")]["cost_e4"] == 35_000
     assert got[(1, "s_eu_cheap")]["acctbal_cents"] == 5_000
+
+
+# ------------------------------------------------------ association_rules
+
+
+def test_association_rules_exact_strengths(spark, tmp_path):
+    """4 baskets: parts (1,2) co-occur in 2, part 1 also appears alone
+    twice, part 2 nowhere else; rule 1->2 has conf 1/2, rule 2->1 conf
+    1 (2 always implies 1) and both share lift = 4*2/(4*2) = 1... with
+    n_1 = 4, n_2 = 2, N = 4: lift = N*n12/(n1*n2) = 4*2/(4*2) = 1."""
+    d = tmp_path / "lake"
+    d.mkdir(parents=True)
+    rows = []
+    ln = 0
+    baskets = {10: [1, 2], 20: [1, 2], 30: [1], 40: [1]}
+    for ok, parts in baskets.items():
+        for pk in parts:
+            ln += 1
+            rows.append(
+                (ok, pk, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                 datetime(1995, 1, 1))
+            )
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    from abr_etl_spark.plans.analytics13 import association_rules
+
+    out = {(r["ant"], r["cons"]): r for r in
+           association_rules(spark, str(d)).collect()}
+    assert set(out) == {(1, 2), (2, 1)}
+    r12, r21 = out[(1, 2)], out[(2, 1)]
+    assert r12["n_pair"] == 2 and r12["n_ant"] == 4 and r12["n_cons"] == 2
+    assert r12["supp_e6"] == 500_000       # 2/4 baskets
+    assert r12["conf_e6"] == 500_000       # 2/4 of part-1 baskets
+    assert r21["conf_e6"] == 1_000_000     # part 2 always implies 1
+    assert r12["lift_e6"] == 1_000_000 and r21["lift_e6"] == 1_000_000

@@ -96,6 +96,22 @@ KEYS = [
     "cms_merge_by_source",
     # trained IVFADC probe dial: grid-sliced scored frame + index cb
     "ivfadc_trained_nprobe",
+    # r13 wave 2/3: integer A-Res race + bucket-census cutoff; ordered
+    # lag kernels; tie-averaged double ranks; TakeOrdered df anchors +
+    # sorted collect_list; doc-grain census joins; correlated window
+    # min with explicit tie-breaks; running-mean prefix quantization
+    "weighted_reservoir_sample",
+    "holt_winters_seasonal",
+    "spearman_rho_daily",
+    "vocab_df_zipf",
+    "doc_idf_profile",
+    "doc_boilerplate_simpson",
+    "source_df_zipf",
+    "page_hinkley_drift",
+    "funnel_time_to_convert",
+    "q2_min_cost_supplier",
+    # directed rule table: three integer rationals off the pair census
+    "association_rules",
 ]
 
 
