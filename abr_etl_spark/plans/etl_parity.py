@@ -209,10 +209,28 @@ def q_delta_classify_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained (count, sum) per priority: cost O(|delta|).
     The oracle recomputes from scratch on the new snapshot -- agreement
-    proves the maintenance algebra."""
+    proves the maintenance algebra.
+
+    The summed column is pre-quantized to EXACT integer cents (a derived
+    column, so the delta classify hashes are unchanged) and the report
+    divides back to dollars at the end: summing raw doubles was caught
+    by the sf10 oracle decade -- at ~2e12 group sums the two engines'
+    float addition orders diverge past the second decimal, while cent
+    sums are exact BIGINTs at any scale (the integer-cents discipline
+    every other money fold here already follows)."""
     new, old = _snapshots(spark, sf_dir)
-    return delta.incremental_agg(
-        new, old, "o_orderkey", group_col="o_orderpriority", sum_col="o_totalprice"
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    out = delta.incremental_agg(
+        new.withColumn("__cents", cents),
+        old.withColumn("__cents", cents),
+        "o_orderkey",
+        group_col="o_orderpriority",
+        sum_col="__cents",
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_rows",
+        (F.col("sum_value") / F.lit(100.0)).alias("sum_value"),
     )
 
 
@@ -398,7 +416,8 @@ ORACLES = {
     + """
         SELECT o_orderpriority,
                count(*) AS n_rows,
-               round(sum(o_totalprice), 2) AS sum_value
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 100.0 AS sum_value
         FROM newd
         GROUP BY o_orderpriority
     """,

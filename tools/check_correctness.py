@@ -60,7 +60,17 @@ def main() -> int:
 
     import os
 
-    spark = get_spark()
+    # The compare leg collects FULL results; snapshot-sized keys (scd2 at
+    # sf10 returns ~26M rows) trip Spark's 1g driver.maxResultSize long
+    # before the driver heap is at risk -- a harness limit, not an engine
+    # one, so the gate raises it (overridable for small boxes).
+    spark = get_spark(
+        extra_conf={
+            "spark.driver.maxResultSize": os.environ.get(
+                "CHECK_MAX_RESULT", "8g"
+            )
+        }
+    )
     qs, oracles = entry.queries(), entry.oracle_sql()
     con = duckdb.connect()
     # long sf1 runs: bound the oracle's memory so a heavy CTE can not
