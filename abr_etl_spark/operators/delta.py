@@ -281,8 +281,13 @@ def incremental_agg(
         .select(
             group_col,
             (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_rows"),
+            # integer zero: coalescing with 0.0 promoted BIGINT cent
+            # sums to DOUBLE, silently re-capping exactness at 2^53
+            # cents; with lit(0) an integral sum_col stays integral
+            # end-to-end (doubles are unaffected -- coalesce(double,
+            # int) is still double). (r13 ADVICE)
             F.round(
-                F.coalesce("s", F.lit(0.0)) + F.coalesce("ds", F.lit(0.0)), 2
+                F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0)), 2
             ).alias("sum_value"),
         )
         .where(F.col("n_rows") > 0)

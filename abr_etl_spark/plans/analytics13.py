@@ -89,7 +89,10 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (num = s_d * c_all, den = c_d * s_all over the day-grain
     cells), so adjust = v*den/num and re-inflate = f*num'/den' are each
     ONE sign-safe half-up division in DECIMAL(38,0) -- no float ever;
-    the smoothing is the pinned power-weight fold. Degenerate guards:
+    the smoothing is the pinned power-weight fold, itself carried in
+    DECIMAL(38,0) (HUGEINT on the oracle) because sa_e4 is den/num-
+    inflated and only s_all-bounded under extreme DOW skew -- an int64
+    fold would wrap where the oracle raises. Degenerate guards:
     a type whose value mass is <= 0 (the all-NULL lake) or a next-DOW
     never observed yields NULL for the affected report columns, never
     a raise. Headroom: daily sums ~1e12 x DOW mass ~1e15 x day count
@@ -140,14 +143,24 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sa_e4"),
         )
     )
+    # The power-weight fold runs in DECIMAL(38,0) (HUGEINT on the
+    # oracle): sa_e4 is den/num-inflated and only s_all-bounded under
+    # extreme DOW skew, so an int64 fold would silently wrap past
+    # ~2.4e13 e4-units while DuckDB raised -- divergent failure modes
+    # (r13 ADVICE). The final quotient is sa_e4-magnitude, so the
+    # BIGINT report column is safe.
     w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
     s1 = sum(
-        F.coalesce(F.lag("sa_e4", j).over(w), F.lit(0))
+        F.coalesce(F.lag("sa_e4", j).over(w), F.lit(0)).cast(
+            "decimal(38,0)"
+        )
         * F.lit(2 ** (HW_W - 1 - j))
         for j in range(HW_W)
     )
     s2 = sum(
-        F.coalesce(F.lag("sa_e4", j).over(w), F.lit(0))
+        F.coalesce(F.lag("sa_e4", j).over(w), F.lit(0)).cast(
+            "decimal(38,0)"
+        )
         * F.lit((j + 1) * 2 ** (HW_W - 1 - j))
         for j in range(HW_W)
     )
@@ -158,14 +171,16 @@ def holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_e4",
         "idx_e6",
         "sa_e4",
-        s1.cast("long").alias("__s1"),
-        s2.cast("long").alias("__s2"),
+        s1.cast("decimal(38,0)").alias("__s1"),
+        s2.cast("decimal(38,0)").alias("__s2"),
     ).withColumn(
         "f_adj",
         F.expr(
-            _hw_round_e4(
+            "CAST("
+            + _hw_round_e4(
                 f"3 * __s1 * {HW_D2} - 2 * __s2 * {HW_D1}", HW_D1 * HW_D2
             )
+            + " AS BIGINT)"
         ),
     ).withColumn("dow_next", F.expr("pmod(dow + 1, 7)"))
     nxt = cells.select(
@@ -199,12 +214,15 @@ QUERIES["holt_winters_seasonal"] = holt_winters_seasonal
 
 
 def _hws_oracle() -> str:
+    # HUGEINT fold -- the DuckDB twin of the Spark side's DECIMAL(38,0)
+    # smoothing fold (r13 ADVICE: matched wide-integer headroom).
     lag_s1 = " + ".join(
-        f"coalesce(lag(sa_e4, {j}) OVER w, 0) * {2 ** (HW_W - 1 - j)}"
+        f"CAST(coalesce(lag(sa_e4, {j}) OVER w, 0) AS HUGEINT)"
+        f" * {2 ** (HW_W - 1 - j)}"
         for j in range(HW_W)
     )
     lag_s2 = " + ".join(
-        f"coalesce(lag(sa_e4, {j}) OVER w, 0)"
+        f"CAST(coalesce(lag(sa_e4, {j}) OVER w, 0) AS HUGEINT)"
         f" * {(j + 1) * 2 ** (HW_W - 1 - j)}"
         for j in range(HW_W)
     )
@@ -243,8 +261,8 @@ def _hws_oracle() -> str:
             JOIN tot USING (event_type)
         ), sm AS (
             SELECT event_type, day, dow, v_e4, idx_e6, sa_e4,
-                   CAST({lag_s1} AS BIGINT) AS s1,
-                   CAST({lag_s2} AS BIGINT) AS s2
+                   CAST({lag_s1} AS HUGEINT) AS s1,
+                   CAST({lag_s2} AS HUGEINT) AS s2
             FROM adj
             WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
         ), fc AS (
@@ -416,13 +434,22 @@ def funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t_view").isNotNull().cast("long"))
         .cast("long")
         .alias("s1"),
-        F.sum((F.col("t_view") < F.col("t_click")).cast("long"))
+        # coalesce(pred, false): a NULL comparison (either timestamp
+        # missing) must count 0, not poison the whole sum -- on a lake
+        # where NO user has both stamps, sum(all-NULL) is NULL in Spark
+        # while the oracle's CASE ... ELSE 0 yields 0 (r13 ADVICE).
+        F.sum(
+            F.coalesce(
+                F.col("t_view") < F.col("t_click"), F.lit(False)
+            ).cast("long")
+        )
         .cast("long")
         .alias("s2"),
         F.sum(
-            (
+            F.coalesce(
                 (F.col("t_view") < F.col("t_click"))
-                & (F.col("t_click") < F.col("t_purchase"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                F.lit(False),
             ).cast("long")
         )
         .cast("long")

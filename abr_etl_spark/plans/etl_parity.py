@@ -216,8 +216,10 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides back to dollars at the end: summing raw doubles was caught
     by the sf10 oracle decade -- at ~2e12 group sums the two engines'
     float addition orders diverge past the second decimal, while cent
-    sums are exact BIGINTs at any scale (the integer-cents discipline
-    every other money fold here already follows)."""
+    sums stay exact BIGINTs end-to-end up to int64 (~9.2e16 dollars;
+    incremental_agg coalesces with an integer zero so the BIGINT is
+    never promoted to DOUBLE -- r13 ADVICE), the integer-cents
+    discipline every other money fold here already follows."""
     new, old = _snapshots(spark, sf_dir)
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     out = delta.incremental_agg(

@@ -80,9 +80,14 @@ def vocab_df_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is a top-{VDZ_R_HI} TakeOrdered (no global sort shuffle).
     100 TB cost = the census pass."""
     from abr_etl_spark.operators.dedup import shingle_df_census
+    from abr_etl_spark.functions.cache import materialize_result
 
     d = load_table(spark, sf_dir, "documents")
-    census = shingle_df_census(d)
+    # Persisted: BOTH subtrees below (base aggregate + anchor top-k)
+    # read the census, so a cold standalone run must not tokenize and
+    # shingle the corpus twice (r13 ADVICE). In a session where a dedup
+    # key already ran, CacheManager dedups this to the existing entry.
+    census = materialize_result(shingle_df_census(d))
     base = census.agg(
         F.count("*").cast("long").alias("n_vocab"),
         F.coalesce(
@@ -344,7 +349,12 @@ def source_df_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingles"),
         )
     )
-    census = (
+    from abr_etl_spark.functions.cache import materialize_result
+
+    # Persisted for the same reason as vocab_df_zipf: the base
+    # aggregate and the anchor window both read the census, and a cold
+    # run must pay exactly ONE corpus pass (r13 ADVICE).
+    census = materialize_result(
         sh.select("source", F.explode("shingles").alias("s"))
         .groupBy("source", "s")
         .agg(F.count("*").alias("df"))
