@@ -20,74 +20,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-13 priority head (r12 verdict item 1), ordered by how badly
+# Round-14 priority head (r13 verdict item 2), ordered by how badly
 # each key needs a fresh CORRECTNESS row under the driver's ~50-row
 # budget:
-# 1. the 31 r12-born keys that have never had a driver row (they sat
-#    past the ~50-row budget line behind the r12 stale-rotation
-#    section);
-# 2. plan-changed this round (r13): abc_classification (two-level
-#    prefix sum replaced the global window), dedup_weighted_jaccard
-#    (survivor-bound rescore from the cached pair arrays),
-#    benford_first_digit (digit-1..9 census marginal), plus the five
-#    IVF keys whose r12 seed-cap change never got a driver row;
-# 3. r13-born keys (appended as they land).
+# 1. the 8 r13-born keys the r13 driver budget missed (the only keys
+#    in the registry with NO driver row, ever);
+# 2. plan-changed this round (r14): the r13-ADVICE exactness fixes
+#    (funnel_dropoff's coalesced predicates, incremental_agg's integer
+#    coalesce, holt_winters_seasonal's DECIMAL(38,0) smoothing fold);
+# 3. r14-born keys (appended as they land);
+# 4. stalest rotation -- keys whose newest driver row is r8, oldest
+#    first by name (the ~6-round rotation discipline from the r13
+#    verdict).
 # Everything after the budget line keeps module order; all keys pass
 # the local full-registry gate regardless.
-_R13_PRIORITY: list[str] = [
-    # --- 1. r12-born, never driver-checked (31) ---
-    "minhash_perm_sweep",
-    "tfidf_cosine_pairs",
-    "ks_drift_by_source",
-    "bootstrap_ci_poisson",
-    "psi_drift_by_source",
-    "cusum_changepoint_daily",
-    "anova_f_event_value",
-    "mannwhitney_u_value",
-    "seasonal_index_dow",
-    "mutual_information_type_dow",
-    "acf_daily_lag",
-    "theilsen_slope_daily",
-    "profile_columns",
-    "collocations_pmi",
-    "link_prediction_aa",
-    "k_anon_generalization_sweep",
-    "join_cardinality_estimate",
-    "decompose_trend_dow",
-    "stratified_kfold_assign",
-    "keyness_g2_by_source",
-    "burstiness_fano",
-    "attribution_position",
-    "reciprocal_best_match",
-    "record_linkage_fs",
-    "t_closeness_report",
-    "doc_entropy_quality",
-    "zipf_tail_by_source",
-    "dup_span_coverage",
-    "lang_entropy_by_source",
-    # --- 2. plan-changed in r13 (these two are also r12-born) ---
-    "abc_classification",
-    "benford_first_digit",
-    "dedup_weighted_jaccard",
-    "ann_ivf",
-    "ann_ivf_pq",
-    "ann_ivf_pq_kmeans",
-    "ivfadc_nprobe_sweep",
-    "ivfadc_trained_nprobe",
-    # --- 3. r13-born keys ---
-    "holt_winters_forecast",
-    "ann_pareto_frontier",
-    "boilerplate_line_census",
-    "gini_concentration",
-    "kendall_tau_daily",
-    "runs_test_daily",
-    "winsorized_mean_by_type",
-    "dedup_cross_source_matrix",
-    "embedding_norm_outliers",
-    "holt_winters_seasonal",
-    "spearman_rho_daily",
-    "funnel_dropoff",
-    "weighted_reservoir_sample",
+_R14_PRIORITY: list[str] = [
+    # --- 1. r13-born, never driver-checked (8) ---
     "vocab_df_zipf",
     "doc_idf_profile",
     "doc_boilerplate_simpson",
@@ -96,6 +44,59 @@ _R13_PRIORITY: list[str] = [
     "source_df_zipf",
     "q2_min_cost_supplier",
     "association_rules",
+    # --- 2. plan-changed in r14 (r13 ADVICE fixes) ---
+    "funnel_dropoff",
+    "incremental_agg",
+    "holt_winters_seasonal",
+    "q6_forecast_revenue",
+    # --- 3. r14-born keys (appended as they land) ---
+    "markov_attribution",
+    "sprt_conversion_monitor",
+    "holt_winters_additive",
+    "rule_conviction",
+    "rule_ancestor_prune",
+    "stratified_reservoir_alloc",
+    # --- 4. stalest rotation (driver row from r8) ---
+    "ab_test_conversion",
+    "array_funcs",
+    "bigram_lm",
+    "bloom_membership",
+    "bpe_apply_merge",
+    "bpe_learn_merges",
+    "chi2_event_dow",
+    "containment_pairs",
+    "correlated_subqueries",
+    "datetime_funcs2",
+    "decontaminate_ngram",
+    "dedup_canonical_star",
+    "dedup_threshold_sweep",
+    "delta_changed_columns",
+    "embedding_outlier_report",
+    "embedding_pca_topk",
+    "funnel_time_bounded",
+    "gap_fill_ffill",
+    "gini_nation_revenue",
+    "grouping_sets_agg",
+    "histogram_equi_depth",
+    "histogram_equi_width",
+    "hll_distinct",
+    "hll_sliding_distinct",
+    "json_nested_extract",
+    "kmv_set_ops",
+    "lang_id_confusion",
+    "late_shipment_suppliers",
+    "markov_transitions",
+    "mode_per_group",
+    "multimodal_content_address",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "reachability_bfs",
+    "recall_at_k_eval",
+    "salted_join_revenue",
+    "session_paths_topk",
+    "simpson_diversity",
+    "skyline_pareto",
+    "source_divergence_tv",
 ]
 
 
@@ -117,6 +118,7 @@ def _registry() -> tuple[dict, dict]:
     import abr_etl_spark.plans.analytics11 as analytics11
     import abr_etl_spark.plans.analytics12 as analytics12
     import abr_etl_spark.plans.analytics13 as analytics13
+    import abr_etl_spark.plans.analytics14 as analytics14
 
     modules = [
         analytics,
@@ -132,6 +134,7 @@ def _registry() -> tuple[dict, dict]:
         analytics11,
         analytics12,
         analytics13,
+        analytics14,
         semistructured,
     ]
     try:
@@ -230,8 +233,8 @@ def _registry() -> tuple[dict, dict]:
 
     # Priority ordering: the driver checks queries in registry order under a
     # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
-    # first (see _R12_PRIORITY), then everything else in module order.
-    ordered = {k: queries[k] for k in _R13_PRIORITY if k in queries}
+    # first (see _R14_PRIORITY), then everything else in module order.
+    ordered = {k: queries[k] for k in _R14_PRIORITY if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
     return ordered, oracles
 

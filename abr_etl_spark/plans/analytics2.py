@@ -37,8 +37,16 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q6 shape: pure scan-filter-agg; everything pushes to the scan."""
+    """Q6 shape: pure scan-filter-agg; everything pushes to the scan.
+
+    The per-item revenue quantizes to exact 1e-4 units before the sum
+    (profit_by_nation_year's device): round(sum(double), 2) diverged
+    between the engines' float addition orders at sf1's ~9.5e8 revenue
+    mass (r14 sf1 cert catch) -- integer e4 sums cannot."""
     l = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000 + 0.5
+    ).cast("long")
     return l.where(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
@@ -46,9 +54,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.09)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        (F.sum(rev_e4) / 10000.0).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -461,7 +467,9 @@ ORACLES = {
         ORDER BY o_orderpriority
     """,
     "q6_forecast_revenue": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount
+                                   * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) / 10000.0 AS revenue,
                count(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -267,6 +267,7 @@ BOUNDED_GLOBAL_WINDOW_KEYS = {
     # calendar/grid grains: the window input is day-, month-, bin- or
     # grid-sized, bounded by the time span or a constant grid
     "cumulative_distinct_users",  # day grain (dates in the lake)
+    "sprt_conversion_monitor",  # day grain (cumulative LLR series)
     "decompose_trend_dow",  # day + dow grain
     "hll_sliding_distinct",  # day grain
     "mom_growth",  # month grain
@@ -279,6 +280,7 @@ BOUNDED_GLOBAL_WINDOW_KEYS = {
     "vocab_coverage_sweep",  # vocab-size grid rows
     "pack_efficiency_report",  # report rows (pack-size census)
     "lake_partitions",  # partition census (metadata-sized)
+    "stratified_reservoir_alloc",  # strata census (|lang x source|)
 }
 
 
