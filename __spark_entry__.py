@@ -56,6 +56,7 @@ _R14_PRIORITY: list[str] = [
     "rule_conviction",
     "rule_ancestor_prune",
     "stratified_reservoir_alloc",
+    "dedup_simhash_clusters",
     # --- 4. stalest rotation (driver row from r8) ---
     "ab_test_conversion",
     "array_funcs",
@@ -225,6 +226,12 @@ def _registry() -> tuple[dict, dict]:
         import abr_etl_spark.plans.llm_pipeline13 as llm_pipeline13
 
         modules.append(llm_pipeline13)
+    except ImportError:
+        pass
+    try:
+        import abr_etl_spark.plans.llm_pipeline14 as llm_pipeline14
+
+        modules.append(llm_pipeline14)
     except ImportError:
         pass
     for m in modules:

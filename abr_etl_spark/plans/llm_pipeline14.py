@@ -1,0 +1,147 @@
+"""Round-14 LLM-pipeline additions.
+
+- ``dedup_simhash_clusters``: the BOUNDED-output companion to
+  dedup_simhash (r13 verdict item 6). The pair key's output is
+  answer-bound -- this synthetic corpus's true near-dup pair count
+  grows ~6x per data decade (8.47M pairs at sf1), so a 100 TB run
+  wants the |clusters|-grain report instead: connected components over
+  the hamming<=3 simhash pair graph, reported as the cluster-size
+  census (cluster_size, n_clusters, n_docs) with the singleton
+  complement -- O(|distinct sizes|) rows at ANY scale.
+
+Reference parity: SURVEY.md §2.C (dedup reporting family); the
+simhash twin of dedup_cluster_sizes (llm_pipeline5.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from abr_etl_spark.functions import texthash as th
+from abr_etl_spark.operators import dedup
+from abr_etl_spark.sources.lake import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+#: (applicationId, sf_dir) -> (canonical_df, weakref(SparkContext)) --
+#: the CC fixpoint over the simhash pair graph (jaccard_canonical's
+#: memo discipline: the CC loop localCheckpoints per round, so
+#: CacheManager plan-dedup cannot reuse it; weakref-liveness eviction
+#: keeps a stopped session's entry from serving a new one).
+_SIMHASH_CC_CACHE: dict = {}
+
+SIMHASH_MAX_HAMMING = 3  # dedup_simhash's radius (llm_pipeline.py)
+
+
+def simhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, canonical_id) over the hamming <=
+    {SIMHASH_MAX_HAMMING} simhash pair graph: pairs come from the
+    piece-multiprobe exact search's materialized result cache, the CC
+    fixpoint runs ONCE per (session, sf_dir), and the tiny result is
+    persisted through the cache.py registry."""
+    import weakref
+
+    from abr_etl_spark.functions.cache import materialize_result
+    from abr_etl_spark.operators.graph import canonicalize_pairs
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    entry = _SIMHASH_CC_CACHE.get(key)
+    if entry is not None and entry[1]() is not None:
+        return entry[0]
+    for k, (_, ref) in list(_SIMHASH_CC_CACHE.items()):
+        if ref() is None:
+            _SIMHASH_CC_CACHE.pop(k, None)
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(d, max_hamming=SIMHASH_MAX_HAMMING)
+    comp = materialize_result(canonicalize_pairs(pairs))
+    _SIMHASH_CC_CACHE[key] = (comp, weakref.ref(spark.sparkContext))
+    return comp
+
+
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size census of the simhash near-dup graph:
+    (cluster_size, n_clusters, n_docs), singleton complement included
+    -- dedup_simhash's BOUNDED output mode. The pair list is
+    answer-bound (~6x growth per decade on this corpus); the census is
+    |distinct sizes| rows at any scale, so the 100 TB run reads THIS
+    and only materializes pairs for clusters it decides to inspect.
+
+    Determinism: component identity is the min doc_id (pinned);
+    the census is pure integer counting -- the oracle recomputes the
+    components with an independent recursive-CTE CC over the
+    brute-force simhash pair graph.
+
+    Scale shape: reuses the piece-multiprobe pair set (materialized
+    result cache) and the memoized CC fixpoint (one run per
+    session/sf); the census is two component-count-scale aggregates
+    plus one 8-byte anti-join for the singleton count.
+
+    Reference parity: SURVEY.md §2.C dedup reporting; the simhash twin
+    of dedup_cluster_sizes (llm_pipeline5.py:255)."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = simhash_canonical(spark, sf_dir)
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    census = sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+    singles = (
+        d.select("doc_id")
+        .join(canon.select(F.col("doc_id")), "doc_id", "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+        .where(F.col("n_clusters") > 0)
+    )
+    return census.unionByName(singles).orderBy("cluster_size")
+
+
+QUERIES["dedup_simhash_clusters"] = dedup_simhash_clusters
+
+_DK_TOK = th.dk_tokens("text")
+ORACLES["dedup_simhash_clusters"] = f"""
+    WITH RECURSIVE f AS (
+        SELECT doc_id,
+               {th.dk_simhash(th.dk_token_hashes(_DK_TOK))} AS simhash
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash))
+              <= {SIMHASH_MAX_HAMMING}
+    ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, label) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
+    ), canon AS (
+        SELECT node AS doc_id, min(label) AS canonical_id
+        FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM canon GROUP BY canonical_id
+    ), census AS (
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    ), singles AS (
+        SELECT CAST(1 AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM canon c
+                          WHERE c.doc_id = d.doc_id)
+        HAVING count(*) > 0
+    )
+    SELECT * FROM census UNION ALL SELECT * FROM singles
+    ORDER BY cluster_size
+"""
