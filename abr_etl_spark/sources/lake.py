@@ -204,3 +204,63 @@ def export_stable_csv(df: DataFrame, directory: str, filename: str) -> str:
     shutil.move(part, target)
     shutil.rmtree(tmp, ignore_errors=True)
     return target
+
+
+def partition_ddl(
+    table: str,
+    partitions: list[str],
+    *,
+    partition_col: str = "importdate",
+    table_root: str | None = None,
+    if_not_exists: bool = True,
+) -> list[str]:
+    """ANSI ``ALTER TABLE ... ADD PARTITION`` statements for a discovered
+    partition list -- the catalog-registration half of MSCK REPAIR
+    semantics (agency-delta.go:20's Athena `MSCK`): discovery
+    (``discover_partitions_listing``) finds what is ON DISK, this emits
+    what an external Hive-compatible catalog must be TOLD. One statement
+    per partition (not one giant multi-partition ALTER) so a partial
+    failure leaves a resumable prefix; values escape embedded quotes.
+
+    With ``table_root`` each statement pins the Hive-layout LOCATION
+    explicitly (object-store tables where the catalog must not guess);
+    without it the catalog derives the location from the table root.
+    """
+    ine = "IF NOT EXISTS " if if_not_exists else ""
+    out = []
+    for v in partitions:
+        esc = str(v).replace("'", "''")
+        loc = ""
+        if table_root is not None:
+            from urllib.parse import quote
+
+            loc = (
+                f" LOCATION '{table_root.rstrip('/')}/"
+                f"{partition_col}={quote(str(v), safe='')}'"
+            )
+        out.append(
+            f"ALTER TABLE {table} ADD {ine}"
+            f"PARTITION ({partition_col}='{esc}'){loc}"
+        )
+    return out
+
+
+def register_partitions(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    *,
+    partition_col: str = "importdate",
+) -> int:
+    """Discover the lake's partitions from the directory layout (zero
+    Spark jobs) and register every one in the session catalog via ADD
+    PARTITION DDL -- the engine-side MSCK REPAIR. Idempotent (IF NOT
+    EXISTS); returns the number of partitions registered. At cloud
+    scale the same statements go to Glue/Hive over one LIST per table.
+    """
+    parts = discover_partitions_listing(path, partition_col)
+    for stmt in partition_ddl(
+        table, parts, partition_col=partition_col
+    ):
+        spark.sql(stmt)
+    return len(parts)

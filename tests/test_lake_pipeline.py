@@ -170,3 +170,52 @@ def test_discover_partitions_listing_percent_decoding(tmp_path):
         "2019-04-22",
         "a b",
     ]
+
+
+def test_partition_ddl_statements(lake_path):
+    """The DDL emitter produces one resumable statement per discovered
+    partition, escaped and optionally location-pinned."""
+    parts = lake.discover_partitions_listing(lake_path)
+    stmts = lake.partition_ddl("abr.agency_data", parts)
+    assert stmts == [
+        "ALTER TABLE abr.agency_data ADD IF NOT EXISTS "
+        "PARTITION (importdate='2019-04-22')",
+        "ALTER TABLE abr.agency_data ADD IF NOT EXISTS "
+        "PARTITION (importdate='2019-04-29')",
+    ]
+    with_loc = lake.partition_ddl(
+        "t", ["it's"], table_root="s3://b/root/"
+    )
+    assert with_loc == [
+        "ALTER TABLE t ADD IF NOT EXISTS PARTITION "
+        "(importdate='it''s') LOCATION 's3://b/root/importdate=it%27s'"
+    ]
+
+
+def test_register_partitions_in_session_catalog(spark, lake_path):
+    """register_partitions is the engine-side MSCK REPAIR: an external
+    partitioned table starts with an empty partition list, the emitter
+    registers every on-disk partition, SHOW PARTITIONS sees them, and
+    the registered table scans the data. Idempotent on re-run."""
+    spark.sql("DROP TABLE IF EXISTS agency_ext")
+    spark.sql(
+        "CREATE TABLE agency_ext (pid STRING, abn STRING, org_nm STRING)"
+        " USING parquet PARTITIONED BY (importdate STRING)"
+        f" LOCATION '{lake_path}'"
+    )
+    try:
+        assert spark.sql("SHOW PARTITIONS agency_ext").count() == 0
+        n = lake.register_partitions(spark, "agency_ext", lake_path)
+        assert n == 2
+        got = sorted(
+            r[0] for r in spark.sql("SHOW PARTITIONS agency_ext").collect()
+        )
+        assert got == [
+            "importdate=2019-04-22",
+            "importdate=2019-04-29",
+        ]
+        assert spark.table("agency_ext").count() > 0
+        # idempotent: IF NOT EXISTS makes the re-run a no-op
+        assert lake.register_partitions(spark, "agency_ext", lake_path) == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS agency_ext")
