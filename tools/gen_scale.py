@@ -91,6 +91,10 @@ def main() -> int:
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # a FACTOR-branch UNION ALL trips the default 1000 parser depth at
+    # factor >= 1000 (the sf100 derivation); raise it -- the tree is
+    # wide, not deep, and COPY streams it
+    con.execute(f"SET max_expression_depth TO {max(1000, 10 * factor)}")
     tables = (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
