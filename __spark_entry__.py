@@ -57,6 +57,7 @@ _R14_PRIORITY: list[str] = [
     "rule_ancestor_prune",
     "stratified_reservoir_alloc",
     "dedup_simhash_clusters",
+    "survival_km",
     # --- 4. stalest rotation (driver row from r8) ---
     "ab_test_conversion",
     "array_funcs",

@@ -1204,3 +1204,191 @@ ORACLES["stratified_reservoir_alloc"] = f"""
     WHERE r.rn <= a.quota
     ORDER BY r.lang, r.source, r.rn
 """
+
+# ------------------------------------------------------------ survival_km
+
+
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over time-to-convert: among users
+    who entered the funnel (first view), the probability of NOT yet
+    having purchased by lag t days -- with users who never purchase
+    correctly CENSORED at the lake's horizon instead of dropped
+    (funnel_time_to_convert's lag stats see only converters; KM is how
+    conversion-latency is reported when the window is finite). Output
+    one row per event lag (lag_days, n_risk, n_event, n_censored_at,
+    surv_e6), S(t) = prod_{u<=t} (1 - d_u/n_u).
+
+    Determinism: d/c/n_risk are exact BIGINT censuses over the
+    DAY-grain lag grid (first-touch timestamps, the funnel family's
+    strict < ordering; censor lag = days to the global max event
+    date); the product is exp of a RUNNING window sum of
+    ln(1 - d/n) terms -- the running frame evaluates sequentially in
+    lag order on both engines, each term is a pinned double over two
+    exact BIGINTs, and the ~1e-14 worst-case libm drift over a
+    calendar of terms is ~1e8 under the e6 half-up slack; a lag where
+    d = n (everyone at risk converts) pins S = 0 exactly from there on
+    via an integer flag, never through ln(0) (Spark NULLs it, DuckDB
+    returns -inf -- the flag sidesteps the divergence).
+
+    Scale shape: one events scan to the user grain, two lag-grain
+    censuses (calendar-bounded), ONE single-partition window over the
+    lag grid (whitelisted); |event lags| report rows. 100 TB cost =
+    the scan.
+
+    Reference parity: SURVEY.md §2.B; the censoring-aware twin of
+    funnel_time_to_convert / conversion_lag_stats."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    tmax = e.agg(F.max(F.col("ts").cast("date")).alias("d_max"))
+    lagged = (
+        firsts.where(F.col("t_view").isNotNull())
+        .crossJoin(broadcast(tmax))
+        .select(
+            F.when(
+                F.col("t_view") < F.col("t_purchase"),
+                F.datediff(
+                    F.col("t_purchase").cast("date"),
+                    F.col("t_view").cast("date"),
+                ),
+            ).alias("ev_lag"),
+            F.when(
+                ~F.coalesce(
+                    F.col("t_view") < F.col("t_purchase"), F.lit(False)
+                ),
+                F.datediff(
+                    F.col("d_max"), F.col("t_view").cast("date")
+                ),
+            ).alias("cz_lag"),
+        )
+    )
+    ev = lagged.where(F.col("ev_lag").isNotNull()).groupBy(
+        F.col("ev_lag").alias("lag_days")
+    ).agg(F.count("*").cast("long").alias("d"))
+    cz = lagged.where(F.col("cz_lag").isNotNull()).groupBy(
+        F.col("cz_lag").alias("lag_days")
+    ).agg(F.count("*").cast("long").alias("c"))
+    grid = (
+        ev.join(cz, "lag_days", "full_outer")
+        .select(
+            "lag_days",
+            F.coalesce("d", F.lit(0)).cast("long").alias("d"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    n_tot = lagged.agg(F.count("*").cast("long").alias("n_entered"))
+    # single-partition window is BOUNDED: input is the day-lag grid
+    w = Window.orderBy(F.col("lag_days").asc())
+    curve = (
+        grid.crossJoin(broadcast(n_tot))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_entered")
+                - (F.sum(F.col("d") + F.col("c")).over(w) - F.col("d") - F.col("c"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "zero_cum",
+            F.sum(
+                ((F.col("d") >= F.col("n_risk")) & (F.col("d") > 0)).cast(
+                    "long"
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "logsum",
+            F.sum(
+                F.expr(
+                    "CASE WHEN d > 0 AND d < n_risk THEN"
+                    " ln(CAST(1 AS DOUBLE)"
+                    " - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+                    " ELSE CAST(0 AS DOUBLE) END"
+                )
+            ).over(w),
+        )
+    )
+    return (
+        curve.where(F.col("d") > 0)
+        .select(
+            F.col("lag_days").cast("long").alias("lag_days"),
+            "n_risk",
+            F.col("d").alias("n_event"),
+            F.col("c").alias("n_censored_at"),
+            F.expr(
+                "CASE WHEN zero_cum > 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(floor(exp(logsum) * 1000000 + 0.5)"
+                " AS BIGINT) END"
+            ).alias("surv_e6"),
+        )
+        .orderBy("lag_days")
+    )
+
+
+QUERIES["survival_km"] = survival_km
+
+ORACLES["survival_km"] = """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    ), tmax AS (
+        SELECT max(CAST(ts AS DATE)) AS d_max FROM events
+    ), lagged AS (
+        SELECT CASE WHEN t_view < t_purchase THEN date_diff('day',
+                   CAST(t_view AS DATE), CAST(t_purchase AS DATE)) END
+                   AS ev_lag,
+               CASE WHEN NOT coalesce(t_view < t_purchase, false) THEN
+                   date_diff('day', CAST(t_view AS DATE), d_max) END
+                   AS cz_lag
+        FROM firsts CROSS JOIN tmax
+        WHERE t_view IS NOT NULL
+    ), ev AS (
+        SELECT ev_lag AS lag_days, CAST(count(*) AS BIGINT) AS d
+        FROM lagged WHERE ev_lag IS NOT NULL GROUP BY 1
+    ), cz AS (
+        SELECT cz_lag AS lag_days, CAST(count(*) AS BIGINT) AS c
+        FROM lagged WHERE cz_lag IS NOT NULL GROUP BY 1
+    ), grid AS (
+        SELECT coalesce(ev.lag_days, cz.lag_days) AS lag_days,
+               CAST(coalesce(d, 0) AS BIGINT) AS d,
+               CAST(coalesce(c, 0) AS BIGINT) AS c
+        FROM ev FULL OUTER JOIN cz ON ev.lag_days = cz.lag_days
+    ), n_tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_entered FROM lagged
+    ), risk AS (
+        SELECT lag_days, d, c,
+               CAST(n_entered - (sum(d + c) OVER w - d - c) AS BIGINT)
+                   AS n_risk
+        FROM grid CROSS JOIN n_tot
+        WINDOW w AS (ORDER BY lag_days ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), curve AS (
+        SELECT lag_days, d, c, n_risk,
+               sum(CASE WHEN d > 0 AND d >= n_risk
+                        THEN 1 ELSE 0 END) OVER w AS zero_cum,
+               sum(CASE WHEN d > 0 AND d < n_risk
+                        THEN ln(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE)
+                                / CAST(n_risk AS DOUBLE))
+                        ELSE CAST(0 AS DOUBLE) END) OVER w AS logsum
+        FROM risk
+        WINDOW w AS (ORDER BY lag_days ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(lag_days AS BIGINT) AS lag_days, n_risk,
+           d AS n_event, c AS n_censored_at,
+           CASE WHEN zero_cum > 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(exp(logsum) * 1000000 + 0.5) AS BIGINT)
+           END AS surv_e6
+    FROM curve
+    WHERE d > 0
+    ORDER BY lag_days
+"""

@@ -52,10 +52,9 @@ def _events(spark, rows):
 
 def test_markov_closed_form(spark, tmp_path, monkeypatch):
     """Three hand-built sessions: u1 view->click->purchase, u2
-    view->NULL, u3 click->purchase. Counters: n_sa=2(u1,u2 start view)
-    ... wait u3 starts click -> n_sa=2? u1,u2 start with view (n_sa=2),
-    u3 starts click (n_sb=1); view->click once (n_ab=1), view->NULL
-    once (n_an=1), click->purchase twice (n_bc=2). Closed form:
+    view->NULL, u3 click->purchase. Counters: u1/u2 start with view
+    (n_sa=2), u3 starts with click (n_sb=1); view->click once (n_ab=1),
+    view->NULL once (n_an=1), click->purchase twice (n_bc=2). Closed:
     u_B = n_bc/n_b = 1; u_A = n_ab*u_B/n_a = 1/2;
     p(conv) = (2*(1/2) + 1*1)/3 = 2/3.
     Removal(view): u' = (n_sb*n_bc)/(n_s*n_b) = 1/3 -> RE = 1/2.
@@ -282,3 +281,62 @@ def test_alloc_is_weight_proportional(spark):
     for k, q in quotas.items():
         exact = a14.SRA_K * mass[k] / total
         assert abs(q - exact) < 1, (k, q, exact)
+
+
+# --------------------------------------------------------- survival_km
+
+
+def test_survival_km_oracle(spark, ddb):
+    from abr_etl_spark.plans import analytics14 as m
+
+    assert_matches_oracle(
+        m.QUERIES["survival_km"](spark, SF_ORACLE),
+        ddb,
+        m.ORACLES["survival_km"],
+        "survival_km",
+    )
+
+
+def test_survival_km_hand_curve(spark, tmp_path):
+    """4 entrants: u1 converts at lag 0, u2 at lag 2, u3/u4 never
+    (censored at the horizon = the max event date, lag 2 for both).
+    KM: S(0) = 1 - 1/4 = 0.75; at lag 2 risk set is {u2,u3,u4} -> S(2)
+    = 0.75 * (1 - 1/3) = 0.5 (the censored pair still at risk AT 2)."""
+    rows = [
+        (1, 1, "view", "2024-01-01 10:00:00"),
+        (2, 1, "purchase", "2024-01-01 11:00:00"),
+        (3, 2, "view", "2024-01-01 10:00:00"),
+        (4, 2, "purchase", "2024-01-03 10:00:00"),
+        (5, 3, "view", "2024-01-01 10:00:00"),
+        (6, 4, "view", "2024-01-01 10:00:00"),
+        (7, 9, "click", "2024-01-03 23:00:00"),  # horizon = 2024-01-03
+    ]
+    d = str(tmp_path / "lake")
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    out = {
+        r["lag_days"]: r for r in a14.survival_km(spark, d).collect()
+    }
+    assert set(out) == {0, 2}
+    assert out[0]["n_risk"] == 4 and out[0]["n_event"] == 1
+    assert out[0]["surv_e6"] == 750000
+    assert out[2]["n_risk"] == 3 and out[2]["n_event"] == 1
+    assert out[2]["n_censored_at"] == 2
+    assert out[2]["surv_e6"] == 500000
+
+
+def test_survival_km_absorbing_zero(spark, tmp_path):
+    """When every user at risk converts at some lag, S pins to exactly
+    0 from that lag on via the integer flag (never ln(0))."""
+    rows = [
+        (1, 1, "view", "2024-01-01 10:00:00"),
+        (2, 1, "purchase", "2024-01-01 11:00:00"),
+        (3, 2, "view", "2024-01-01 10:00:00"),
+        (4, 2, "purchase", "2024-01-02 10:00:00"),
+    ]
+    d = str(tmp_path / "lake")
+    _events(spark, rows).write.parquet(f"{d}/events.parquet")
+    out = {
+        r["lag_days"]: r for r in a14.survival_km(spark, d).collect()
+    }
+    assert out[0]["surv_e6"] == 500000
+    assert out[1]["surv_e6"] == 0

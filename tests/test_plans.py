@@ -268,6 +268,7 @@ BOUNDED_GLOBAL_WINDOW_KEYS = {
     # grid-sized, bounded by the time span or a constant grid
     "cumulative_distinct_users",  # day grain (dates in the lake)
     "sprt_conversion_monitor",  # day grain (cumulative LLR series)
+    "survival_km",  # day-lag grid (calendar-bounded KM curve)
     "decompose_trend_dow",  # day + dow grain
     "hll_sliding_distinct",  # day grain
     "mom_growth",  # month grain
