@@ -1084,6 +1084,8 @@ def stratified_reservoir_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: SURVEY.md §2.C (training-data sampling); the
     stratified A-ExpJ candidate from the r13 §7.19 pre-positioning."""
+    from abr_etl_spark.functions.cache import materialize_result
+
     d = load_table(spark, sf_dir, "documents").select(
         "lang",
         "source",
@@ -1096,8 +1098,24 @@ def stratified_reservoir_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" WHEN n_chars >= {WRS_TIER_LO} THEN 2 ELSE 1 END"
         ).alias("w"),
     )
-    strata = d.groupBy("lang", "source").agg(
-        F.sum("w").cast("long").alias("w_mass")
+    keyed = d.withColumn(
+        "key", F.expr(_wrs_key("h", "w", duck=False))
+    ).withColumn("b", F.expr(f"CAST(key DIV {_BW} AS INT)"))
+    # ONE corpus pass builds the combined (stratum, bucket) census
+    # carrying BOTH the row count (the cutoff prefix) and the weight
+    # mass (the allocation input); materialized, because every
+    # downstream frame -- strata masses, deficit, quotas, cutoffs --
+    # is an aggregate of THIS <= |strata| x 4096-row cache, and
+    # without the persist each consumer re-scanned the corpus (the
+    # r14 audit measured 18 file scans and ~4x WRS's warm wall).
+    cen = materialize_result(
+        keyed.groupBy("lang", "source", "b").agg(
+            F.count("*").alias("cnt"),
+            F.sum("w").cast("long").alias("wm"),
+        )
+    )
+    strata = cen.groupBy("lang", "source").agg(
+        F.sum("wm").cast("long").alias("w_mass")
     )
     tot = strata.agg(F.sum("w_mass").cast("long").alias("wtot"))
     alloc0 = (
@@ -1127,29 +1145,25 @@ def stratified_reservoir_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "source", "quota")
     )
-    keyed = d.withColumn(
-        "key", F.expr(_wrs_key("h", "w", duck=False))
-    ).withColumn("b", F.expr(f"CAST(key DIV {_BW} AS INT)"))
-    bcensus = keyed.groupBy("lang", "source", "b").agg(
-        F.count("*").alias("cnt")
-    )
     wc = Window.partitionBy("lang", "source").orderBy(F.col("b").desc())
     cutoff = (
-        bcensus.withColumn("run", F.sum("cnt").over(wc))
+        cen.withColumn("run", F.sum("cnt").over(wc))
         .join(broadcast(alloc), ["lang", "source"])
         .where(F.col("run") - F.col("cnt") < F.col("quota"))
         .groupBy("lang", "source")
         .agg(F.min("b").alias("cut_b"))
     )
-    survivors = keyed.join(broadcast(cutoff), ["lang", "source"]).where(
-        F.col("b") >= F.col("cut_b")
-    )
+    # SECOND corpus pass: only rows at or above their stratum's cutoff
+    # cell (~quota + one cell's occupancy) reach the top-k window.
+    survivors = keyed.join(
+        broadcast(cutoff.join(broadcast(alloc), ["lang", "source"])),
+        ["lang", "source"],
+    ).where(F.col("b") >= F.col("cut_b"))
     wk = Window.partitionBy("lang", "source").orderBy(
         F.col("key").desc(), F.col("doc_id").asc()
     )
     return (
         survivors.withColumn("rn", F.row_number().over(wk))
-        .join(broadcast(alloc), ["lang", "source"])
         .where(F.col("rn") <= F.col("quota"))
         .select(
             "lang",
