@@ -234,6 +234,18 @@ HEADLINERS = [
     "source_df_zipf",
     "q2_min_cost_supplier",
     "association_rules",
+    # r14 additions: attribution/monitoring day-grain reports, the
+    # rule-strength keys (ride association_rules' cached census), the
+    # stratified two-scan sampler, the bounded simhash census (prices
+    # the CC fixpoint after the pair keys above), and the KM curve.
+    "markov_attribution",
+    "sprt_conversion_monitor",
+    "holt_winters_additive",
+    "rule_conviction",
+    "rule_ancestor_prune",
+    "stratified_reservoir_alloc",
+    "dedup_simhash_clusters",
+    "survival_km",
 ]
 
 
