@@ -193,22 +193,31 @@ def zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution with blocking -- the ABR use case (matching noisy
     business names against the register). Probes are customer names with
-    one character deleted; candidates share an 8-char prefix block, the
-    exact levenshtein predicate runs only within blocks, and each probe
-    keeps its best match (min distance, min key). The block join keeps
-    the candidate space near-linear -- never names x names."""
+    one character deleted; candidates share a SUFFIX block (the last 6
+    characters -- the discriminative end of a register key), the exact
+    levenshtein predicate runs only within blocks, and each probe keeps
+    its best match (min distance, min key).
+
+    Blocking key choice IS the scale contract: the original 8-char
+    PREFIX block degenerated on this registry because every name opens
+    with the same constant token ('Customer#...'), collapsing the
+    blocked join into ONE names-x-names block -- ~1e11 levenshtein
+    pairs in a single task at sf1, caught by the r14 sf1 cert. The
+    suffix block distributes over the key's numeric tail (cardinality
+    ~|names|), keeps the candidate space near-linear, and still
+    contains every true match: the probe's deletion happens before the
+    tail, so probe and original share their last 6 characters."""
     c = load_table(spark, sf_dir, "customer")
     probes = c.where(F.col("c_custkey") % 20 == 0).select(
         F.col("c_custkey").alias("probe_key"),
         F.concat(
             F.substring("c_name", 1, 9), F.substring("c_name", 11, 100)
         ).alias("probe_name"),
-        F.substring("c_name", 1, 8).alias("block"),
-    )
+    ).withColumn("block", F.expr("right(probe_name, 6)"))
     cands = c.select(
         F.col("c_custkey").alias("cand_key"),
         F.col("c_name").alias("cand_name"),
-        F.substring("c_name", 1, 8).alias("block"),
+        F.expr("right(c_name, 6)").alias("block"),
     )
     scored = (
         probes.join(cands, "block")
@@ -379,11 +388,12 @@ ORACLES = {
         WITH probes AS (
             SELECT c_custkey AS probe_key,
                    substr(c_name, 1, 9) || substr(c_name, 11) AS probe_name,
-                   substr(c_name, 1, 8) AS block
+                   right(substr(c_name, 1, 9) || substr(c_name, 11), 6)
+                       AS block
             FROM customer WHERE c_custkey % 20 = 0
         ), cands AS (
             SELECT c_custkey AS cand_key, c_name AS cand_name,
-                   substr(c_name, 1, 8) AS block
+                   right(c_name, 6) AS block
             FROM customer
         ), scored AS (
             SELECT probe_key, cand_key,
