@@ -49,6 +49,7 @@ _R14_PRIORITY: list[str] = [
     "incremental_agg",
     "holt_winters_seasonal",
     "q6_forecast_revenue",
+    "fuzzy_match_blocked",
     # --- 3. r14-born keys (appended as they land) ---
     "markov_attribution",
     "sprt_conversion_monitor",
