@@ -329,16 +329,20 @@ ORACLES["attribution_position"] = _pos_oracle()
 
 # ---------------------------------------------------- reciprocal_best_match
 
-#: block prefix length and distance ceiling -- fuzzy_match_blocked's
-#: exact parameters, so RBM is a pure refinement of that key's scores.
+#: distance ceiling -- fuzzy_match_blocked's exact parameters (incl.
+#: its last-6-chars SUFFIX block), so RBM is a pure refinement of that
+#: key's scores. The original shared 8-char PREFIX block degenerated
+#: to ONE names-x-names block on this registry (constant name prefix;
+#: ~1e11 levenshtein pairs at sf1) -- the r14 sf1 cert caught all
+#: three keys of this family.
 RBM_MAX_DIST = 2
 
 
 def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal best match -- the bidirectional-stability step of
     entity resolution: from the blocked fuzzy scores (probe = customer
-    name with one char deleted, candidates sharing an 8-char prefix
-    block, levenshtein <= {d}), keep only pairs where the candidate is
+    name with one char deleted, candidates sharing the last-6-chars
+    suffix block, levenshtein <= {d}), keep only pairs where the candidate is
     the probe's best match AND the probe is that candidate's best
     probe. One-directional best (fuzzy_match_blocked) links a noisy
     probe to a hub name even when a better probe owns it; RBM's mutual
@@ -356,12 +360,11 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.substring("c_name", 1, 9), F.substring("c_name", 11, 100)
         ).alias("probe_name"),
-        F.substring("c_name", 1, 8).alias("block"),
-    )
+    ).withColumn("block", F.expr("right(probe_name, 6)"))
     cands = c.select(
         F.col("c_custkey").alias("cand_key"),
         F.col("c_name").alias("cand_name"),
-        F.substring("c_name", 1, 8).alias("block"),
+        F.expr("right(c_name, 6)").alias("block"),
     )
     scored = (
         probes.join(cands, "block")
@@ -422,14 +425,13 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.substring("c_name", 1, 9), F.substring("c_name", 11, 100)
         ).alias("probe_name"),
-        F.substring("c_name", 1, 8).alias("block"),
         F.col("c_nationkey").alias("p_nat"),
         F.col("c_mktsegment").alias("p_seg"),
-    )
+    ).withColumn("block", F.expr("right(probe_name, 6)"))
     cands = c.select(
         F.col("c_custkey").alias("cand_key"),
         F.col("c_name").alias("cand_name"),
-        F.substring("c_name", 1, 8).alias("block"),
+        F.expr("right(c_name, 6)").alias("block"),
         F.col("c_nationkey").alias("c_nat"),
         F.col("c_mktsegment").alias("c_seg"),
     )
@@ -485,12 +487,13 @@ def _fs_oracle() -> str:
             SELECT c_custkey AS probe_key,
                    substring(c_name, 1, 9) || substring(c_name, 11)
                        AS probe_name,
-                   substring(c_name, 1, 8) AS block,
+                   right(substring(c_name, 1, 9) || substring(c_name, 11),
+                         6) AS block,
                    c_nationkey AS p_nat, c_mktsegment AS p_seg
             FROM customer WHERE c_custkey % 20 = 0
         ), cands AS (
             SELECT c_custkey AS cand_key, c_name AS cand_name,
-                   substring(c_name, 1, 8) AS block,
+                   right(c_name, 6) AS block,
                    c_nationkey AS c_nat, c_mktsegment AS c_seg
             FROM customer
         ), pairs AS MATERIALIZED (
@@ -525,11 +528,12 @@ ORACLES["reciprocal_best_match"] = f"""
         SELECT c_custkey AS probe_key,
                substring(c_name, 1, 9) || substring(c_name, 11)
                    AS probe_name,
-               substring(c_name, 1, 8) AS block
+               right(substring(c_name, 1, 9) || substring(c_name, 11), 6)
+                   AS block
         FROM customer WHERE c_custkey % 20 = 0
     ), cands AS (
         SELECT c_custkey AS cand_key, c_name AS cand_name,
-               substring(c_name, 1, 8) AS block
+               right(c_name, 6) AS block
         FROM customer
     ), scored AS MATERIALIZED (
         SELECT probe_key, cand_key,
