@@ -50,6 +50,8 @@ _R14_PRIORITY: list[str] = [
     "holt_winters_seasonal",
     "q6_forecast_revenue",
     "fuzzy_match_blocked",
+    "reciprocal_best_match",
+    "record_linkage_fs",
     # --- 3. r14-born keys (appended as they land) ---
     "markov_attribution",
     "sprt_conversion_monitor",
