@@ -392,6 +392,18 @@ QUERIES["reciprocal_best_match"] = reciprocal_best_match
 
 #: per-field agreement predicates over a blocked candidate pair --
 #: shared Spark/DuckDB text (columns from the probe/cand projections).
+#: bounded candidate sample for the u estimate: the FS_U_SAMPLE
+#: customers with the smallest LCG hash of their key -- a
+#: deterministic, scale-free, uniformly-spread record sample (NOT the
+#: probe's key neighbors: on a sequential registry, adjacent keys have
+#: levenshtein-adjacent names, which would make every field's u
+#: estimate degenerate in the opposite direction).
+FS_U_SAMPLE = 64
+FS_LCG_A = 1103515245
+FS_LCG_B = 12345
+FS_LCG_P = 2147483647  # the shared Mersenne prime (texthash.P);
+#: A * (k % P) stays under 2^62 -- int64-safe on both engines.
+
 _FS_FIELDS: list[tuple[str, str]] = [
     ("name_lev2", "levenshtein(probe_name, cand_name) <= 2"),
     ("nationkey", "p_nat = c_nat"),
@@ -403,22 +415,37 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter record-linkage weights (Fellegi & Sunter 1969)
     -- the probabilistic scorer classical entity resolution rests on:
     for each comparison field, m = P(agree | match) and
-    u = P(agree | non-match) over the BLOCKED candidate pairs, and the
-    field's log-likelihood weight w = ln(m/u). Supervision is free
-    here: the probe IS a corrupted copy of a known customer
-    (fuzzy_match_blocked's construction), so probe_key == cand_key
-    labels the true matches. Output one row per field: (field,
-    n_match, n_nonmatch, agree_match, agree_nonmatch, w_e6-ish 6-dp
-    double w).
+    u = P(agree | non-match), and the field's log-likelihood weight
+    w = ln(m/u). Supervision is free here: the probe IS a corrupted
+    copy of a known customer (fuzzy_match_blocked's construction), so
+    probe_key == cand_key labels the true matches. Output one row per
+    field: (field, n_match, n_nonmatch, agree_match, agree_nonmatch,
+    w_e6-ish 6-dp double w).
 
-    Determinism: all counts exact BIGINTs; +1/+2 Laplace smoothing
-    (psi's convention) keeps w finite on degenerate fields; w is ONE
-    float expression ln((am+1)(nn+2) / ((nm+2)(an+1))) over those
-    integers.
+    Pair pool = the suffix-BLOCKED join (fuzzy_match_blocked's block,
+    which recovers the true matches for m) UNION probes crossed with a
+    BOUNDED uniformly-spread candidate sample (the {FS_U_SAMPLE}
+    smallest LCG key hashes) for u -- the textbook FS practice of
+    estimating u from arbitrary non-matching record pairs. The
+    original design read u off the prefix block's incidental
+    co-members; after the r14 re-blocking (the prefix was degenerate
+    at scale) a discriminative block leaves almost NO nonmatch pairs,
+    so u gets its own pool. Key NEIGHBORS would be the wrong pool: on
+    a sequential registry adjacent keys have levenshtein-adjacent
+    names, biasing u(name) to ~1.
 
-    Scale shape: the SAME blocked join as fuzzy_match_blocked (never
-    probes x candidates); agreement flags are map-side; the reduction
-    is |fields| x 4 counts via one stacked census."""
+    Determinism: the sample is the TakeOrdered({FS_U_SAMPLE}) of a
+    pure-integer LCG over the key (ties impossible below the Mersenne
+    modulus; order pinned by key anyway), no RNG; all counts exact
+    BIGINTs; +1/+2 Laplace smoothing (psi's convention) keeps w finite
+    on degenerate fields; w is ONE float expression
+    ln((am+1)(nn+2) / ((nm+2)(an+1))) over those integers.
+
+    Scale shape: the blocked join is fuzzy_match_blocked's (never
+    probes x candidates); the sample leg is one TakeOrdered reduction
+    plus a {FS_U_SAMPLE}-row broadcast cross ({FS_U_SAMPLE}|probes|
+    pairs at any SF); agreement flags are map-side; the reduction is
+    |fields| x 4 counts via one stacked census."""
     c = load_table(spark, sf_dir, "customer")
     probes = c.where(F.col("c_custkey") % 20 == 0).select(
         F.col("c_custkey").alias("probe_key"),
@@ -435,8 +462,29 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("c_nat"),
         F.col("c_mktsegment").alias("c_seg"),
     )
-    pairs = probes.join(cands, "block").withColumn(
-        "is_match", F.expr("probe_key = cand_key")
+    blocked = probes.join(cands, "block").select(
+        "probe_key", "probe_name", "p_nat", "p_seg",
+        "cand_key", "cand_name", "c_nat", "c_seg",
+    )
+    samp = (
+        cands.drop("block")
+        .orderBy(
+            F.expr(
+                f"pmod({FS_LCG_A} * pmod(cand_key, {FS_LCG_P})"
+                f" + {FS_LCG_B}, {FS_LCG_P})"
+            ).asc(),
+            F.col("cand_key").asc(),
+        )
+        .limit(FS_U_SAMPLE)
+    )
+    sampled = probes.drop("block").crossJoin(F.broadcast(samp)).select(
+        "probe_key", "probe_name", "p_nat", "p_seg",
+        "cand_key", "cand_name", "c_nat", "c_seg",
+    )
+    pairs = (
+        blocked.unionByName(sampled)
+        .dropDuplicates(["probe_key", "cand_key"])
+        .withColumn("is_match", F.expr("probe_key = cand_key"))
     )
     stack = "stack({n}, {args}) AS (field, agree)".format(
         n=len(_FS_FIELDS),
@@ -496,11 +544,23 @@ def _fs_oracle() -> str:
                    right(c_name, 6) AS block,
                    c_nationkey AS c_nat, c_mktsegment AS c_seg
             FROM customer
-        ), pairs AS MATERIALIZED (
-            SELECT probes.*, cands.cand_key, cands.cand_name,
-                   cands.c_nat, cands.c_seg,
-                   probe_key = cand_key AS is_match
+        ), samp AS (
+            SELECT cand_key, cand_name, c_nat, c_seg FROM cands
+            ORDER BY (({FS_LCG_A} * ((cand_key % {FS_LCG_P}
+                        + {FS_LCG_P}) % {FS_LCG_P}) + {FS_LCG_B})
+                      % {FS_LCG_P} + {FS_LCG_P}) % {FS_LCG_P} ASC,
+                     cand_key ASC
+            LIMIT {FS_U_SAMPLE}
+        ), pool AS (
+            SELECT probe_key, probe_name, p_nat, p_seg,
+                   cand_key, cand_name, c_nat, c_seg
             FROM probes JOIN cands USING (block)
+            UNION
+            SELECT p.probe_key, p.probe_name, p.p_nat, p.p_seg,
+                   s.cand_key, s.cand_name, s.c_nat, s.c_seg
+            FROM probes p CROSS JOIN samp s
+        ), pairs AS MATERIALIZED (
+            SELECT *, probe_key = cand_key AS is_match FROM pool
         ), unp AS ({stack_rows}),
         cells AS (
             SELECT field,

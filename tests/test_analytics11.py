@@ -222,8 +222,10 @@ def test_rbm_matches_oracle_smoke(spark, ddb):
 def test_fs_weights_order_discriminative_fields_first(spark, tmp_path):
     """The corrupted-name field is (near-)perfectly discriminative --
     m ~ 1, u ~ 0 -> large positive w -- while a constant field agrees
-    on every pair (m = u = 1 -> w ~ 0 after smoothing). Construct a
-    block of 21 same-prefix customers so probe 20 meets 21 candidates."""
+    on every pair (m = u = 1 -> w ~ 0 after smoothing). With 21
+    customers the bounded hash sample contains the whole table, so
+    probe 20 meets every candidate (incl. its true match) through the
+    u-pool regardless of blocking."""
     rows = [
         (i, f"AAAAAAAA{chr(66 + i) * 3}", 1, 0.0, "SEG")
         for i in range(1, 22)  # ids from 1: only key 20 probes
