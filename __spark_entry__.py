@@ -52,6 +52,7 @@ _R14_PRIORITY: list[str] = [
     "fuzzy_match_blocked",
     "reciprocal_best_match",
     "record_linkage_fs",
+    "simhash_band_sweep",
     # --- 3. r14-born keys (appended as they land) ---
     "markov_attribution",
     "sprt_conversion_monitor",

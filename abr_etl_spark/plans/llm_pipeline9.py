@@ -333,64 +333,106 @@ SIMHASH_LAYOUTS = [(2, 24), (3, 16), (4, 12), (6, 8)]
 SIMHASH_SWEEP_RADIUS = 3
 
 
+def _band_eq_pred(bands: int, width: int, a: str, b: str) -> str:
+    """Pinned-text 'fingerprints collide in >= 1 band' predicate --
+    an unrolled OR of masked-shift equalities (bands <= 6), identical
+    on both engines."""
+    mask = (1 << width) - 1
+    return " OR ".join(
+        f"((({a} >> {bnd * width}) & {mask})"
+        f" = (({b} >> {bnd * width}) & {mask}))"
+        for bnd in range(bands)
+    )
+
+
 def simhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The band-layout axis of SimHash tuning: for each (bands, width)
-    split of the SAME 48-bit fingerprint, the candidate pairs the band
-    equi-join generates and their recall against the exact
-    hamming<={SIMHASH_SWEEP_RADIUS} truth -- (bands, width,
+    split of the SAME 48-bit fingerprint, the candidate VOLUME the
+    band equi-join would generate and the layout's recall against the
+    exact hamming<={SIMHASH_SWEEP_RADIUS} truth -- (bands, width,
     radius_guaranteed, n_candidates, n_hits, n_true, recall_e4).
-    Rows with bands > {SIMHASH_SWEEP_RADIUS} are pigeonhole-complete
-    (recall_e4 = 10000, pytest-pinned); wider bands cut candidates at
-    the cost of radius-3 misses -- THE table an operator reads before
-    committing a layout (lsh_band_sweep's contract for the minhash
-    family).
+    n_candidates is the probe-join volume sum_bands sum_buckets
+    C(size, 2) (a pair colliding in k bands counts k times -- exactly
+    the join cost an operator prices; the distinct-pair count is
+    bounded above by it). Rows with bands > {SIMHASH_SWEEP_RADIUS}
+    are pigeonhole-complete (recall_e4 = 10000, pytest-pinned); wider
+    bands cut candidates at the cost of radius-3 misses -- THE table
+    an operator reads before committing a layout (lsh_band_sweep's
+    contract for the minhash family).
 
-    Scale shape: fingerprints compute ONCE (map-only, materialized)
-    and every layout re-slices them; per layout one band equi-join
-    (the dedup_simhash shuffle shape -- O(docs x bands) rows, 16-byte
-    keys) reduced to two scalar counts; truth is the shared pigeonhole
-    pair set. No layout touches text or vectors. NOTE: on the
-    template-heavy synthetic testdata the fingerprints cluster so
-    tightly that the candidate census saturates to ~all pairs -- a
-    property of that corpus (real web corpora spread the 48-bit space
-    and band collisions are sparse), which is exactly the pathology
-    this report exists to surface before an operator commits a
-    layout."""
+    Scale shape -- NO pair enumeration anywhere (the r14 redesign):
+    the original materialized each layout's DISTINCT candidate pairs,
+    which on this template-heavy corpus saturates toward all-pairs
+    and OOMed the sf1 cert (~1.25e11 pairs; the kernel killed a 32 GB
+    run at 94 GB) -- precisely the pathology the report exists to
+    surface, so the report itself must not pay it. n_candidates now
+    reduces the (band, bits) bucket-size census (map-side combinable,
+    <= bands x |buckets| rows; C(size,2) summed in DECIMAL(38,0)),
+    and n_hits evaluates the collide-in->=1-band predicate as a pure
+    EXPRESSION over each truth pair's two fingerprints (truth-sized
+    map, zero joins beyond fetching the two fingerprints). 100 TB
+    cost = the fingerprint scan + the truth pair set."""
     d = load_table(spark, sf_dir, "documents")
     fp = materialize_result(dedup.simhash_fingerprints(d))
+    pairs = dedup.simhash_pairs(d, max_hamming=SIMHASH_SWEEP_RADIUS)
     truth = materialize_result(
-        dedup.simhash_pairs(d, max_hamming=SIMHASH_SWEEP_RADIUS).select(
-            "doc_a", "doc_b"
+        pairs.join(
+            fp.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("simhash").alias("sh_a"),
+            ),
+            "doc_a",
         )
+        .join(
+            fp.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("simhash").alias("sh_b"),
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
     )
     n_true = truth.groupBy().agg(F.count("*").alias("n_true"))
     out = None
     for bands, width in SIMHASH_LAYOUTS:
-        banded = fp.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {bands - 1}), b -> "
-                    f"named_struct('band_idx', b, 'band_bits', "
-                    f"shiftright(simhash, b * {width}) % {1 << width}))"
-                )
-            ).alias("bb"),
-        ).select("doc_id", "bb.band_idx", "bb.band_bits")
-        cand = materialize_result(
-            banded.alias("x")
-            .join(banded.alias("y"), ["band_idx", "band_bits"])
-            .where(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
+        census = (
+            fp.select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, {bands - 1}), b -> "
+                        f"named_struct('band_idx', b, 'band_bits', "
+                        f"shiftright(simhash, b * {width})"
+                        f" % {1 << width}))"
+                    )
+                ).alias("bb")
             )
-            .distinct()
+            .groupBy("bb.band_idx", "bb.band_bits")
+            .agg(F.count("*").alias("sz"))
         )
-        n_cand = cand.groupBy().agg(F.count("*").alias("n_candidates"))
-        n_hits = (
-            cand.join(truth, ["doc_a", "doc_b"], "left_semi")
-            .groupBy()
-            .agg(F.count("*").alias("n_hits"))
+        n_cand = census.agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(sz AS DECIMAL(38,0)) * (sz - 1) DIV 2"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_candidates")
+        )
+        n_hits = truth.agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN {_band_eq_pred(bands, width, 'sh_a', 'sh_b')}"
+                        " THEN 1 ELSE 0 END"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_hits")
         )
         row = (
             n_cand.crossJoin(broadcast(n_hits))
@@ -417,12 +459,17 @@ QUERIES["simhash_band_sweep"] = simhash_band_sweep
 
 
 def _simhash_band_sweep_oracle() -> str:
+    """Mirrors the r14 census + expression-recall design: bucket-size
+    census for the candidate volume, the unrolled band-equality
+    predicate over each truth pair's fingerprints for hits -- no pair
+    enumeration beyond the truth set."""
     fp = th.dk_simhash(th.dk_token_hashes(th.dk_tokens("text")))
     parts = [f"""
     WITH f AS MATERIALIZED (
         SELECT doc_id, {fp} AS simhash FROM documents
     ), truth AS MATERIALIZED (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
         FROM f a JOIN f b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash))
               <= {SIMHASH_SWEEP_RADIUS}
@@ -430,31 +477,32 @@ def _simhash_band_sweep_oracle() -> str:
     selects = []
     for bands, width in SIMHASH_LAYOUTS:
         parts.append(f"""
-    , banded_{bands} AS (
-        SELECT doc_id, i AS band_idx,
-               (simhash >> (i * {width})) % {1 << width} AS band_bits
+    , census_{bands} AS (
+        SELECT i AS band_idx,
+               (simhash >> (i * {width})) % {1 << width} AS band_bits,
+               count(*) AS sz
         FROM f, (SELECT CAST(unnest(range({bands})) AS INTEGER) AS i)
-    ), cand_{bands} AS MATERIALIZED (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM banded_{bands} x
-        JOIN banded_{bands} y ON x.band_idx = y.band_idx
-                             AND x.band_bits = y.band_bits
-                             AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ), nc_{bands} AS (
+        SELECT CAST(coalesce(sum(
+                   CAST(sz AS HUGEINT) * (sz - 1) // 2), 0) AS BIGINT)
+               AS n_candidates
+        FROM census_{bands}
+    ), nh_{bands} AS (
+        SELECT CAST(coalesce(sum(CASE WHEN
+                   {_band_eq_pred(bands, width, "sh_a", "sh_b")}
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+        FROM truth
     )""")
         selects.append(f"""
     SELECT CAST({bands} AS INTEGER) AS bands,
            CAST({width} AS INTEGER) AS width,
            CAST({bands - 1} AS INTEGER) AS radius_guaranteed,
-           (SELECT CAST(count(*) AS BIGINT) FROM cand_{bands})
-               AS n_candidates,
-           (SELECT CAST(count(*) AS BIGINT) FROM cand_{bands} c
-            JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
-               AS n_hits,
+           (SELECT n_candidates FROM nc_{bands}) AS n_candidates,
+           (SELECT n_hits FROM nh_{bands}) AS n_hits,
            (SELECT n_true FROM nt) AS n_true,
            CASE WHEN (SELECT n_true FROM nt) = 0 THEN NULL
-                ELSE CAST((2 * 10000 * (SELECT count(*) FROM cand_{bands} c
-                           JOIN truth t ON t.doc_a = c.doc_a
-                                       AND t.doc_b = c.doc_b)
+                ELSE CAST((2 * 10000 * (SELECT n_hits FROM nh_{bands})
                            + (SELECT n_true FROM nt))
                      // (2 * (SELECT n_true FROM nt)) AS BIGINT)
            END AS recall_e4""")
