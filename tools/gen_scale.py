@@ -95,6 +95,16 @@ def main() -> int:
     # factor >= 1000 (the sf100 derivation); raise it -- the tree is
     # wide, not deep, and COPY streams it
     con.execute(f"SET max_expression_depth TO {max(1000, 10 * factor)}")
+    # Stream, don't hoard: without these the sf100 lineitem derivation
+    # (a 1000-branch union over 6e9 rows) buffered ~100 GB trying to
+    # keep insertion order for the COPY. Row order inside the output
+    # parquet is immaterial -- the cert gate's value hash sorts rows
+    # and every consumer is order-insensitive -- so let branches stream
+    # to the writer as they finish, under a hard memory ceiling.
+    con.execute("SET preserve_insertion_order = false")
+    con.execute(
+        f"SET memory_limit = '{os.environ.get('GEN_SCALE_MEM', '24GB')}'"
+    )
     tables = (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings"
@@ -102,6 +112,9 @@ def main() -> int:
     for t in tables:
         sp = f"{src}/{t}.parquet"
         dp = f"{dst}/{t}.parquet"
+        if os.path.exists(dp):
+            print(f"{t}: exists, skipped -> {dp}")
+            continue
         cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM read_parquet('{sp}')").fetchall()]
         if t in FIXED_DIMS:
             sql = f"SELECT * FROM read_parquet('{sp}')"
