@@ -410,11 +410,17 @@ def simhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("sz"))
         )
         n_cand = census.agg(
+            # Sum the DECIMAL(38,0) product and halve ONCE at the end:
+            # a per-bucket `... DIV 2` would make each term (and the
+            # running sum) BIGINT -- Spark's IntegralDivide always
+            # returns BIGINT -- capping the accumulator at ~9.2e18
+            # instead of the DECIMAL(38,0) headroom the oracle's
+            # HUGEINT sum has. sz*(sz-1) is even, so the single final
+            # DIV is exact; ANSI raises if the halved total ever
+            # exceeds int64 (r14 ADVICE).
             F.coalesce(
-                F.sum(
-                    F.expr(
-                        "CAST(sz AS DECIMAL(38,0)) * (sz - 1) DIV 2"
-                    )
+                F.expr(
+                    "sum(CAST(sz AS DECIMAL(38,0)) * (sz - 1)) DIV 2"
                 ),
                 F.lit(0),
             )

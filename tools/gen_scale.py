@@ -19,6 +19,16 @@ exact subset):
   source key), preserving referential integrity within a copy and
   disjointness across copies: customer/orders/lineitem joins, event
   user/session structure, doc and vec ids;
+- ``customer.c_name`` is remapped per copy for c > 0: the digit field
+  becomes ``(shifted_key * 179424673) mod 100000000003`` (prime
+  modulus > the max shifted key at factor 1000, so the map is
+  injective), zero-padded to 12 digits. A plain key shift would leave
+  the LOW digits unchanged (the shift is a multiple of 10^7), so
+  every last-6-chars suffix block -- the linkage family's blocking
+  key -- would hold FACTOR exact-copy twins (quadratic blocked-pair
+  growth and distance-tied best-matches); the multiplicative mix
+  pushes the copy index into the low digits, keeping names unique
+  and block cardinality linear (r14 ADVICE);
 - ``documents.text`` is token-remapped per copy (token -> c<k>_token),
   so copies share NO shingles: the dedup pair family's candidate and
   survivor structure replicates exactly FACTOR x (linear), instead of
@@ -67,6 +77,15 @@ def _copy_select(table: str, cols: list[str], c: int, dim: int) -> str:
     for col in cols:
         if col in shifts:
             out.append(f"{col} + {c * STRIDE} AS {col}")
+        elif table == "customer" and col == "c_name" and c > 0:
+            # unique name per copy with copy-mixed LOW digits (see
+            # module docstring); 1.8e18 max product < int64, and the
+            # 12-digit field never truncates (printf pads, only)
+            out.append(
+                f"printf('Customer#%012d', "
+                f"((c_custkey + {c * STRIDE}) * 179424673) "
+                f"% 100000000003) AS c_name"
+            )
         elif table == "documents" and col == "text" and c > 0:
             pfx = f"c{c}_"
             out.append(
