@@ -106,26 +106,66 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_simhash_clusters"] = dedup_simhash_clusters
 
 _DK_TOK = th.dk_tokens("text")
+
+#: unrolled CC rounds in the DuckDB oracle; each round is one
+#: neighbor-min hop followed by one pointer jump, so the covered
+#: propagation distance at least doubles per round -- 12 rounds
+#: certify any component diameter <= 2^12, orders of magnitude past
+#: any near-dup cluster. A convergence guard (below) makes an
+#: undersized unroll a LOUD zero-row mismatch, never a silent wrong
+#: census.
+_CC_ROUNDS = 12
+
+
+def _cc_round_ctes(rounds: int) -> str:
+    """hop+jump CTE chain l0 -> l{rounds} for the oracle: the r14
+    recursive-CTE reach materialized node x reachable-label pairs --
+    quadratic in cluster size, oracle-bound at sf1 (8.5M edges, killed
+    after ~2h) -- while this chain keeps every intermediate at
+    |nodes| rows and scans sym once per round."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    h{i} AS MATERIALIZED (
+        SELECT node, min(label) AS label FROM (
+            SELECT node, label FROM l{i - 1}
+            UNION ALL
+            SELECT s.a AS node, l.label
+            FROM sym s JOIN l{i - 1} l ON l.node = s.b
+        ) GROUP BY node
+    ), l{i} AS MATERIALIZED (
+        SELECT h1.node, h2.label
+        FROM h{i} h1 JOIN h{i} h2 ON h1.label = h2.node
+    )""")
+    return ",".join(parts)
+
+
 ORACLES["dedup_simhash_clusters"] = f"""
-    WITH RECURSIVE f AS (
+    WITH f AS MATERIALIZED (
         SELECT doc_id,
                {th.dk_simhash(th.dk_token_hashes(_DK_TOK))} AS simhash
         FROM documents
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM f a JOIN f b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash))
               <= {SIMHASH_MAX_HAMMING}
-    ), sym AS (
+    ), sym AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs
-    ), reach(node, label) AS (
-        SELECT a, a FROM sym
-        UNION
-        SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), l0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node, a AS label FROM sym
+    ), {_cc_round_ctes(_CC_ROUNDS)}
+    , bad AS (
+        SELECT count(*) AS n
+        FROM sym s
+        JOIN l{_CC_ROUNDS} x ON x.node = s.a
+        JOIN l{_CC_ROUNDS} y ON y.node = s.b
+        WHERE x.label <> y.label
     ), canon AS (
-        SELECT node AS doc_id, min(label) AS canonical_id
-        FROM reach GROUP BY node
+        SELECT node AS doc_id, label AS canonical_id
+        FROM l{_CC_ROUNDS}
+        WHERE (SELECT n FROM bad) = 0
     ), sizes AS (
         SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
         FROM canon GROUP BY canonical_id
