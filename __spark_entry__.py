@@ -125,6 +125,7 @@ def _registry() -> tuple[dict, dict]:
     import abr_etl_spark.plans.analytics12 as analytics12
     import abr_etl_spark.plans.analytics13 as analytics13
     import abr_etl_spark.plans.analytics14 as analytics14
+    import abr_etl_spark.plans.analytics15 as analytics15
 
     modules = [
         analytics,
@@ -141,6 +142,7 @@ def _registry() -> tuple[dict, dict]:
         analytics12,
         analytics13,
         analytics14,
+        analytics15,
         semistructured,
     ]
     try:

@@ -33,11 +33,12 @@ re-solves the (k-1)-subsystem; the survival ratio is
 with V_r = sum_{j != r} ns[j] * NUM_j^(r) + n_sc * D_r, exactly the
 r14 2-channel shape (there D_r is the other channel's 1x1 out-mass).
 
-Guards: the k=2 text relied on D_r = ne_other >= 1; for k >= 3 a
-removal subsystem CAN be singular (a closed sub-cycle that never
-exits), so the removal/credit CASE guards gain `D_r > 0` terms --
-degenerate lakes keep reporting NULL, never raising. For k = 2 those
-terms are provably always-true and are omitted, so the generated text
+Guards: `__u > 0 AND __d > 0` suffices at EVERY k. A is a weakly
+diagonally dominant Z-matrix, so det(A) > 0 makes it a nonsingular
+M-matrix whose principal minors -- every removal subsystem det D_r --
+are all positive; a closed sub-cycle that would make a D_r singular
+zeroes the full det first, and the guard already reports NULL there
+(degenerate lakes never raise). The generated k=2 text therefore
 evaluates bit-for-bit like the r14 constants (pytest-pinned over
 randomized and degenerate counter grids, tests/test_markov_general.py).
 """
@@ -180,12 +181,16 @@ def mk_attr_exprs(names: MkNames) -> dict:
         ]
         terms.append(f"CAST({names.n_sc} AS DOUBLE) * {d_r}")
         v.append("(" + " + ".join(terms) + ")")
-    # dr of a 1x1 subsystem is an eff out-mass (>= 1 by construction),
-    # so its positivity guard is omitted -- this is what makes the
-    # k = 2 text reduce to the r14 constants exactly.
-    dr_guards = [
-        f" AND {dr[r]} > 0" if k - 1 >= 2 else "" for r in chans
-    ]
+    # No per-removal det guard is needed at ANY k: A is a weakly
+    # diagonally dominant Z-matrix (A = sI - B, B >= 0, row sums of B
+    # <= diagonal), so rho(B) <= s and det(A) > 0 forces rho(B) < s --
+    # a nonsingular M-matrix, ALL of whose principal minors are
+    # positive. Every removal subsystem is a principal submatrix, so
+    # `__d > 0` (the existing guard) already implies every D_r > 0;
+    # a closed sub-cycle that would make a removal subsystem singular
+    # makes the FULL det 0 first (pytest-evidenced over random k=3
+    # grids, tests/test_markov_general.py). This also keeps the
+    # generated guard text identical to the r14 k=2 constants.
     ratio = [
         f"({names.v_alias[r]} * {names.d_alias}"
         f" / ({dr[r]} * {names.u_alias}))"
@@ -195,13 +200,12 @@ def mk_attr_exprs(names: MkNames) -> dict:
     re_sum = "(" + " + ".join(re) + ")"
     base_guard = f"{names.u_alias} > 0 AND {names.d_alias} > 0"
     removal = [
-        f"CASE WHEN {base_guard}{dr_guards[r]} THEN "
+        f"CASE WHEN {base_guard} THEN "
         f"CAST(floor({re[r]} * 1000000 + 0.5) AS BIGINT) END"
         for r in chans
     ]
-    all_dr_guard = "".join(dr_guards)
     credit = [
-        f"CASE WHEN {base_guard}{all_dr_guard} AND {re_sum} > 0 THEN "
+        f"CASE WHEN {base_guard} AND {re_sum} > 0 THEN "
         f"CAST(floor({re[r]} / {re_sum} * 1000000 + 0.5)"
         " AS BIGINT) END"
         for r in chans
