@@ -20,75 +20,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-14 priority head (r13 verdict item 2), ordered by how badly
+# Round-15 priority head (r14 verdict item 7), ordered by how badly
 # each key needs a fresh CORRECTNESS row under the driver's ~50-row
 # budget:
-# 1. the 8 r13-born keys the r13 driver budget missed (the only keys
-#    in the registry with NO driver row, ever);
-# 2. plan-changed this round (r14): the r13-ADVICE exactness fixes
-#    (funnel_dropoff's coalesced predicates, incremental_agg's integer
-#    coalesce, holt_winters_seasonal's DECIMAL(38,0) smoothing fold);
-# 3. r14-born keys (appended as they land);
-# 4. stalest rotation -- keys whose newest driver row is r8, oldest
-#    first by name (the ~6-round rotation discipline from the r13
-#    verdict).
+# 1. r15-born keys (no driver row exists);
+# 2. plan/oracle changed this round (r15): markov_attribution's
+#    generator-derived text, simhash_band_sweep's DECIMAL-sum census,
+#    dedup_simhash_clusters' pointer-jumping CC oracle;
+# 3. stalest rotation -- the keys whose newest driver row is STILL r8
+#    (the r14 budget line fell inside that tail), then
+# 4. the oldest r9-row keys, alphabetical.
 # Everything after the budget line keeps module order; all keys pass
 # the local full-registry gate regardless.
-_R14_PRIORITY: list[str] = [
-    # --- 1. r13-born, never driver-checked (8) ---
-    "vocab_df_zipf",
-    "doc_idf_profile",
-    "doc_boilerplate_simpson",
-    "funnel_time_to_convert",
-    "page_hinkley_drift",
-    "source_df_zipf",
-    "q2_min_cost_supplier",
-    "association_rules",
-    # --- 2. plan-changed in r14 (r13 ADVICE fixes) ---
-    "funnel_dropoff",
-    "incremental_agg",
-    "holt_winters_seasonal",
-    "q6_forecast_revenue",
-    "fuzzy_match_blocked",
-    "reciprocal_best_match",
-    "record_linkage_fs",
-    "simhash_band_sweep",
-    # --- 3. r14-born keys (appended as they land) ---
+_R15_PRIORITY: list[str] = [
+    # --- 1. r15-born keys (never driver-checked) ---
+    "abn_current",
+    "markov_attribution_k",
+    "quantile_merge_by_source",
+    # --- 2. plan/oracle changed in r15 (generator-derived markov
+    #     text, DECIMAL-sum candidate census, scalable CC oracle) ---
     "markov_attribution",
-    "sprt_conversion_monitor",
-    "holt_winters_additive",
-    "rule_conviction",
-    "rule_ancestor_prune",
-    "stratified_reservoir_alloc",
+    "simhash_band_sweep",
     "dedup_simhash_clusters",
-    "survival_km",
-    # --- 4. stalest rotation (driver row from r8) ---
-    "ab_test_conversion",
-    "array_funcs",
-    "bigram_lm",
-    "bloom_membership",
-    "bpe_apply_merge",
-    "bpe_learn_merges",
-    "chi2_event_dow",
-    "containment_pairs",
-    "correlated_subqueries",
-    "datetime_funcs2",
-    "decontaminate_ngram",
-    "dedup_canonical_star",
-    "dedup_threshold_sweep",
-    "delta_changed_columns",
-    "embedding_outlier_report",
-    "embedding_pca_topk",
-    "funnel_time_bounded",
-    "gap_fill_ffill",
-    "gini_nation_revenue",
-    "grouping_sets_agg",
-    "histogram_equi_depth",
-    "histogram_equi_width",
-    "hll_distinct",
-    "hll_sliding_distinct",
-    "json_nested_extract",
-    "kmv_set_ops",
+    # --- 3. stalest rotation: the r8-row tail the r14 budget
+    #     did not reach (~6-round rotation discipline) ---
     "lang_id_confusion",
     "late_shipment_suppliers",
     "markov_transitions",
@@ -103,6 +58,37 @@ _R14_PRIORITY: list[str] = [
     "simpson_diversity",
     "skyline_pareto",
     "source_divergence_tv",
+    "stream_hll_distinct",
+    "string_funcs2",
+    "term_lift_topk",
+    "train_test_split",
+    "triangle_count",
+    "unpivot_melt",
+    "window_funcs2",
+    "winsorized_mean",
+    "zorder_layout",
+    # --- 4. next-stalest (r9 rows), alphabetical head ---
+    "asof_purchase_view",
+    "cohort_retention",
+    "cube_agg",
+    "decay_weighted_sum",
+    "delta_added",
+    "delta_classify_lake",
+    "delta_removed",
+    "delta_unchanged_count",
+    "delta_updated",
+    "distinct_users_daily",
+    "dq_referential",
+    "funnel_counts",
+    "interval_coverage",
+    "kmv_distinct",
+    "min_price_supplier_per_part",
+    "ohlc_bars",
+    "outlier_filter",
+    "percentiles",
+    "pivot_table",
+    "profit_by_nation_year",
+    "q10_returned_items",
 ]
 
 
@@ -247,8 +233,8 @@ def _registry() -> tuple[dict, dict]:
 
     # Priority ordering: the driver checks queries in registry order under a
     # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
-    # first (see _R14_PRIORITY), then everything else in module order.
-    ordered = {k: queries[k] for k in _R14_PRIORITY if k in queries}
+    # first (see _R15_PRIORITY), then everything else in module order.
+    ordered = {k: queries[k] for k in _R15_PRIORITY if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
     return ordered, oracles
 

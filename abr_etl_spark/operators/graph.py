@@ -253,3 +253,82 @@ def canonicalize_pairs(pairs: DataFrame, *, a: str = "doc_a", b: str = "doc_b") 
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
     )
+
+
+def resolve_chains(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 64,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Resolve every node of a FUNCTIONAL replacement graph to its
+    terminal successor by pointer doubling (the Replacedabn ask,
+    r14 verdict item 2: historical ABN -> current ABN).
+
+    ``edges`` holds one row per replacement: ``src`` (the replaced /
+    historical id) -> ``dst`` (its immediate successor). PRECONDITION:
+    functional -- each ``src`` appears at most once (an id is replaced
+    by exactly one successor); duplicate srcs would multiply rows in
+    the doubling joins. Self-loops need no special casing: a
+    self-replacement is a 1-cycle and reports as one.
+
+    Returns one row per input ``src``:
+      (src, current, depth, is_cycle)
+    - resolved walks (terminal reached within ``max_depth`` hops):
+      current = the terminal id (never itself replaced), depth = exact
+      hop count, is_cycle = false;
+    - walks still inside the graph after ``max_depth`` hops -- true
+      cycles, walks that ENTER a cycle, or chains longer than the cap
+      -- report (NULL, NULL, true): never a silently wrong answer.
+      ``max_depth`` should be a power of two (coverage is exactly
+      2^ceil(log2(max_depth)) hops); real registry replacement chains
+      are bounded by years of operation, so the default 64 is generous.
+
+    Scale shape: ceil(log2(max_depth)) self-joins of the |edges|-sized
+    pointer table -- O(E log D) total shuffle instead of the naive
+    O(E * D) iteration; the driver reads ONE monotone convergence
+    aggregate per round (depth-sum, strictly increasing while any
+    pointer advances) and exits early once every walk has terminated.
+    Lineage is truncated per round (``_lineage_barrier``).
+
+    Reference parity: Replacedabn is the one routed dataset
+    (sources/abr_schemas.py, load.go:45-64) whose natural query is
+    chain resolution; SURVEY.md S2.A.
+    """
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+    e = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("cur")
+    ).persist()
+    ptr = e.withColumn("depth", F.lit(1).cast("long"))
+    prev_sum = None
+    for _ in range(rounds):
+        hop = ptr.select(
+            F.col("node").alias("__n2"),
+            F.col("cur").alias("__c2"),
+            F.col("depth").alias("__d2"),
+        )
+        ptr = ptr.join(hop, ptr.cur == hop.__n2, "left").select(
+            "node",
+            F.coalesce("__c2", "cur").alias("cur"),
+            (F.col("depth") + F.coalesce("__d2", F.lit(0))).alias(
+                "depth"
+            ),
+        )
+        ptr = _lineage_barrier(ptr, reliable_checkpoint)
+        depth_sum = ptr.agg(F.sum("depth")).first()[0]
+        if depth_sum == prev_sum:
+            break  # every walk terminal: remaining rounds are no-ops
+        prev_sum = depth_sum
+    heads = e.select(F.col("node").alias("__h")).distinct()
+    out = ptr.join(heads, ptr.cur == heads.__h, "left").select(
+        F.col("node").alias("src"),
+        F.when(F.col("__h").isNull(), F.col("cur")).alias("current"),
+        F.when(F.col("__h").isNull(), F.col("depth")).alias("depth"),
+        F.col("__h").isNotNull().alias("is_cycle"),
+    )
+    e.unpersist()
+    return out

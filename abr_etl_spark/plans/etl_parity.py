@@ -367,7 +367,73 @@ def q_delta_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: resolve_chains' hop cap for the register (power of two; chains are
+#: bounded by years of registry operation, so 64 is generous) -- the
+#: oracle's recursive walk uses the SAME cap.
+ABN_MAX_DEPTH = 64
+
+
+def _replacedabn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic Replacedabn rows derived deterministically from
+    customer keys (the _snapshots discipline: the oracle derives the
+    SAME edges from the same parquet). Within each block of 8 keys
+    (r = key % 8):
+
+      r = 1, 2, 3 -> replaced by key - 1  (a depth-3 chain 3->2->1->0)
+      r = 5       -> replaced by itself   (self-replacement, a 1-cycle)
+      r = 6       -> replaced by key + 1, r = 7 -> by key - 1 (2-cycle)
+      r = 0, 4    -> never replaced (terminals / absent)
+
+    Functional by construction (each historical key appears once); the
+    scale derivation's key stride is a multiple of 8, so every copy
+    replicates the chain structure exactly (linear growth)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    r = F.col("c_custkey") % 8
+    return c.where(r.isin(1, 2, 3, 5, 6, 7)).select(
+        F.col("c_custkey").alias("replcd_abn"),
+        (
+            F.col("c_custkey")
+            + F.when(r == 6, 1).when(r == 5, 0).otherwise(-1)
+        ).alias("abn"),
+    )
+
+
+def q_abn_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replacedabn chain resolution -- the one routed reference dataset
+    (sources/abr_schemas.py:103, load.go:45-64) whose natural query had
+    no §2 row (r14 verdict item 2): resolve every HISTORICAL abn to its
+    current abn through the replacement-chain graph. Output one row per
+    replaced abn: (abn, current_abn, depth, is_cycle); cycles (incl.
+    self-replacements) and over-cap chains report NULL current/depth
+    with is_cycle = true -- never a silently wrong resolution.
+
+    Determinism: the walk in a functional graph is unique; resolution
+    is exact integer pointer chasing, no floats anywhere.
+
+    Scale shape: pointer DOUBLING (operators/graph.resolve_chains) --
+    ceil(log2({ABN_MAX_DEPTH})) = 6 self-joins of the edge table,
+    O(E log D) shuffle instead of the naive O(E * D) walk, with a
+    monotone one-aggregate-per-round early exit. The oracle re-derives
+    the same answer with an independent capped recursive walk.
+
+    Reference parity: SURVEY.md §2.A; completes consumer coverage of
+    the 8 filename-routed datasets (routed_ingest.py:26-34)."""
+    from abr_etl_spark.operators.graph import resolve_chains
+
+    e = _replacedabn_edges(spark, sf_dir)
+    res = resolve_chains(
+        e, src="replcd_abn", dst="abn", max_depth=ABN_MAX_DEPTH
+    )
+    return res.select(
+        F.col("src").alias("abn"),
+        F.col("current").alias("current_abn"),
+        "depth",
+        "is_cycle",
+    ).orderBy("abn")
+
+
 QUERIES = {
+    "abn_current": q_abn_current,
     "delta_apply_roundtrip": q_delta_apply_roundtrip,
     "delta_changed_columns": q_delta_changed_columns,
     "delta_updated": q_delta_updated,
@@ -401,7 +467,42 @@ _ROUTE_CASE = """
         END
 """
 
+#: independent oracle derivation: the SAME synthetic edges, resolved by
+#: a capped recursive walk (vs the engine's pointer doubling) -- at the
+#: shared cap both cover exactly ABN_MAX_DEPTH hops, so cycle flagging
+#: agrees bit-for-bit.
+_ABN_ORACLE = f"""
+    WITH RECURSIVE e AS (
+        SELECT c_custkey AS src,
+               c_custkey + CASE WHEN c_custkey % 8 = 6 THEN 1
+                                WHEN c_custkey % 8 = 5 THEN 0
+                                ELSE -1 END AS dst
+        FROM customer
+        WHERE c_custkey % 8 IN (1, 2, 3, 5, 6, 7)
+    ), walk(src, cur, d) AS (
+        SELECT src, dst, CAST(1 AS BIGINT) FROM e
+        UNION ALL
+        SELECT w.src, e2.dst, w.d + 1
+        FROM walk w JOIN e e2 ON e2.src = w.cur
+        WHERE w.d < {ABN_MAX_DEPTH}
+    ), last AS (
+        SELECT src, cur, d FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src ORDER BY d DESC) AS rn
+            FROM walk
+        ) WHERE rn = 1
+    )
+    SELECT l.src AS abn,
+           CASE WHEN h.src IS NULL THEN l.cur END AS current_abn,
+           CASE WHEN h.src IS NULL THEN l.d END AS depth,
+           h.src IS NOT NULL AS is_cycle
+    FROM last l
+    LEFT JOIN (SELECT DISTINCT src FROM e) h ON h.src = l.cur
+    ORDER BY abn
+"""
+
 ORACLES = {
+    "abn_current": _ABN_ORACLE,
     "delta_updated": _SNAP_CTE
     + f"""
         SELECT {_ORDER_OUT.replace('o_orderkey', 'n.o_orderkey').replace('o_custkey', 'n.o_custkey').replace('o_orderstatus', 'n.o_orderstatus').replace('o_totalprice', 'n.o_totalprice').replace('o_orderdate', 'n.o_orderdate').replace('o_orderpriority', 'n.o_orderpriority')}
