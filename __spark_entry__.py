@@ -35,8 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _R15_PRIORITY: list[str] = [
     # --- 1. r15-born keys (never driver-checked) ---
     "abn_current",
+    "abn_chain_census",
     "markov_attribution_k",
     "quantile_merge_by_source",
+    "quantile_grid_sweep",
     # --- 2. plan/oracle changed in r15 (generator-derived markov
     #     text, DECIMAL-sum candidate census, scalable CC oracle) ---
     "markov_attribution",

@@ -535,3 +535,141 @@ ORACLES["quantile_merge_by_source"] = f"""
     FROM picked
     ORDER BY scope
 """
+
+# --------------------------------------------------- quantile_grid_sweep
+
+#: the grid-width axis (state vs precision): bucket = n_chars DIV g.
+Q_SWEEP_GRIDS = (2, 8, 32, 128)
+
+
+def quantile_grid_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning table for the fixed-grid quantile sketch (the
+    lsh_band_sweep contract for this family): for each grid width g in
+    {Q_SWEEP_GRIDS}, the register-state cost (n_buckets) and the
+    rank-interpolated whole-corpus p50/p90 the sketch would report --
+    THE table an operator reads before committing a grid, since the
+    sketch's value error is bounded by g (members priced at their
+    bucket's lower edge) while its state is |range| / g registers.
+    Output (grid, n_buckets, p50_e4, p90_e4), one row per grid.
+
+    Determinism: pure BIGINT arithmetic end to end (the
+    quantile_merge_by_source kernel with grid as a column).
+
+    Scale shape: ONE documents scan exploded |grids| x (map-side
+    combinable census, <= |grids| x |range/g| rows), then
+    grid-partitioned cumulative windows over that census -- the
+    corpus is never sorted, and the sweep costs one scan regardless
+    of how many grids it prices.
+
+    Reference parity: SURVEY.md §2.B sketch family; the sweep twin of
+    quantile_merge_by_source."""
+    grids = ", ".join(str(g) for g in Q_SWEEP_GRIDS)
+    d = load_table(spark, sf_dir, "documents").select("n_chars")
+    b = d.select(
+        F.expr(
+            f"explode(transform(array({grids}), g -> "
+            "named_struct('grid', g, 'bucket', n_chars DIV g))) AS gb"
+        )
+    ).select(F.col("gb.grid").alias("grid"), F.col("gb.bucket").alias("bucket"))
+    census = materialize_result(
+        b.groupBy("grid", "bucket").agg(F.count("*").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("grid")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = materialize_result(
+        census.withColumn("cum", F.sum("cnt").over(wcum))
+    )
+    totals = cum.groupBy("grid").agg(
+        F.max("cum").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+    rank_cols = [
+        F.expr(e)
+        for p_e4, tag in zip(Q_PCTS_E4, ("50", "90"))
+        for e in _q_rank_exprs(p_e4, tag)
+    ]
+    targets = totals.select("grid", "n_rows", "n_buckets", *rank_cols)
+    j = cum.join(broadcast(targets), "grid")
+    picked = j.groupBy("grid").agg(
+        F.max("n_buckets").alias("n_buckets"),
+        *[
+            F.min(
+                F.expr(
+                    f"CASE WHEN cum >= {kexpr} + 1 THEN bucket END"
+                )
+            ).alias(alias)
+            for kexpr, alias in [
+                ("k50", "b50"),
+                ("LEAST(k50 + 1, n_rows - 1)", "b50n"),
+                ("k90", "b90"),
+                ("LEAST(k90 + 1, n_rows - 1)", "b90n"),
+            ]
+        ],
+        F.max("f50").alias("f50"),
+        F.max("f90").alias("f90"),
+    )
+    return picked.select(
+        F.col("grid").cast("int").alias("grid"),
+        "n_buckets",
+        F.expr(
+            "grid * (b50 * 10000 + f50 * (b50n - b50))"
+        ).cast("long").alias("p50_e4"),
+        F.expr(
+            "grid * (b90 * 10000 + f90 * (b90n - b90))"
+        ).cast("long").alias("p90_e4"),
+    ).orderBy("grid")
+
+
+QUERIES["quantile_grid_sweep"] = quantile_grid_sweep
+
+ORACLES["quantile_grid_sweep"] = f"""
+    WITH b AS (
+        SELECT g.grid, n_chars // g.grid AS bucket
+        FROM documents,
+             (VALUES {", ".join(f"({g})" for g in Q_SWEEP_GRIDS)})
+                 g(grid)
+    ), census AS MATERIALIZED (
+        SELECT grid, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2
+    ), cum AS (
+        SELECT *, sum(cnt) OVER (PARTITION BY grid ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM census
+    ), totals AS (
+        SELECT grid, CAST(max(cum) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM cum GROUP BY grid
+    ), targets AS (
+        SELECT grid, n_rows, n_buckets,
+               ((n_rows - 1) * 5000) // 10000 AS k50,
+               ((n_rows - 1) * 5000) % 10000 AS f50,
+               ((n_rows - 1) * 9000) // 10000 AS k90,
+               ((n_rows - 1) * 9000) % 10000 AS f90
+        FROM totals
+    ), picked AS (
+        SELECT c.grid, max(t.n_buckets) AS n_buckets,
+               min(CASE WHEN c.cum >= t.k50 + 1 THEN c.bucket END)
+                   AS b50,
+               min(CASE WHEN c.cum >=
+                   least(t.k50 + 1, t.n_rows - 1) + 1
+                   THEN c.bucket END) AS b50n,
+               min(CASE WHEN c.cum >= t.k90 + 1 THEN c.bucket END)
+                   AS b90,
+               min(CASE WHEN c.cum >=
+                   least(t.k90 + 1, t.n_rows - 1) + 1
+                   THEN c.bucket END) AS b90n,
+               max(t.f50) AS f50, max(t.f90) AS f90
+        FROM cum c JOIN targets t ON t.grid = c.grid
+        GROUP BY c.grid
+    )
+    SELECT CAST(grid AS INTEGER) AS grid, n_buckets,
+           CAST(grid * (b50 * 10000 + f50 * (b50n - b50))
+                AS BIGINT) AS p50_e4,
+           CAST(grid * (b90 * 10000 + f90 * (b90n - b90))
+                AS BIGINT) AS p90_e4
+    FROM picked
+    ORDER BY grid
+"""

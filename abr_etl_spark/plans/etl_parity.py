@@ -432,8 +432,36 @@ def q_abn_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("abn")
 
 
+def q_abn_chain_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-output companion of abn_current (the
+    dedup_simhash_clusters discipline): the register-health report a
+    100 TB run reads INSTEAD of the full resolution -- how many
+    historical abns resolve at each chain depth, and how many are
+    stuck in cycles. Output (depth, is_cycle, n_abns):
+    O(|distinct depths| + 1) rows at any scale; depth is NULL on the
+    cycle row, mirroring abn_current's per-row contract.
+
+    Scale shape: abn_current's doubling resolve plus ONE map-side-
+    combinable (depth, is_cycle) aggregate -- the report never
+    materializes the resolution outside the cluster.
+
+    Reference parity: SURVEY.md §2.A; rollup of abn_current."""
+    from abr_etl_spark.operators.graph import resolve_chains
+
+    e = _replacedabn_edges(spark, sf_dir)
+    res = resolve_chains(
+        e, src="replcd_abn", dst="abn", max_depth=ABN_MAX_DEPTH
+    )
+    return (
+        res.groupBy("depth", "is_cycle")
+        .agg(F.count("*").alias("n_abns"))
+        .orderBy("is_cycle", "depth")
+    )
+
+
 QUERIES = {
     "abn_current": q_abn_current,
+    "abn_chain_census": q_abn_chain_census,
     "delta_apply_roundtrip": q_delta_apply_roundtrip,
     "delta_changed_columns": q_delta_changed_columns,
     "delta_updated": q_delta_updated,
@@ -470,9 +498,9 @@ _ROUTE_CASE = """
 #: independent oracle derivation: the SAME synthetic edges, resolved by
 #: a capped recursive walk (vs the engine's pointer doubling) -- at the
 #: shared cap both cover exactly ABN_MAX_DEPTH hops, so cycle flagging
-#: agrees bit-for-bit.
-_ABN_ORACLE = f"""
-    WITH RECURSIVE e AS (
+#: agrees bit-for-bit. The CTE chain is shared by abn_current and the
+#: abn_chain_census rollup.
+_ABN_CTES = f"""WITH RECURSIVE e AS (
         SELECT c_custkey AS src,
                c_custkey + CASE WHEN c_custkey % 8 = 6 THEN 1
                                 WHEN c_custkey % 8 = 5 THEN 0
@@ -491,18 +519,31 @@ _ABN_ORACLE = f"""
                 PARTITION BY src ORDER BY d DESC) AS rn
             FROM walk
         ) WHERE rn = 1
-    )
-    SELECT l.src AS abn,
-           CASE WHEN h.src IS NULL THEN l.cur END AS current_abn,
-           CASE WHEN h.src IS NULL THEN l.d END AS depth,
-           h.src IS NOT NULL AS is_cycle
-    FROM last l
-    LEFT JOIN (SELECT DISTINCT src FROM e) h ON h.src = l.cur
+    ), resolved AS (
+        SELECT l.src AS abn,
+               CASE WHEN h.src IS NULL THEN l.cur END AS current_abn,
+               CASE WHEN h.src IS NULL THEN l.d END AS depth,
+               h.src IS NOT NULL AS is_cycle
+        FROM last l
+        LEFT JOIN (SELECT DISTINCT src FROM e) h ON h.src = l.cur
+    )"""
+
+_ABN_ORACLE = f"""
+    {_ABN_CTES}
+    SELECT abn, current_abn, depth, is_cycle FROM resolved
     ORDER BY abn
+"""
+
+_ABN_CENSUS_ORACLE = f"""
+    {_ABN_CTES}
+    SELECT depth, is_cycle, CAST(count(*) AS BIGINT) AS n_abns
+    FROM resolved GROUP BY depth, is_cycle
+    ORDER BY is_cycle, depth
 """
 
 ORACLES = {
     "abn_current": _ABN_ORACLE,
+    "abn_chain_census": _ABN_CENSUS_ORACLE,
     "delta_updated": _SNAP_CTE
     + f"""
         SELECT {_ORDER_OUT.replace('o_orderkey', 'n.o_orderkey').replace('o_custkey', 'n.o_custkey').replace('o_orderstatus', 'n.o_orderstatus').replace('o_totalprice', 'n.o_totalprice').replace('o_orderdate', 'n.o_orderdate').replace('o_orderpriority', 'n.o_orderpriority')}

@@ -246,6 +246,14 @@ HEADLINERS = [
     "stratified_reservoir_alloc",
     "dedup_simhash_clusters",
     "survival_km",
+    # r15 additions: the Replacedabn chain resolver (pointer doubling),
+    # the k=4 generalized Markov solve, and the mergeable quantile
+    # sketch rollup.
+    "abn_current",
+    "abn_chain_census",
+    "markov_attribution_k",
+    "quantile_merge_by_source",
+    "quantile_grid_sweep",
 ]
 
 

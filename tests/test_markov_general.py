@@ -355,3 +355,34 @@ def test_quantile_merge_equals_single_pass(spark):
     assert allrow["p90_e4"] == pct(9000)
     # and every per-source row is itself replayable from its register
     assert len(merged) == 21  # 20 sources + __ALL__
+
+
+def test_quantile_grid_sweep_invariants(spark):
+    """Coarser grids cost fewer registers; every grid's p50/p90 is
+    within one grid width BELOW the exact percentile (members are
+    priced at their bucket's lower edge, so the sketch never
+    over-reports)."""
+    from abr_etl_spark.plans.analytics15 import quantile_grid_sweep
+    from abr_etl_spark.sources.lake import load_table
+
+    rows = {
+        r["grid"]: r for r in quantile_grid_sweep(spark, SF_ORACLE).collect()
+    }
+    grids = sorted(rows)
+    for a, b in zip(grids, grids[1:]):
+        assert rows[a]["n_buckets"] >= rows[b]["n_buckets"]
+    vals = sorted(
+        r["n_chars"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .select("n_chars")
+        .collect()
+    )
+    n = len(vals)
+    for p_e4, col in ((5000, "p50_e4"), (9000, "p90_e4")):
+        t = (n - 1) * p_e4
+        k, f = divmod(t, 10000)
+        exact_e4 = vals[k] * 10000 + f * (vals[min(k + 1, n - 1)] - vals[k])
+        for g in grids:
+            got = rows[g][col]
+            assert got <= exact_e4  # lower-edge pricing never overshoots
+            assert exact_e4 - got < g * 10000  # within one grid width
