@@ -39,6 +39,7 @@ _R15_PRIORITY: list[str] = [
     "markov_attribution_k",
     "quantile_merge_by_source",
     "quantile_grid_sweep",
+    "stream_quantile_windowed",
     # --- 2. plan/oracle changed in r15 (generator-derived markov
     #     text, DECIMAL-sum candidate census, scalable CC oracle) ---
     "markov_attribution",

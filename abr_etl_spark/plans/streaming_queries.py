@@ -17,12 +17,14 @@ from abr_etl_spark.sources.lake import load_table
 from pyspark.sql import functions as F
 
 from abr_etl_spark.streaming.stream_ops import (
+    HIST_GRID_E2,
     attribution_join,
     read_event_stream,
     run_stream_to_memory,
     session_agg,
     sliding_avg,
     windowed_counts,
+    windowed_value_histogram,
 )
 
 
@@ -67,6 +69,80 @@ def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "purchase"),
         how="fullOuter",
     )
+
+
+def q_stream_quantile_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-window p50/p90 from the STREAMED fixed-grid value histogram
+    -- the streaming member of the mergeable quantile-sketch family
+    (quantile_merge_by_source's contract on a stream). The stream's
+    single aggregation maintains (window, bucket, cnt) registers
+    (stream_ops.windowed_value_histogram; replay == batch
+    pytest-proven); THIS query is the downstream register read: rank
+    interpolation in pure BIGINT over the stored census, output
+    (window_start, n_events, p50_e6, p90_e6) -- e6 because the e2
+    value quantization composes with the e4 rank fraction.
+
+    Scale shape: the stream carries O(|windows in flight| x |grid|)
+    state; the rollup is window-partitioned cumulative sums over the
+    census only. The raw events are never re-scanned for quantiles.
+
+    Reference parity: SURVEY.md §2.D; streaming twin of
+    quantile_merge_by_source (analytics15.py)."""
+    census = windowed_value_histogram(
+        load_table(spark, sf_dir, "events")
+    )
+    wcum = (
+        Window.partitionBy("window_start")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    from abr_etl_spark.functions.cache import materialize_result
+
+    cum = materialize_result(
+        census.withColumn("cum", F.sum("cnt").over(wcum))
+    )
+    totals = cum.groupBy("window_start").agg(
+        F.max("cum").cast("long").alias("n_events")
+    )
+    targets = totals.select(
+        "window_start",
+        "n_events",
+        F.expr("((n_events - 1) * 5000) DIV 10000 AS k50"),
+        F.expr("((n_events - 1) * 5000) % 10000 AS f50"),
+        F.expr("((n_events - 1) * 9000) DIV 10000 AS k90"),
+        F.expr("((n_events - 1) * 9000) % 10000 AS f90"),
+    )
+    j = cum.join(F.broadcast(targets), "window_start")
+    picked = j.groupBy("window_start").agg(
+        F.max("n_events").alias("n_events"),
+        *[
+            F.min(
+                F.expr(
+                    f"CASE WHEN cum >= {kexpr} + 1 THEN bucket END"
+                )
+            ).alias(alias)
+            for kexpr, alias in [
+                ("k50", "b50"),
+                ("LEAST(k50 + 1, n_events - 1)", "b50n"),
+                ("k90", "b90"),
+                ("LEAST(k90 + 1, n_events - 1)", "b90n"),
+            ]
+        ],
+        F.max("f50").alias("f50"),
+        F.max("f90").alias("f90"),
+    )
+    return picked.select(
+        "window_start",
+        "n_events",
+        F.expr(
+            f"{HIST_GRID_E2} * (b50 * 10000 + f50 * (b50n - b50))"
+        ).cast("long").alias("p50_e6"),
+        F.expr(
+            f"{HIST_GRID_E2} * (b90 * 10000 + f90 * (b90n - b90))"
+        ).cast("long").alias("p90_e6"),
+    ).orderBy("window_start")
 
 
 #: file drops the events table is split into for the stateful replay --
@@ -356,6 +432,7 @@ QUERIES = {
     "stream_first_seen": q_stream_first_seen,
     "stream_dedup_exact": q_stream_dedup_exact,
     "stream_window_counts": q_stream_window_counts,
+    "stream_quantile_windowed": q_stream_quantile_windowed,
     "stream_sliding_avg": q_stream_sliding_avg,
     "stream_session_windows": q_stream_session_windows,
     "stream_attribution_join": q_stream_attribution_join,
@@ -383,6 +460,54 @@ ORACLES = {
                round(sum(value), 4) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """,
+    # the streamed registers' rollup: same fixed-grid census + rank
+    # interpolation in BIGINT (the quantile_merge_by_source kernel
+    # with window_start as the scope).
+    "stream_quantile_windowed": f"""
+        WITH census AS MATERIALIZED (
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       // {HIST_GRID_E2} AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ), cum AS (
+            SELECT *, sum(cnt) OVER (PARTITION BY window_start
+                ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum
+            FROM census
+        ), targets AS (
+            SELECT window_start,
+                   CAST(max(cum) AS BIGINT) AS n_events,
+                   ((CAST(max(cum) AS BIGINT) - 1) * 5000) // 10000 AS k50,
+                   ((CAST(max(cum) AS BIGINT) - 1) * 5000) % 10000 AS f50,
+                   ((CAST(max(cum) AS BIGINT) - 1) * 9000) // 10000 AS k90,
+                   ((CAST(max(cum) AS BIGINT) - 1) * 9000) % 10000 AS f90
+            FROM cum GROUP BY window_start
+        ), picked AS (
+            SELECT c.window_start, max(t.n_events) AS n_events,
+                   min(CASE WHEN c.cum >= t.k50 + 1 THEN c.bucket END)
+                       AS b50,
+                   min(CASE WHEN c.cum >=
+                       least(t.k50 + 1, t.n_events - 1) + 1
+                       THEN c.bucket END) AS b50n,
+                   min(CASE WHEN c.cum >= t.k90 + 1 THEN c.bucket END)
+                       AS b90,
+                   min(CASE WHEN c.cum >=
+                       least(t.k90 + 1, t.n_events - 1) + 1
+                       THEN c.bucket END) AS b90n,
+                   max(t.f50) AS f50, max(t.f90) AS f90
+            FROM cum c JOIN targets t ON t.window_start = c.window_start
+            GROUP BY c.window_start
+        )
+        SELECT window_start, n_events,
+               CAST({HIST_GRID_E2} * (b50 * 10000 + f50 * (b50n - b50))
+                    AS BIGINT) AS p50_e6,
+               CAST({HIST_GRID_E2} * (b90 * 10000 + f90 * (b90n - b90))
+                    AS BIGINT) AS p90_e6
+        FROM picked
+        ORDER BY window_start
     """,
     # Each event falls in exactly two 2h-wide panes sliding by 1h: the
     # pane starting at its hour and the one an hour earlier (Spark's

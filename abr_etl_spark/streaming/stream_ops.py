@@ -49,6 +49,58 @@ def windowed_counts(
     )
 
 
+#: fixed grid width of the windowed value histogram, in e2 value units
+#: (4.00 value units per bucket over this corpus's 0.01..490 range --
+#: ~125 registers per window).
+HIST_GRID_E2 = 400
+
+
+def windowed_value_histogram(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    grid_e2: int = HIST_GRID_E2,
+) -> DataFrame:
+    """Tumbling event-time fixed-grid value histogram -- the STREAMING
+    member of the mergeable quantile-sketch family
+    (plans/analytics15.quantile_merge_by_source): per (window, bucket =
+    e2-quantized value DIV {HIST_GRID_E2}) counts, a SINGLE streaming
+    aggregation whose state is O(|windows in flight| x |grid|).
+
+    The registers ARE the sink: count addition is associative and
+    commutative, so microbatch increments land in any order and the
+    stream's steady state equals the batch histogram exactly
+    (tests/test_streaming.py replays it); quantile extraction
+    (p50/p90) runs DOWNSTREAM on the stored registers
+    (plans/streaming_queries.q_stream_quantile_windowed) -- never
+    inside the stream, which is what keeps this a one-aggregation,
+    append-compatible plan.
+
+    On a streaming input the watermark bounds state; on batch it is a
+    no-op, so batch replay IS the steady state the oracle checks."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window("ts", window),
+            F.expr(
+                f"CAST(floor(value * 100 + 0.5) AS BIGINT)"
+                f" DIV {grid_e2}"
+            ).alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format(
+                F.col("window.start"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "bucket",
+            "cnt",
+        )
+    )
+
+
 def sliding_avg(
     events: DataFrame,
     *,

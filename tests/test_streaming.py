@@ -679,3 +679,76 @@ def test_stream_cdc_apply_maintains_current_state(spark, tmp_path):
     _sh.rmtree(ckpt)
     drain()
     assert state() == want
+
+
+def test_streamed_value_histogram_equals_batch(spark, tmp_path):
+    """The streaming quantile sketch's registers: the stream's steady
+    state must equal the batch histogram exactly (count addition is
+    associative/commutative, so microbatch order cannot matter)."""
+    src_dir = _stage_events(tmp_path)
+    stream = stream_ops.read_event_stream(spark, src_dir)
+    q = stream_ops.run_stream_to_memory(
+        stream_ops.windowed_value_histogram(stream), "hist_stream"
+    )
+    try:
+        got = {
+            tuple(r)
+            for r in spark.sql("select * from hist_stream").collect()
+        }
+        want = {
+            tuple(r)
+            for r in stream_ops.windowed_value_histogram(
+                load_table(spark, SF_SMOKE, "events")
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_streamed_histogram_accumulates_across_microbatches(
+    spark, tmp_path
+):
+    """Split the drop into 4 files at 1 file/trigger: per-window
+    register counts must ACCUMULATE across microbatches (not reset),
+    proving the sketch's merge property end to end on the stream."""
+    import math
+
+    d = tmp_path / "hist_stream_multi"
+    d.mkdir()
+    ev = load_table(spark, SF_SMOKE, "events")
+    n = ev.count()
+    per = math.ceil(n / 4)
+    rows = ev.orderBy("event_id").collect()
+    for i in range(4):
+        spark.createDataFrame(
+            rows[i * per : (i + 1) * per], ev.schema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(d / f"part{i}")
+        )
+    import glob
+    import shutil
+
+    flat = tmp_path / "hist_stream_flat"
+    flat.mkdir()
+    for i in range(4):
+        (src,) = glob.glob(str(d / f"part{i}" / "*.parquet"))
+        shutil.copy(src, flat / f"drop{i}.parquet")
+    stream = stream_ops.read_event_stream(
+        spark, str(flat), max_files_per_trigger=1
+    )
+    q = stream_ops.run_stream_to_memory(
+        stream_ops.windowed_value_histogram(stream), "hist_multi"
+    )
+    try:
+        got = {
+            tuple(r)
+            for r in spark.sql("select * from hist_multi").collect()
+        }
+        want = {
+            tuple(r)
+            for r in stream_ops.windowed_value_histogram(ev).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
