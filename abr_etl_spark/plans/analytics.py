@@ -31,22 +31,54 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     final agg after map-side partial aggregation; the whole expression tree
     stays in whole-stage codegen. At 100 TB this is scan-bound -- exactly
     what you want.
-    """
+
+    Every measure quantizes per item to exact 1e-4 units BEFORE the sum
+    (q6_forecast_revenue's r14 device, extended to q1 by the r15 sf100
+    cert catch: round(sum(double), 2) diverged between the engines'
+    float addition orders at the fifth decade's ~1e8-rows-per-group
+    mass). The per-item product expression order is pinned and shared
+    with the oracle, so both engines quantize the SAME double; sums are
+    then exact BIGINTs (ANSI raises on int64 overflow -- headroom to
+    ~sf10000 at e4), and the averages are integer half-up rationals
+    ((2*sum + n) DIV (2n)) presented by one final division."""
     l = load_table(spark, sf_dir, "lineitem")
+
+    def e4(col: F.Column) -> F.Column:
+        return F.floor(col * 10000 + 0.5).cast("long")
+
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    raw = (
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(e4(F.col("l_quantity"))).alias("__q"),
+            F.sum(e4(F.col("l_extendedprice"))).alias("__p"),
+            F.sum(e4(disc_price)).alias("__dp"),
+            F.sum(e4(charge)).alias("__ch"),
+            F.sum(e4(F.col("l_discount"))).alias("__d"),
             F.count("*").alias("count_order"),
+        )
+    )
+    half_up = "((2 * {num} + count_order) DIV (2 * count_order))"
+    return (
+        raw.select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("__q") / 10000.0).alias("sum_qty"),
+            (F.col("__p") / 10000.0).alias("sum_base_price"),
+            (F.col("__dp") / 10000.0).alias("sum_disc_price"),
+            (F.col("__ch") / 10000.0).alias("sum_charge"),
+            (
+                F.expr(half_up.format(num="__q")) / 10000.0
+            ).alias("avg_qty"),
+            (
+                F.expr(half_up.format(num="__p")) / 10000.0
+            ).alias("avg_price"),
+            (
+                F.expr(half_up.format(num="__d")) / 10000.0
+            ).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -252,19 +284,43 @@ QUERIES = {
 }
 
 ORACLES = {
+    # per-item e4 quantization before every sum (pinned product order
+    # shared with the Spark plan); averages are integer half-up
+    # rationals -- the float-addition-order divergence the r15 sf100
+    # cert caught cannot reappear at any scale.
     "q1_pricing_summary": """
+        WITH raw AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 10000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS __q,
+                   CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS __p,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS __dp,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * (1 + l_tax) * 10000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS __ch,
+                   CAST(sum(CAST(floor(l_discount * 10000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS __d,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        )
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
+               __q / 10000.0 AS sum_qty,
+               __p / 10000.0 AS sum_base_price,
+               __dp / 10000.0 AS sum_disc_price,
+               __ch / 10000.0 AS sum_charge,
+               ((2 * __q + count_order) // (2 * count_order))
+                   / 10000.0 AS avg_qty,
+               ((2 * __p + count_order) // (2 * count_order))
+                   / 10000.0 AS avg_price,
+               ((2 * __d + count_order) // (2 * count_order))
+                   / 10000.0 AS avg_disc,
+               count_order
+        FROM raw
         ORDER BY l_returnflag, l_linestatus
     """,
     "q3_shipping_priority": """
