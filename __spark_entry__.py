@@ -46,6 +46,7 @@ _R15_PRIORITY: list[str] = [
     "simhash_band_sweep",
     "dedup_simhash_clusters",
     "q1_pricing_summary",
+    "rollup_agg",
     # --- 3. stalest rotation: the r8-row tail the r14 budget
     #     did not reach (~6-round rotation discipline) ---
     "lang_id_confusion",

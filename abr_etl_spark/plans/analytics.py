@@ -204,13 +204,23 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-level ROLLUP aggregate on orders (status, priority)."""
+    """Multi-level ROLLUP aggregate on orders (status, priority).
+
+    The price sums quantize per order to exact 1e-4 units first (the
+    q1/q6 device): the rollup's GRAND-TOTAL row accumulates the whole
+    corpus into ONE float sum, which diverged between the engines'
+    addition orders at sf100's 1.5e8 orders (r15 fifth-decade cert
+    catch); e4 BIGINT sums cannot (ANSI raises on int64 overflow,
+    headroom ~sf10000)."""
     o = load_table(spark, sf_dir, "orders")
+    price_e4 = F.floor(
+        F.col("o_totalprice") * 10000 + 0.5
+    ).cast("long")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (F.sum(price_e4) / 10000.0).alias("sum_price"),
         )
     )
 
@@ -397,7 +407,9 @@ ORACLES = {
     "rollup_agg": """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5)
+                             AS BIGINT)) AS BIGINT)
+                   / 10000.0 AS sum_price
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
