@@ -47,6 +47,10 @@ _R15_PRIORITY: list[str] = [
     "dedup_simhash_clusters",
     "q1_pricing_summary",
     "rollup_agg",
+    "gini_concentration",
+    "burstiness_fano",
+    "anova_f_event_value",
+    "doc_boilerplate_simpson",
     # --- 3. stalest rotation: the r8-row tail the r14 budget
     #     did not reach (~6-round rotation discipline) ---
     "lang_id_confusion",

@@ -187,23 +187,31 @@ def burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_days"),
             F.sum("c").alias("S"),
-            F.sum(F.expr("c * c")).alias("Q"),
+            # c*c accumulates in DECIMAL(38,0): daily counts grow with
+            # the corpus while |days| is calendar-bounded, so the
+            # BIGINT product sum (and S*S below) wraps int64 around
+            # sf1000 (the gini_concentration r15 accumulator-width
+            # class); exact when in range, so values are unchanged.
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("Q"),
         )
         .select(
             "event_type",
             "n_days",
             F.round(
                 F.expr(
-                    "CAST(n_days * Q - S * S AS DOUBLE)"
+                    "CAST(CAST(n_days AS DECIMAL(38,0)) * Q"
+                    " - CAST(S AS DECIMAL(38,0)) * S AS DOUBLE)"
                     " / (CAST(n_days AS DOUBLE) * CAST(S AS DOUBLE))"
                 ),
                 6,
             ).alias("fano"),
             F.round(
                 F.expr(
-                    "(sqrt(CAST(n_days * Q - S * S AS DOUBLE))"
+                    "(sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * Q"
+                    " - CAST(S AS DECIMAL(38,0)) * S AS DOUBLE))"
                     " - CAST(S AS DOUBLE))"
-                    " / (sqrt(CAST(n_days * Q - S * S AS DOUBLE))"
+                    " / (sqrt(CAST(CAST(n_days AS DECIMAL(38,0)) * Q"
+                    " - CAST(S AS DECIMAL(38,0)) * S AS DOUBLE))"
                     " + CAST(S AS DOUBLE))"
                 ),
                 6,

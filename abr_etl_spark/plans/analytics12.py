@@ -226,7 +226,12 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.agg(
             F.count("*").alias("n"),
             F.sum("s").alias("S"),
-            F.sum(F.expr("r * s")).alias("RS"),
+            # the r*s terms MUST accumulate in DECIMAL(38,0): a BIGINT
+            # product sum (~n^2 * mean cents) wraps int64 at ~1.5e6
+            # customers -- ANSI raised exactly there at the r15 sf10
+            # cert (the simhash_band_sweep r14-ADVICE accumulator-width
+            # class; the oracle's HUGEINT sum never wraps).
+            F.sum(F.expr("CAST(r AS DECIMAL(38,0)) * s")).alias("RS"),
         )
         .where(F.col("n") > 0)
         .select(

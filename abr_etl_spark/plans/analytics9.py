@@ -478,7 +478,11 @@ def anova_f_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = e.agg(
         F.count("*").alias("n"),
         F.sum("v").alias("s"),
-        F.sum(F.expr("v * v")).alias("sq"),
+        # v*v accumulates in DECIMAL(38,0): per-term ~2.4e9 e4-units^2
+        # over a corpus-sized row count wraps a BIGINT sum around
+        # sf1000 (the gini_concentration r15 accumulator-width class);
+        # the CAST AS DOUBLE downstream is value-identical in range.
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("sq"),
     )
     terms = g.select(
         F.struct(

@@ -253,7 +253,15 @@ def doc_boilerplate_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_sh").cast("long").alias("n_sh"),
             F.sum("df").cast("long").alias("df_mass"),
             F.max("df").cast("long").alias("hot_df"),
-            F.sum(F.expr("df * df")).cast("long").alias("__ssq"),
+            # df*df accumulates in DECIMAL(38,0): df grows with the
+            # corpus (a boilerplate shingle's df ~ n_docs), so ONE
+            # term already exceeds int64 at ~3e9 docs (the
+            # gini_concentration r15 accumulator-width class); the
+            # downstream ratio already reads it through a
+            # DECIMAL(38,0) cast, so values are unchanged in range.
+            F.sum(F.expr("CAST(df AS DECIMAL(38,0)) * df")).alias(
+                "__ssq"
+            ),
         )
         .select(
             "doc_id",
