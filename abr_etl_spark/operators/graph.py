@@ -303,6 +303,20 @@ def resolve_chains(
     e = edges.select(
         F.col(src).alias("node"), F.col(dst).alias("cur")
     ).persist()
+    # Enforce the functional precondition instead of documenting it
+    # (r15 ADVICE): a duplicate src would silently MULTIPLY rows through
+    # the doubling joins. One scalar aggregate over the (now-cached)
+    # pointer table -- cheap next to the log-depth join rounds.
+    guard = e.agg(
+        F.count("*").alias("__n"),
+        F.count_distinct("node").alias("__nd"),
+    ).first()
+    if guard["__n"] != guard["__nd"]:
+        raise ValueError(
+            "resolve_chains: edges must be functional (each src replaced "
+            f"by exactly one dst); got {guard['__n']} rows over "
+            f"{guard['__nd']} distinct src keys"
+        )
     ptr = e.withColumn("depth", F.lit(1).cast("long"))
     prev_sum = None
     for _ in range(rounds):
@@ -323,7 +337,16 @@ def resolve_chains(
         if depth_sum == prev_sum:
             break  # every walk terminal: remaining rounds are no-ops
         prev_sum = depth_sum
-    heads = e.select(F.col("node").alias("__h")).distinct()
+    # Sever heads' lineage from the cached edge table EAGERLY before
+    # releasing the cache (r15 ADVICE: a lazy unpersist here released
+    # the blocks ahead of the final join, so the cache never benefited
+    # the returned plan). ptr's lineage was already truncated by the
+    # last round's barrier + convergence aggregate.
+    heads = _lineage_barrier(
+        e.select(F.col("node").alias("__h")).distinct(),
+        reliable_checkpoint,
+    )
+    heads.count()  # materialize the barrier; e is now unreferenced
     out = ptr.join(heads, ptr.cur == heads.__h, "left").select(
         F.col("node").alias("src"),
         F.when(F.col("__h").isNull(), F.col("cur")).alias("current"),

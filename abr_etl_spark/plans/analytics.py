@@ -38,9 +38,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     float addition orders at the fifth decade's ~1e8-rows-per-group
     mass). The per-item product expression order is pinned and shared
     with the oracle, so both engines quantize the SAME double; sums are
-    then exact BIGINTs (ANSI raises on int64 overflow -- headroom to
-    ~sf10000 at e4), and the averages are integer half-up rationals
-    ((2*sum + n) DIV (2n)) presented by one final division."""
+    then exact BIGINTs, and the averages are integer half-up rationals
+    ((2*sum + n) DIV (2n)) presented by one final division. Overflow
+    headroom (ANSI raises loudly, never wraps): the e4 sums hold to
+    ~sf10000, but the half-up numerator DOUBLES the sum, so the
+    binding bound is ~sf5000 -- past that, move the averages to
+    DECIMAL(38,0) arithmetic (r15 ADVICE)."""
     l = load_table(spark, sf_dir, "lineitem")
 
     def e4(col: F.Column) -> F.Column:

@@ -90,3 +90,11 @@ def test_abn_current_structure(spark):
             assert m in (5, 6, 7)
             assert r["is_cycle"]
             assert r["current_abn"] is None and r["depth"] is None
+
+
+def test_duplicate_src_fails_loudly(spark):
+    # r15 ADVICE: a non-functional graph (one src replaced by TWO dsts)
+    # must raise, not silently multiply rows through the doubling joins.
+    df = spark.createDataFrame([(1, 2), (1, 3), (2, 0)], ["src", "dst"])
+    with pytest.raises(ValueError, match="functional"):
+        resolve_chains(df)

@@ -85,6 +85,8 @@ def main() -> int:
     merged = {}
     for key in SHUFFLE_KEYS:
         cands = [r[key] for r in prior if key in r]
+        if not cands:  # key added after a prior run was recorded
+            continue
         best10 = min(c["sf10_median_s"] for c in cands)
         best100 = min(c["sf100_median_s"] for c in cands)
         merged[key] = {
