@@ -20,75 +20,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-15 priority head (r14 verdict item 7), ordered by how badly
+# Round-16 priority head (r15 verdict item 6), ordered by how badly
 # each key needs a fresh CORRECTNESS row under the driver's ~50-row
 # budget:
-# 1. r15-born keys (no driver row exists);
-# 2. plan/oracle changed this round (r15): markov_attribution's
-#    generator-derived text, simhash_band_sweep's DECIMAL-sum census,
-#    dedup_simhash_clusters' pointer-jumping CC oracle;
-# 3. stalest rotation -- the keys whose newest driver row is STILL r8
-#    (the r14 budget line fell inside that tail), then
-# 4. the oldest r9-row keys, alphabetical.
+# 1. r16-born keys (no driver row exists): the trading-name consumers;
+# 2. plan changed this round (r16): the narrow-before-shuffle Q9/Q5
+#    rewrites (r15 verdict item 1) and the resolve_chains
+#    functional-guard + cache-lifetime fix behind abn_current;
+# 3. stalest rotation -- every key whose newest driver row is STILL r9
+#    (the r15 budget line fell before them), alphabetical;
+# 4. the r10-row keys, alphabetical.
 # Everything after the budget line keeps module order; all keys pass
 # the local full-registry gate regardless.
-_R15_PRIORITY: list[str] = [
-    # --- 1. r15-born keys (never driver-checked) ---
+_R16_PRIORITY: list[str] = [
+    # --- 1. r16-born keys (never driver-checked) ---
+    "trading_names_current",
+    "fuzzy_match_trading_names",
+    # --- 2. plan changed in r16 ---
+    "profit_by_nation_year",
+    "q5_local_supplier",
     "abn_current",
     "abn_chain_census",
-    "markov_attribution_k",
-    "quantile_merge_by_source",
-    "quantile_grid_sweep",
-    "stream_quantile_windowed",
-    # --- 2. plan/oracle changed in r15 (generator-derived markov
-    #     text, DECIMAL-sum candidate census, scalable CC oracle) ---
-    "markov_attribution",
-    "simhash_band_sweep",
-    "dedup_simhash_clusters",
-    "q1_pricing_summary",
-    "rollup_agg",
-    "gini_concentration",
-    "burstiness_fano",
-    "anova_f_event_value",
-    "doc_boilerplate_simpson",
-    # --- 3. stalest rotation: the r8-row tail the r14 budget
-    #     did not reach (~6-round rotation discipline) ---
-    "lang_id_confusion",
-    "late_shipment_suppliers",
-    "markov_transitions",
-    "mode_per_group",
-    "multimodal_content_address",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "reachability_bfs",
-    "recall_at_k_eval",
-    "salted_join_revenue",
-    "session_paths_topk",
-    "simpson_diversity",
-    "skyline_pareto",
-    "source_divergence_tv",
-    "stream_hll_distinct",
-    "string_funcs2",
-    "term_lift_topk",
-    "train_test_split",
-    "triangle_count",
-    "unpivot_melt",
-    "window_funcs2",
-    "winsorized_mean",
-    "zorder_layout",
-    # --- 4. next-stalest (r9 rows), alphabetical head ---
-    "asof_purchase_view",
-    "cohort_retention",
-    "cube_agg",
-    "decay_weighted_sum",
-    "delta_added",
-    "delta_classify_lake",
-    "delta_removed",
-    "delta_unchanged_count",
-    "delta_updated",
-    "distinct_users_daily",
-    "dq_referential",
-    "funnel_counts",
+    # --- 3. stalest rotation: r9-row keys ---
     "interval_coverage",
     "kmv_distinct",
     "min_price_supplier_per_part",
@@ -96,8 +49,65 @@ _R15_PRIORITY: list[str] = [
     "outlier_filter",
     "percentiles",
     "pivot_table",
-    "profit_by_nation_year",
     "q10_returned_items",
+    "q12_shipping_buckets",
+    "q14_promo_revenue",
+    "q16_supplier_diversity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q22_idle_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "range_join_buckets",
+    "regr_slope_per_user",
+    "scd2",
+    "sequence_pack",
+    "sessionize",
+    "snapshot_latest",
+    "spark_sql_interface",
+    "stream_attribution_join",
+    "stream_attribution_outer",
+    "top_n_per_group",
+    "trailing_range_window",
+    "window_running",
+    # --- 4. next-stalest (r10 rows), alphabetical ---
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_lsh_multiprobe",
+    "array_agg_per_group",
+    "asof_next_view",
+    "chunk_documents",
+    "corpus_mix",
+    "cumulative_distinct_users",
+    "datetime_funcs",
+    "dedup_canonical",
+    "dedup_exact",
+    "dedup_incremental_probe",
+    "dedup_lines",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dq_completeness",
+    "dq_uniqueness",
+    "dup_spans",
+    "fingerprint",
+    "ingest_routed",
+    "json_props_agg",
+    "lang_id",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "null_semantics",
+    "q21_waiting_suppliers",
+    "quality_score",
+    "redact_pii",
+    "sample_deterministic",
+    "sample_stratified",
+    "sequence_pack_chunks",
+    "set_ops",
+    "string_funcs",
+    "text_stats",
+    "tfidf_top_terms",
+    "zscore_window",
 ]
 
 
@@ -242,8 +252,8 @@ def _registry() -> tuple[dict, dict]:
 
     # Priority ordering: the driver checks queries in registry order under a
     # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
-    # first (see _R15_PRIORITY), then everything else in module order.
-    ordered = {k: queries[k] for k in _R15_PRIORITY if k in queries}
+    # first (see _R16_PRIORITY), then everything else in module order.
+    ordered = {k: queries[k] for k in _R16_PRIORITY if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
     return ordered, oracles
 

@@ -122,7 +122,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5-shaped 6-way join; all dims broadcast, facts shuffle once."""
+    """Q5-shaped 6-way join; all dims broadcast, facts shuffle once.
+
+    Narrow-before-shuffle (r15 verdict item 1, with
+    profit_by_nation_year): the ASIA region filter reaches lineitem
+    MAP-SIDE through the broadcast of the region-filtered supplier dim
+    -- only ~1/|regions| of lineitem rows enter the fact-fact shuffle,
+    and they enter as (l_orderkey, s_nationkey, rev) instead of full
+    width; the orders side ships (o_orderkey, c_nationkey) with the
+    date filter pushed to its scan. The r15 plan shuffled ALL of
+    lineitem full-width first and only then applied the dims -- ~5x
+    the shuffle rows, the 11.7x sf10->sf100 spill driver."""
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -132,19 +142,37 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
     l = load_table(spark, sf_dir, "lineitem")
+    n_asia = n.join(broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    s_asia = s.join(
+        broadcast(n_asia), s.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey")
+    # e4-quantized per-item revenue (q6/profit's device, CATALOG.md
+    # "Numeric semantics"): integer sums are addition-order-free, so
+    # the narrowed plan's different partitioning cannot re-round
+    # differently from the oracle -- round(sum(double), 2) DID diverge
+    # at sf1 under this reorder.
+    rev_e4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    fact = l.join(
+        broadcast(s_asia), l.l_suppkey == F.col("s_suppkey")
+    ).select("l_orderkey", "s_nationkey", rev_e4.alias("rev_e4"))
+    # SHUFFLE_HASH on the narrow (date-filtered) orders side -- the
+    # same device as profit_by_nation_year: hash the small projection,
+    # skip sorting the larger fact side.
+    o_narrow = o.join(
+        broadcast(c.select("c_custkey", "c_nationkey")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "c_nationkey").hint("shuffle_hash")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        fact.join(o_narrow, fact.l_orderkey == o_narrow.o_orderkey)
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .groupBy("s_nationkey")
+        .agg((F.sum("rev_e4") / 10000.0).alias("revenue"))
+        .join(broadcast(n_asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
@@ -353,7 +381,8 @@ ORACLES = {
     """,
     "q5_local_supplier": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                              + 0.5) AS BIGINT)) / 10000.0 AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey

@@ -60,16 +60,29 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q9 shape: multi-join profit rollup by supplier nation x order year."""
+    """Q9 shape: multi-join profit rollup by supplier nation x order year.
+
+    Narrow-before-shuffle (r15 verdict item 1): the broadcast dims and
+    the per-item profit expression apply MAP-SIDE, so the one fact-fact
+    shuffle (the plan's only exchange pair) carries just
+    (l_orderkey, s_nationkey, profit_e4) ~20 B/row on the lineitem side
+    and (o_orderkey, o_year) on the orders side -- the r15 plan shuffled
+    FULL-width lineitem first and only then joined the dims, ~3x the
+    shuffle bytes, which is exactly the spill constant the sf100 bench
+    caught (87 s / 16.9x sf10->sf100). The 25-row nation dim joins
+    AFTER the aggregate on ~|nations x years| rows.
+
+    Quantize per ITEM to exact 1e-4 units (identical IEEE math in both
+    engines, half-up handles negative item profit consistently) and sum
+    integers: round(sum(double), 2) hash-failed at sf0.001 on a
+    shortest-repr rounding tie -- integer sums cannot, and they make
+    this reorder safe (integer addition is order-free; a double sum
+    would re-round differently under the new partitioning)."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part")
     n = load_table(spark, sf_dir, "nation")
-    # Quantize per ITEM to exact 1e-4 units (identical IEEE math in both
-    # engines, half-up handles negative item profit consistently) and sum
-    # integers: round(sum(double), 2) hash-failed at sf0.001 on a
-    # shortest-repr rounding tie -- integer sums cannot.
     profit_e4 = F.floor(
         (
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -78,16 +91,37 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 10000
         + 0.5
     ).cast("long")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(broadcast(p), l.l_partkey == p.p_partkey)
-        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+    fact = (
+        l.join(
+            broadcast(s.select("s_suppkey", "s_nationkey")),
+            l.l_suppkey == F.col("s_suppkey"),
         )
-        .agg((F.sum(profit_e4) / 10000.0).alias("profit"))
+        .join(
+            broadcast(p.select("p_partkey", "p_retailprice")),
+            l.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            "l_orderkey", "s_nationkey", profit_e4.alias("profit_e4")
+        )
+    )
+    # SHUFFLE_HASH on the narrow orders side: hashing the bounded
+    # (o_orderkey, o_year) projection skips the O(n log n) sort of the
+    # 4x-larger lineitem side that SMJ would pay; per-task build size
+    # is |orders| * 12 B / shuffle_partitions -- sized by the standard
+    # cluster knob. Measured at sf100: 42 s vs 55 s SMJ (BENCH_sf100).
+    o_narrow = o.select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    ).hint("shuffle_hash")
+    return (
+        fact.join(o_narrow, fact.l_orderkey == o_narrow.o_orderkey)
+        .groupBy("s_nationkey", "o_year")
+        .agg(F.sum("profit_e4").alias("__pe4"))
+        .join(broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_year",
+            (F.col("__pe4") / 10000.0).alias("profit"),
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 

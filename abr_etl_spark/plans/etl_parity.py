@@ -731,3 +731,253 @@ ORACLES["delta_changed_columns"] = _SNAP_CTE + f"""
                for c in _CHG_COLS)}
     FROM newd n JOIN oldd o USING (o_orderkey)
 """
+
+
+# ----------------------------------------- trading names (Othtrdnames)
+# r15 verdict item 5: the SECOND routed dataset with a real consumer
+# (after Replacedabn/abn_current). Othtrdnames (pid, abn, othr_trdg_nm,
+# othr_trdg_nm_strt_dt -- sources/abr_schemas.py:102, load.go:45-64)
+# holds the OTHER names an entity trades under; Businessname/the main
+# register holds the main name. Natural consumers: (1) resolve each
+# entity's CURRENT other trading name (latest start date), and (2) feed
+# the full alias set into fuzzy_match_blocked's suffix blocking so a
+# noisy probe resolves to its entity through ANY registered name, not
+# just the main one.
+#
+# Synthesis (deterministic, scale-linear, derivable by the oracle from
+# the same parquet): entity abn = c_custkey, main name = c_name;
+#   abn % 3 == 0 -> alias 'Trading#'||digits, start = base + abn % 1000
+#   abn % 6 == 0 -> alias 'Brand#'||digits,   start = base + 7*abn % 1000
+# Aliases keep the name's last-6 digit tail, so they land in the SAME
+# suffix block as the main name (the fuzzy family's blocking contract).
+# Date ties (abn % 1000 == 7*abn % 1000) break by name ASC.
+
+TN_BASE_DATE = "1995-01-01"
+
+#: shared Spark-SQL/DuckDB expression: delete the character right after
+#: '#' (the first digit) -- the same one-char corruption device as
+#: fuzzy_match_blocked, but prefix-length-agnostic so it applies to
+#: 'Customer#'/'Trading#'/'Brand#' names alike, and it never touches
+#: the last-6 suffix the blocking key reads.
+_TN_CORRUPT = (
+    "concat(substr({c}, 1, instr({c}, '#')), "
+    "substr({c}, instr({c}, '#') + 2))"
+)
+
+
+def _trading_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized Othtrdnames wire rows: (abn, othr_trdg_nm,
+    othr_trdg_nm_strt_dt)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    digits = F.expr("substr(c_name, 10)")
+    base = F.lit(TN_BASE_DATE).cast("date")
+    t = c.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("abn"),
+        F.concat(F.lit("Trading#"), digits).alias("othr_trdg_nm"),
+        F.date_add(base, (F.col("c_custkey") % 1000).cast("int")).alias(
+            "othr_trdg_nm_strt_dt"
+        ),
+    )
+    b = c.where(F.col("c_custkey") % 6 == 0).select(
+        F.col("c_custkey").alias("abn"),
+        F.concat(F.lit("Brand#"), digits).alias("othr_trdg_nm"),
+        F.date_add(
+            base, ((F.col("c_custkey") * 7) % 1000).cast("int")
+        ).alias("othr_trdg_nm_strt_dt"),
+    )
+    return t.unionByName(b)
+
+
+def _tn_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-abn resolution of the CURRENT other trading name: latest
+    start date, ties by name ASC; n_othr = total aliases. ONE shuffle
+    on abn serves both windows."""
+    from pyspark.sql.window import Window
+
+    tn = _trading_names(spark, sf_dir)
+    w = Window.partitionBy("abn").orderBy(
+        F.col("othr_trdg_nm_strt_dt").desc(), F.col("othr_trdg_nm").asc()
+    )
+    return (
+        tn.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_othr", F.count("*").over(Window.partitionBy("abn"))
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "abn",
+            F.col("othr_trdg_nm").alias("cur_othr_trdg_nm"),
+            F.col("othr_trdg_nm_strt_dt").alias("cur_strt_dt"),
+            F.col("n_othr").cast("long").alias("n_othr"),
+        )
+    )
+
+
+def q_trading_names_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Othtrdnames/Businessname resolution -- for every entity with
+    other trading names, which name is it CURRENTLY trading under?
+    Output (abn, mn_trdg_nm, cur_othr_trdg_nm, cur_strt_dt, n_othr),
+    one row per multi-name entity.
+
+    Scale shape: one shuffle on abn for the two windows (row_number +
+    count share the partition), then an equi-join back to the register
+    on the same key -- no data-sized broadcast, no names x names
+    anywhere. Reference parity: SURVEY.md §2.A, load.go:45-64,
+    sources/abr_schemas.py:93-102 (r15 verdict item 5)."""
+    cur = _tn_current(spark, sf_dir)
+    bn = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("abn"), F.col("c_name").alias("mn_trdg_nm")
+    )
+    return (
+        cur.join(bn, "abn")
+        .select(
+            "abn",
+            "mn_trdg_nm",
+            "cur_othr_trdg_nm",
+            # ISO string, the cross-engine date presentation contract
+            F.date_format("cur_strt_dt", "yyyy-MM-dd").alias("cur_strt_dt"),
+            "n_othr",
+        )
+        .orderBy("abn")
+    )
+
+
+def q_fuzzy_match_trading_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_match_blocked fed by the trading-name resolution: the
+    candidate table is main names UNION each entity's CURRENT other
+    trading name, so a probe corrupted from a TRADING name (every 60th
+    key -- a third of the probe set's multi-name entities) still
+    resolves to its entity, which the main-name-only matcher cannot do.
+    Output (probe_key, abn, name_kind, dist): best match per probe,
+    ties by (dist, abn, name_kind) -- name_kind says WHICH registered
+    name won.
+
+    Scale shape: identical to fuzzy_match_blocked -- the levenshtein
+    predicate runs only inside last-6-suffix blocks (aliases share
+    their entity's digit tail, so the alias union multiplies block
+    size by <= 2, never block count); one window on probe_key.
+    Reference parity: SURVEY.md §2.A (r15 verdict item 5)."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    cur = _tn_current(spark, sf_dir)
+    alias = c.select(
+        F.col("c_custkey").alias("abn"),
+        F.col("c_name").alias("nm"),
+        F.lit("MAIN").alias("name_kind"),
+    ).unionByName(
+        cur.select(
+            "abn",
+            F.col("cur_othr_trdg_nm").alias("nm"),
+            F.lit("OTH").alias("name_kind"),
+        )
+    )
+    probes = (
+        c.where(F.col("c_custkey") % 20 == 0)
+        .join(
+            cur.withColumnRenamed("abn", "__cabn"),
+            F.col("c_custkey") == F.col("__cabn"),
+            "left",
+        )
+        .select(
+            F.col("c_custkey").alias("probe_key"),
+            F.when(
+                (F.col("c_custkey") % 60 == 0)
+                & F.col("__cabn").isNotNull(),
+                F.col("cur_othr_trdg_nm"),
+            )
+            .otherwise(F.col("c_name"))
+            .alias("src"),
+        )
+        .select(
+            "probe_key",
+            F.expr(_TN_CORRUPT.format(c="src")).alias("probe_name"),
+        )
+    )
+    scored = (
+        probes.join(
+            alias,
+            F.expr("right(probe_name, 6)") == F.expr("right(nm, 6)"),
+        )
+        .withColumn(
+            "dist", F.levenshtein("probe_name", "nm").cast("int")
+        )
+        .where(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("probe_key").orderBy(
+        F.col("dist").asc(), F.col("abn").asc(), F.col("name_kind").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("probe_key", "abn", "name_kind", "dist")
+        .orderBy("probe_key")
+    )
+
+
+QUERIES["trading_names_current"] = q_trading_names_current
+QUERIES["fuzzy_match_trading_names"] = q_fuzzy_match_trading_names
+
+#: shared synthesis + resolution CTEs -- the oracle derives the same
+#: wire rows and resolves them with the same latest-start/name-ASC rule.
+_TN_CTES = f"""WITH tn AS (
+        SELECT c_custkey AS abn,
+               'Trading#' || substr(c_name, 10) AS othr_trdg_nm,
+               DATE '{TN_BASE_DATE}'
+                   + CAST(c_custkey % 1000 AS INTEGER) AS strt_dt
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey,
+               'Brand#' || substr(c_name, 10),
+               DATE '{TN_BASE_DATE}'
+                   + CAST((c_custkey * 7) % 1000 AS INTEGER)
+        FROM customer WHERE c_custkey % 6 = 0
+    ), cur AS (
+        SELECT abn, othr_trdg_nm AS cur_othr_trdg_nm,
+               strt_dt AS cur_strt_dt, CAST(n_othr AS BIGINT) AS n_othr
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY abn
+                       ORDER BY strt_dt DESC, othr_trdg_nm ASC) AS rn,
+                   count(*) OVER (PARTITION BY abn) AS n_othr
+            FROM tn
+        ) WHERE rn = 1
+    )"""
+
+ORACLES["trading_names_current"] = _TN_CTES + """
+    SELECT c.c_custkey AS abn, c.c_name AS mn_trdg_nm,
+           cur_othr_trdg_nm,
+           strftime(cur_strt_dt, '%Y-%m-%d') AS cur_strt_dt, n_othr
+    FROM cur JOIN customer c ON c.c_custkey = cur.abn
+    ORDER BY abn
+"""
+
+ORACLES["fuzzy_match_trading_names"] = _TN_CTES + f"""
+    , alias_t AS (
+        SELECT c_custkey AS abn, c_name AS nm, 'MAIN' AS name_kind
+        FROM customer
+        UNION ALL
+        SELECT abn, cur_othr_trdg_nm, 'OTH' FROM cur
+    ), probes AS (
+        SELECT c.c_custkey AS probe_key,
+               CASE WHEN c.c_custkey % 60 = 0 AND cur.abn IS NOT NULL
+                    THEN cur.cur_othr_trdg_nm ELSE c.c_name END AS src
+        FROM customer c LEFT JOIN cur ON cur.abn = c.c_custkey
+        WHERE c.c_custkey % 20 = 0
+    ), probed AS (
+        SELECT probe_key, {_TN_CORRUPT.format(c="src")} AS probe_name
+        FROM probes
+    ), scored AS (
+        SELECT probe_key, abn, name_kind,
+               CAST(levenshtein(probe_name, nm) AS INTEGER) AS dist
+        FROM probed JOIN alias_t ON right(probe_name, 6) = right(nm, 6)
+        WHERE levenshtein(probe_name, nm) <= 2
+    )
+    SELECT probe_key, abn, name_kind, dist FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY probe_key
+                   ORDER BY dist ASC, abn ASC, name_kind ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    ORDER BY probe_key
+"""
