@@ -254,6 +254,11 @@ HEADLINERS = [
     "markov_attribution_k",
     "quantile_merge_by_source",
     "quantile_grid_sweep",
+    # r16 additions: the narrowed Q9 fact-fact rollup and the
+    # trading-name (Othtrdnames) resolution + alias-fed fuzzy matcher.
+    "profit_by_nation_year",
+    "trading_names_current",
+    "fuzzy_match_trading_names",
 ]
 
 
@@ -380,6 +385,11 @@ def main() -> None:
     # (r5 verdict item 7) instead of a footnote in SURVEY.
     cold: dict[str, float] = {}
     best: dict[str, float] = {}
+    # Per-key dispersion [min, median, max, n_reps] (r15 verdict item
+    # 7): the noise probe measured +-20-30% positional ambient noise, so
+    # a single median invites chasing phantom regressions; the spread
+    # says whether a round-over-round delta clears the key's own band.
+    dispersion: dict[str, list[float]] = {}
     for name in HEADLINERS:
         fn = qs.get(name)
         if fn is None:
@@ -392,6 +402,9 @@ def main() -> None:
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         cold[name] = round(max(samples), 3)
         best[name] = round(min(samples), 3)
+        dispersion[name] = [
+            best[name], timings[name], cold[name], len(samples)
+        ]
         print(
             f"  {name}: {timings[name]}s "
             f"(runs: {[round(s, 3) for s in sorted(samples)]})",
@@ -404,6 +417,12 @@ def main() -> None:
     timings["weekly_pipeline"] = round(sorted(wk)[len(wk) // 2], 3)
     cold["weekly_pipeline"] = round(max(wk), 3)
     best["weekly_pipeline"] = round(min(wk), 3)
+    dispersion["weekly_pipeline"] = [
+        best["weekly_pipeline"],
+        timings["weekly_pipeline"],
+        cold["weekly_pipeline"],
+        len(wk),
+    ]
     print(
         f"  weekly_pipeline: {timings['weekly_pipeline']}s "
         f"(runs: {[round(s, 3) for s in sorted(wk)]})",
@@ -418,6 +437,7 @@ def main() -> None:
         "queries": timings,
         "cold": cold,
         "best": best,
+        "dispersion": dispersion,
         "r1_subset_total": round(
             sum(timings.get(k, 0.0) for k in R1_SUBSET), 3
         ),
