@@ -51,21 +51,29 @@ def main() -> int:
         rows = {}
         for key in keys:
             release_result_caches()
-            t0 = time.perf_counter()
-            df = qs[key](spark, sf_dir)
-            t1 = time.perf_counter()
-            df._jdf.queryExecution().sparkPlan()
-            t2 = time.perf_counter()
-            df.count()
-            t3 = time.perf_counter()
-            rows[key] = {
-                "build_s": round(t1 - t0, 3),
-                "plan_s": round(t2 - t1, 3),
-                "exec_s": round(t3 - t2, 3),
-                "wall_s": round(t3 - t0, 3),
-                "planning_share": round((t2 - t0) / (t3 - t0), 3),
-            }
-            print(json.dumps({key: rows[key], "partitions": parts}),
+            rec = {}
+            # cold pass: build_s INCLUDES the cache-registry
+            # materialization (real execution) these keys share, so its
+            # planning_share overstates driver work; the warm pass
+            # rebuilds the same frame against live caches -- its build_s
+            # is the pure analysis cost.
+            for phase in ("cold", "warm"):
+                t0 = time.perf_counter()
+                df = qs[key](spark, sf_dir)
+                t1 = time.perf_counter()
+                df._jdf.queryExecution().sparkPlan()
+                t2 = time.perf_counter()
+                df.count()
+                t3 = time.perf_counter()
+                rec[phase] = {
+                    "build_s": round(t1 - t0, 3),
+                    "plan_s": round(t2 - t1, 3),
+                    "exec_s": round(t3 - t2, 3),
+                    "wall_s": round(t3 - t0, 3),
+                    "planning_share": round((t2 - t0) / (t3 - t0), 3),
+                }
+            rows[key] = rec
+            print(json.dumps({key: rec, "partitions": parts}),
                   flush=True)
         out["settings"][parts] = rows
         spark.stop()
