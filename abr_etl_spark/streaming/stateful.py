@@ -65,7 +65,8 @@ def running_counts_stateful(events: DataFrame) -> DataFrame:
 # (2026-08-14), r12 absent (2026-08-15: `importlib.util.find_spec` finds
 # neither google.protobuf nor grpc), r13 absent (2026-08-15 and again
 # 2026-08-16: import google.protobuf still raises ModuleNotFoundError),
-# r15 absent (2026-08-16: re-checked, same ModuleNotFoundError)
+# r15 absent (2026-08-16: re-checked, same ModuleNotFoundError),
+# r16 absent (2026-08-17: re-checked, same ModuleNotFoundError)
 # -- the gated twin stays pytest-skipped; promote to a driver-checked
 # key the round protobuf appears.
 
