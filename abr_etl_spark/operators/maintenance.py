@@ -46,7 +46,13 @@ def compact_partition(
     n_out = max(1, -(-total // target_file_bytes))  # ceil div
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compacting"
-    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    # n_out == 1 (the common weekly-bucket case): coalesce merges the
+    # input splits in ONE task with no shuffle write+read; repartition
+    # would round-trip every row through a 1-partition exchange for the
+    # same single output file (r16, opt guide 2.4). Multi-file outputs
+    # keep repartition so file sizes stay even.
+    out = df.coalesce(1) if n_out == 1 else df.repartition(int(n_out))
+    out.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
     return int(n_out)
@@ -590,11 +596,14 @@ def _merge_snapshot_locked(
                 "the upsert contract requires non-null keys"
             )
         stamped.write.partitionBy(_BUCKET_COL).parquet(path)
+        # the partitionBy write already materialized one dir per
+        # bucket -- list them instead of re-running the upsert lineage
+        # through a distinct().collect() (r16: one less evaluation of
+        # the ingest+delta plan per bootstrap)
         buckets = [
-            r["b"]
-            for r in stamped.select(F.col(_BUCKET_COL).alias("b"))
-            .distinct()
-            .collect()
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith(f"{_BUCKET_COL}=")
         ]
         for b in buckets:
             _write_mark(path, b, epoch)

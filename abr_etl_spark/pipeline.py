@@ -193,16 +193,34 @@ def _merge_and_compact(
         n_buckets=cfg.merge_buckets,
     )
     if cfg.compact_merged and rep["written"]:
-        compacted = 0
-        for b in range(cfg.merge_buckets):
-            bdir = os.path.join(path, f"{maintenance._BUCKET_COL}={b}")
-            if (
-                os.path.isdir(bdir)
-                and maintenance._read_mark(path, b) == epoch
-            ):
-                maintenance.compact_partition(spark, bdir)
-                compacted += 1
-        rep = {**rep, "compacted": compacted}
+        todo = [
+            os.path.join(path, f"{maintenance._BUCKET_COL}={b}")
+            for b in range(cfg.merge_buckets)
+            if os.path.isdir(
+                os.path.join(path, f"{maintenance._BUCKET_COL}={b}")
+            )
+            and maintenance._read_mark(path, b) == epoch
+        ]
+        # Buckets are independent directories; compacting them from a
+        # small thread pool lets the next bucket's read back-fill the
+        # executor slots the previous bucket's single-file write leaves
+        # idle (opt guide 2.6 -- overlap independent jobs). Each job is
+        # still the same crash-safe per-bucket rewrite.
+        if len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(todo))) as pool:
+                list(
+                    pool.map(
+                        lambda bdir: maintenance.compact_partition(
+                            spark, bdir
+                        ),
+                        todo,
+                    )
+                )
+        elif todo:
+            maintenance.compact_partition(spark, todo[0])
+        rep = {**rep, "compacted": len(todo)}
     return rep
 
 
@@ -263,9 +281,22 @@ def run_weekly(spark: SparkSession, cfg: WeeklyConfig) -> WeeklyConfig:
             rem = delta.delta_removed(new_df, old_df, cfg.key_col).select(
                 cfg.key_col
             )
-            cfg.results[ds]["merge"] = _merge_and_compact(
-                spark, cfg, ds, ups, rem, newest
-            )
+            # merge_snapshot evaluates the upsert frame twice (bucket
+            # stats collect, then the staging write) and the removed
+            # keys once more inside the survivor anti-join; persisting
+            # the two delta frames turns those re-evaluations of the
+            # ingest+join lineage into cache reads (r16, opt guide 5 --
+            # reuse is real and bounded: deltas are the week's changed
+            # rows, released right after the merge).
+            ups = ups.persist()
+            rem = rem.persist()
+            try:
+                cfg.results[ds]["merge"] = _merge_and_compact(
+                    spark, cfg, ds, ups, rem, newest
+                )
+            finally:
+                ups.unpersist()
+                rem.unpersist()
         if cfg.export_dir:
             for action, frame in (("updated", updated), ("added", added)):
                 out_dir = os.path.join(

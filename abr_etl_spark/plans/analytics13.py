@@ -978,6 +978,39 @@ ORACLES["q2_min_cost_supplier"] = f"""
 AR_MIN_PAIR = 2
 
 
+def _basket_census(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(l, pc_all): the distinct (order, part) basket projection and
+    the UNFILTERED directed pair census (ant, cons, n_pair) -- both
+    MATERIALIZED (functions/cache.py lifecycle). association_rules,
+    rule_conviction and rule_ancestor_prune all derive from exactly
+    these two frames (the min-support rule table is a filter of
+    pc_all; ancestor pruning's part-consequent counts ARE pc_all; the
+    per-part and basket-total counts are cheap aggregates of the
+    cached l), so the within-order pair explosion and the lineitem
+    distinct shuffle run ONCE per session instead of once per key and
+    per bench rep (r16 -- the docstring claim that CacheManager would
+    share these was aspirational before: nothing ever persisted them;
+    opt guide 5)."""
+    from abr_etl_spark.functions.cache import materialize_result
+
+    l = materialize_result(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = l.select("l_orderkey", F.col("l_partkey").alias("ant"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("cons"))
+    pc_all = materialize_result(
+        a.join(b, "l_orderkey")
+        .where(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+    )
+    return l, pc_all
+
+
 def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over basket_pairs' co-occurrence vocabulary:
     every directed rule ant -> cons from part pairs bought together in
@@ -1001,21 +1034,10 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     table joins pair rows to two |parts|-grain count frames on part
     keys (AQE broadcasts the smaller side) plus one 1-row basket-total
     broadcast. 100 TB cost = the lineitem scan + the pair-vocabulary
-    shuffle."""
-    l = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = l.select("l_orderkey", F.col("l_partkey").alias("ant"))
-    b = l.select("l_orderkey", F.col("l_partkey").alias("cons"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("ant") != F.col("cons"))
-        .groupBy("ant", "cons")
-        .agg(F.count("*").cast("long").alias("n_pair"))
-        .where(F.col("n_pair") >= AR_MIN_PAIR)
-    )
+    shuffle -- paid once per session via the materialized
+    _basket_census shared with the rule_* keys (r16)."""
+    l, pc_all = _basket_census(spark, sf_dir)
+    pairs = pc_all.where(F.col("n_pair") >= AR_MIN_PAIR)
     per_part = l.groupBy("l_partkey").agg(
         F.count("*").cast("long").alias("n_part")
     )

@@ -36,7 +36,7 @@ cardinality join plus a <= 10-row census.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from abr_etl_spark.functions import texthash as th
@@ -68,12 +68,18 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe.
 
     Scale shape: the brute-force truth runs ONCE (its own audited
-    broadcast-query shape); each radius adds one corpus stream through
-    the banded equi-join with a literal probe-mask list -- cost grows
-    with bucket fan-out, never with a cross join. The candidate census
-    re-runs only the BUCKET join (16-byte rows, no vectors); the
-    per-radius reductions are k*|queries|-row frames.
+    broadcast-query shape); the banded equi-join streams the corpus
+    ONCE at the LARGEST radius, tagging every candidate pair with its
+    probe distance rd = popcount(mask) (a pair within radius r is
+    exactly a pair with rd <= r, and each pair matches exactly one
+    probed bucket), and the tiny scored frame is materialized -- every
+    per-radius top-k, recall join and candidate census is then a slice
+    of that cache (r16: replaces one multiprobe stream + one bucket
+    census stream PER radius -- six corpus streams -- with one; opt
+    guide 2.4/5). Per-radius reductions are k*|queries|-row frames.
     """
+    from abr_etl_spark.functions.cache import materialize_result
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERY_VECS)
     # the truth subtree appears once per consumer in the ONE final plan;
@@ -86,42 +92,67 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nt = bf.agg(F.count("*").cast("long").alias("n_true"))
     bits = similarity.HYPERPLANE_BITS
-    cb = e.select(
+    r_max = max(SWEEP_RADII)
+    c = e.select(
         F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.expr(th.sp_norm("embedding")).alias("__cn"),
         F.expr(similarity.sp_lsh_bucket("embedding", bits)).alias("bucket"),
     )
-    qb = q.select(
-        F.col("vec_id").alias("query_id"),
-        F.expr(similarity.sp_lsh_bucket("embedding", bits)).alias(
-            "q_bucket"
-        ),
+    mask_structs = ", ".join(
+        f"struct({m} as m, {bin(m).count('1')} as rd)"
+        for m in similarity.probe_masks(bits, r_max)
+    )
+    probes = (
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.expr(th.sp_norm("embedding")).alias("__qn"),
+            F.expr(similarity.sp_lsh_bucket("embedding", bits)).alias(
+                "q_bucket"
+            ),
+        )
+        .withColumn("pm", F.explode(F.expr(f"array({mask_structs})")))
+        .select(
+            "query_id",
+            "q_vec",
+            "__qn",
+            F.expr("cast(q_bucket ^ pm.m as int)").alias("bucket"),
+            F.col("pm.rd").alias("rd"),
+        )
+    )
+    # (query, neighbor, cos, rd): cos is the SAME rounded expression
+    # lsh_ann_multiprobe_topk scores with, so the per-radius slice +
+    # top-k below reproduces its output exactly (pytest-pinned).
+    scored = materialize_result(
+        c.join(F.broadcast(probes), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(th.sp_dot("q_vec", "c_vec"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cos", "rd")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
     )
     out = None
     for r in SWEEP_RADII:
-        ann = similarity.lsh_ann_multiprobe_topk(
-            e, q, k=ANN_K, radius=r
-        ).select("query_id", "neighbor_id")
+        sub = scored.where(F.col("rd") <= r)
+        ann = (
+            sub.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= ANN_K)
+            .select("query_id", "neighbor_id")
+        )
         nc = bf.join(ann, ["query_id", "neighbor_id"]).agg(
             F.count("*").cast("long").alias("n_common")
         )
-        masks = ", ".join(
-            str(m) for m in similarity.probe_masks(bits, r)
-        )
-        probes = qb.select(
-            "query_id",
-            F.explode(
-                F.expr(
-                    f"transform(array({masks}), "
-                    "m -> cast(q_bucket ^ m as int))"
-                )
-            ).alias("bucket"),
-        )
-        cand = (
-            cb.join(F.broadcast(probes), "bucket")
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-            .distinct()
-            .agg(F.count("*").cast("long").alias("n_candidates"))
+        cand = sub.agg(
+            F.count("*").cast("long").alias("n_candidates")
         )
         row = (
             nt.crossJoin(F.broadcast(nc))

@@ -55,6 +55,24 @@ def get_spark(
         # convert at the source (sources/lake.py) -- truncation to micros
         # matches what micro-precision engines (DuckDB, Trino) do.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate synthesizes `size(arr)>0 AND
+        # isnotnull(arr)` below every explode; PushDownPredicate then
+        # drives that filter through the projections to the scan, where
+        # it RE-EVALUATES the array-producing expression (tokenize +
+        # shingle-hash here) once in the filter and again in the
+        # project -- the guide's duplicated-expensive-expression
+        # pathology (opt guide 4.4), measured 4x on the shingle-census
+        # shape at sf0.1 (plans/r16/doc_idf_profile_before.txt: Filter(2)
+        # carries the full xxhash64 shingle expression). Generate drops
+        # empty arrays at runtime regardless, so excluding the rule is
+        # result-neutral; arrays in this engine are computed per row, so
+        # the inferred filter never prunes anything an upstream filter
+        # didn't already.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
