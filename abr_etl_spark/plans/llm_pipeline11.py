@@ -156,16 +156,17 @@ def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     report order is pinned by the 6-dp score then both keys.
 
     Scale shape: edges dedup to the (cust, part) grain at the first
-    shuffle; pair generation GROUPS by part and explodes the i<j pairs
-    of each part's sorted customer list map-side (r16: replaces the
-    within-bucket self-join -- the old plan compiled the
-    orders-join-lineitem-distinct subtree FOUR times and sort-merge
-    self-joined it; one grouped pass emits the identical candidate
-    multiset with two exchanges total, opt guide 2.4). Parts of degree
-    > {cap} are dropped (stated df-cap contract, the explicit
-    alternative to a silent hub blow-up) and degree-1 parts cannot form
-    a pair (the size filter); the shuffle past candidate generation
-    carries (a, b, partkey, term) only -- unchanged."""
+    shuffle; the pair generator self-joins WITHIN part buckets only,
+    over ONE MATERIALIZED term-weighted edge table (r16: the old plan
+    compiled the orders-join-lineitem-distinct subtree four times --
+    twice per self-join side -- and re-executed it; the cached frame is
+    built once and both sides read it). Parts of degree > {cap} are
+    dropped (stated df-cap contract, the explicit alternative to a
+    silent hub blow-up) and degree-1 parts skipped (they cannot form a
+    pair); the shuffle past candidate generation carries (a, b,
+    partkey, term) only."""
+    from abr_etl_spark.functions.cache import materialize_result
+
     e = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey")
@@ -181,38 +182,30 @@ def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # (cust, part) is distinct, so the collected list's size IS the
-    # part's degree; sorting it makes pair order cust_a < cust_b by
-    # construction. Per-group fan-out is bounded by the cap (<= 64*63/2
-    # pairs), so the explode is map-side bounded work, never a hub^2
-    # blow-up.
-    grp = (
+    deg = (
         e.groupBy("part")
-        .agg(F.sort_array(F.collect_list("cust")).alias("cs"))
-        .where((F.size("cs") >= 2) & (F.size("cs") <= AA_DEG_CAP))
-        .select(
+        .agg(F.count("*").alias("deg"))
+        .where((F.col("deg") >= 2) & (F.col("deg") <= AA_DEG_CAP))
+    )
+    ed = materialize_result(
+        e.join(deg, "part").select(
             "part",
-            "cs",
-            F.expr("1.0 / ln(CAST(size(cs) AS DOUBLE))").alias("term"),
+            "cust",
+            F.expr("1.0 / ln(CAST(deg AS DOUBLE))").alias("term"),
         )
     )
     pairs = (
-        grp.select(
-            "part",
-            "term",
-            F.explode(
-                F.expr(
-                    "flatten(transform(cs, (x, i) -> "
-                    "transform(slice(cs, i + 2, size(cs) - i - 1), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p"),
+        ed.alias("a")
+        .join(
+            ed.alias("b"),
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.cust") < F.col("b.cust")),
         )
         .select(
-            F.col("p.a").alias("cust_a"),
-            F.col("p.b").alias("cust_b"),
+            F.col("a.cust").alias("cust_a"),
+            F.col("b.cust").alias("cust_b"),
             F.struct(
-                F.col("part").alias("k1"), F.col("term").alias("t")
+                F.col("a.part").alias("k1"), F.col("a.term").alias("t")
             ).alias("s"),
         )
     )

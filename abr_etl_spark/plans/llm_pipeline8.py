@@ -253,76 +253,130 @@ def _mmr_inputs(
     return materialize_result(cand), materialize_result(sim)
 
 
-#: Greedy-chain plan-growth guard: each MMR step embeds the previous
-#: ``picked`` subtree THREE times (anti-join, picked-sim join, union),
-#: so the logical tree grows ~3^k and Catalyst analysis time follows --
-#: measured plan-build 1.9 s at k=3 vs 25.4 s at k=6 (sf0.01, warm
-#: JVM). Past _MMR_PLAN_TRUNC_K picks, the chain localCheckpoints the
-#: (tiny: |Q| x picks rows) picked frame every _MMR_PLAN_TRUNC_EVERY
-#: steps, resetting the subtree so analysis cost is linear in k. The
-#: committed k=3 plans are untouched (no checkpoint node, same audit
-#: shape); the guard exists so the k dial is not a planning-time cliff.
-_MMR_PLAN_TRUNC_K = 4
-_MMR_PLAN_TRUNC_EVERY = 2
+#: picked-array element type of the greedy fold (_mmr_fold_expr).
+_MMR_PICK_T = "STRUCT<pick: INT, nid: BIGINT, rel: BIGINT, score: BIGINT>"
+_MMR_BEST_T = "STRUCT<nid: BIGINT, rel: BIGINT, score: BIGINT>"
+
+
+def _mmr_fold_expr(k: int, wrel: str, wdiv: str) -> str:
+    """SQL expression computing the ENTIRE greedy MMR chain per row
+    over two array columns -- ``cs`` (array<struct<nid, rel>>, the
+    query's candidates) and ``ss`` (array<struct<i, j, s>>, their pair
+    sims): k picks of argmax({wrel}*rel - {wdiv}*max-sim-to-picked),
+    first pick by rel, every tie by nid asc, all BIGINT.
+
+    r16 rewrite of the former k-step join/window chain: the chain was
+    stage-latency-bound (each step = anti-join + sim join + window over
+    a <= |Q| x cands row frame, and the picked subtree grew ~3^k, the
+    measured 1.9 s -> 25.4 s plan-build cliff at k=6) -- the fold runs
+    the identical selection map-side in ONE project, so cost is one
+    groupBy-to-arrays shuffle regardless of k (opt guide 1.2: fix the
+    algorithm's stage shape first). A candidate with NO sim row to the
+    picked set is excluded from step >= 2 exactly as the old inner
+    maxsim join excluded it. ``wrel``/``wdiv`` are SQL snippets --
+    integer literals or column references -- so one builder serves the
+    fixed-weight keys and the lambda sweep."""
+    maxsim = (
+        "aggregate(filter(ss, e1 -> e1.i = c.nid"
+        " AND exists(st, p2 -> p2.nid = e1.j)),"
+        " CAST(NULL AS BIGINT),"
+        " (m, e2) -> CASE WHEN m IS NULL OR e2.s > m THEN e2.s"
+        " ELSE m END)"
+    )
+    # best next pick given the picked state st (NULL when no eligible
+    # candidate remains); ms is the hoisted maxsim value per candidate
+    best_next = f"""aggregate(
+        filter(cs, c0 -> NOT exists(st, p0 -> p0.nid = c0.nid)),
+        CAST(NULL AS {_MMR_BEST_T}),
+        (b, c) -> element_at(transform(array({maxsim}), ms ->
+            CASE WHEN ms IS NULL THEN b
+                 WHEN b IS NULL
+                      OR CAST({wrel} AS BIGINT) * c.rel
+                         - CAST({wdiv} AS BIGINT) * ms > b.score
+                      OR (CAST({wrel} AS BIGINT) * c.rel
+                          - CAST({wdiv} AS BIGINT) * ms = b.score
+                          AND c.nid < b.nid)
+                 THEN named_struct('nid', c.nid, 'rel', c.rel,
+                      'score', CAST({wrel} AS BIGINT) * c.rel
+                               - CAST({wdiv} AS BIGINT) * ms)
+                 ELSE b END), 1))"""
+    best_first = f"""aggregate(cs, CAST(NULL AS {_MMR_BEST_T}),
+        (b1, c1) -> CASE
+            WHEN b1 IS NULL OR c1.rel > b1.rel
+                 OR (c1.rel = b1.rel AND c1.nid < b1.nid)
+            THEN named_struct('nid', c1.nid, 'rel', c1.rel,
+                 'score', CAST({wrel} AS BIGINT) * c1.rel)
+            ELSE b1 END)"""
+    init = f"""element_at(transform(array({best_first}), nb0 ->
+        CASE WHEN nb0 IS NULL THEN CAST(array() AS ARRAY<{_MMR_PICK_T}>)
+             ELSE array(named_struct('pick', 1, 'nid', nb0.nid,
+                  'rel', nb0.rel, 'score', nb0.score)) END), 1)"""
+    step = f"""element_at(transform(array({best_next}), nb ->
+        CASE WHEN nb IS NULL THEN st
+             ELSE array_append(st, named_struct(
+                  'pick', CAST(size(st) + 1 AS INT), 'nid', nb.nid,
+                  'rel', nb.rel, 'score', nb.score)) END), 1)"""
+    if k <= 1:
+        return init
+    return f"aggregate(sequence(2, {k}), {init}, (st, tt) -> {step})"
+
+
+def _mmr_rows(cand: DataFrame, sim: DataFrame) -> DataFrame:
+    """Per-query array form of the MMR inputs: (query_id, cs, ss)."""
+    cs = cand.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("neighbor_id").alias("nid"),
+                    F.col("rel_e6").alias("rel"),
+                )
+            )
+        ).alias("cs")
+    )
+    ss = sim.groupBy("query_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("i").alias("i"),
+                F.col("j").alias("j"),
+                F.col("sim_e6").alias("s"),
+            )
+        ).alias("ss")
+    )
+    return cs.join(ss, "query_id", "left").select(
+        "query_id",
+        "cs",
+        F.expr(
+            "coalesce(ss, CAST(array() AS"
+            " ARRAY<STRUCT<i: BIGINT, j: BIGINT, s: BIGINT>>))"
+        ).alias("ss"),
+    )
 
 
 def _mmr_greedy(
     cand: DataFrame, sim: DataFrame, *, k: int, wrel: int, wdiv: int
 ) -> DataFrame:
-    """Greedy MMR chain over prepared inputs: pick argmax of
+    """Greedy MMR over prepared inputs: pick argmax of
     wrel*rel_e6 - wdiv*max-sim-to-picked (first pick wrel*rel_e6),
     ties by neighbor_id -- all BIGINT, so Spark and the unrolled-CTE
-    DuckDB oracle replay the identical chain. k-1 joins over
-    (|Q| x cands)-row frames: constant work in corpus size."""
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("rel_e6").desc(), F.col("neighbor_id").asc()
-    )
-    picked = (
-        cand.withColumn("__rn", F.row_number().over(w1))
-        .where(F.col("__rn") == 1)
+    DuckDB oracle replay the identical chain. One groupBy-to-arrays +
+    one map-side fold (_mmr_fold_expr): constant work in corpus size
+    AND in k."""
+    return (
+        _mmr_rows(cand, sim)
         .select(
             "query_id",
-            F.lit(1).alias("pick"),
-            "neighbor_id",
-            "rel_e6",
-            (F.lit(wrel) * F.col("rel_e6")).alias("score_e7"),
+            F.explode(
+                F.expr(_mmr_fold_expr(k, str(wrel), str(wdiv)))
+            ).alias("p"),
+        )
+        .select(
+            "query_id",
+            F.col("p.pick").alias("pick"),
+            F.col("p.nid").alias("neighbor_id"),
+            F.col("p.rel").alias("rel_e6"),
+            F.col("p.score").alias("score_e7"),
         )
     )
-    for t in range(2, k + 1):
-        sel = picked.select("query_id", F.col("neighbor_id").alias("j"))
-        rem = cand.join(
-            picked.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        scored = rem.join(
-            sim.join(sel, ["query_id", "j"])
-            .groupBy("query_id", F.col("i").alias("neighbor_id"))
-            .agg(F.max("sim_e6").alias("maxsim_e6")),
-            ["query_id", "neighbor_id"],
-        ).withColumn(
-            "score_e7",
-            F.lit(wrel) * F.col("rel_e6")
-            - F.lit(wdiv) * F.col("maxsim_e6"),
-        )
-        wt = Window.partitionBy("query_id").orderBy(
-            F.col("score_e7").desc(), F.col("neighbor_id").asc()
-        )
-        step = (
-            scored.withColumn("__rn", F.row_number().over(wt))
-            .where(F.col("__rn") == 1)
-            .select(
-                "query_id",
-                F.lit(t).alias("pick"),
-                "neighbor_id",
-                "rel_e6",
-                "score_e7",
-            )
-        )
-        picked = picked.unionByName(step)
-        if k > _MMR_PLAN_TRUNC_K and t % _MMR_PLAN_TRUNC_EVERY == 0:
-            picked = picked.localCheckpoint()
-    return picked
 
 
 def mmr_diversify_topk(
@@ -382,75 +436,41 @@ def mmr_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam = broadcast(
         spark.createDataFrame(MMR_LAMBDA_GRID, "wrel int, wdiv int")
     )
-    keys = ["wrel", "wdiv", "query_id"]
-    c5 = cand.crossJoin(lam)
-    w1 = Window.partitionBy(*keys).orderBy(
-        F.col("rel_e6").desc(), F.col("neighbor_id").asc()
+    # r16: the whole per-lambda greedy chain is the map-side fold
+    # (_mmr_fold_expr with the weights as COLUMN references), run on
+    # the per-query array rows crossed with the broadcast lambda grid;
+    # the per-lambda relevance and intra-list pair-sim totals reduce
+    # the picked array and the row's own sim array in the same project
+    # (each unordered pick pair counted once via e.i < e.j), so the
+    # whole sweep is one groupBy-to-arrays + one 5-row aggregate.
+    rows = _mmr_rows(cand, sim).crossJoin(lam)
+    folded = rows.select(
+        "wrel",
+        "wdiv",
+        "query_id",
+        "ss",
+        F.expr(_mmr_fold_expr(MMR_K, "wrel", "wdiv")).alias("pk"),
     )
-    picked = (
-        c5.withColumn("__rn", F.row_number().over(w1))
-        .where(F.col("__rn") == 1)
-        .select(
-            *keys,
-            "neighbor_id",
-            "rel_e6",
-            (F.col("wrel").cast("long") * F.col("rel_e6")).alias(
-                "score_e7"
-            ),
-        )
-    )
-    for t in range(2, MMR_K + 1):
-        sel = picked.select(*keys, F.col("neighbor_id").alias("j"))
-        rem = c5.join(
-            picked.select(*keys, "neighbor_id"),
-            [*keys, "neighbor_id"],
-            "left_anti",
-        )
-        maxsim = (
-            sim.join(sel, ["query_id", "j"])
-            .groupBy(*keys, F.col("i").alias("neighbor_id"))
-            .agg(F.max("sim_e6").alias("maxsim_e6"))
-        )
-        scored = rem.join(maxsim, [*keys, "neighbor_id"]).withColumn(
-            "score_e7",
-            F.col("wrel").cast("long") * F.col("rel_e6")
-            - F.col("wdiv").cast("long") * F.col("maxsim_e6"),
-        )
-        wt = Window.partitionBy(*keys).orderBy(
-            F.col("score_e7").desc(), F.col("neighbor_id").asc()
-        )
-        step = (
-            scored.withColumn("__rn", F.row_number().over(wt))
-            .where(F.col("__rn") == 1)
-            .select(*keys, "neighbor_id", "rel_e6", "score_e7")
-        )
-        picked = picked.unionByName(step)
-        if MMR_K > _MMR_PLAN_TRUNC_K and t % _MMR_PLAN_TRUNC_EVERY == 0:
-            picked = picked.localCheckpoint()
-    rel = picked.groupBy("wrel", "wdiv").agg(
-        F.count("*").alias("n_picks"),
-        F.coalesce(F.sum("rel_e6"), F.lit(0)).alias("sum_rel_e6"),
-    )
-    a = picked.select(*keys, F.col("neighbor_id").alias("i"))
-    b = picked.select(*keys, F.col("neighbor_id").alias("j"))
-    ij = sim.select("query_id", "i", "j", "sim_e6").where(
-        F.col("i") < F.col("j")
-    )
-    div = (
-        a.join(b, keys)
-        .where(F.col("i") < F.col("j"))
-        .join(ij, ["query_id", "i", "j"])
-        .groupBy("wrel", "wdiv")
-        .agg(F.sum("sim_e6").alias("__ps"))
+    per_q = folded.select(
+        "wrel",
+        "wdiv",
+        F.expr("CAST(size(pk) AS BIGINT)").alias("__n"),
+        F.expr(
+            "aggregate(pk, CAST(0 AS BIGINT), (a0, p3) -> a0 + p3.rel)"
+        ).alias("__rel"),
+        F.expr(
+            "aggregate(filter(ss, e3 -> e3.i < e3.j"
+            " AND exists(pk, p4 -> p4.nid = e3.i)"
+            " AND exists(pk, p5 -> p5.nid = e3.j)),"
+            " CAST(0 AS BIGINT), (a1, e4) -> a1 + e4.s)"
+        ).alias("__ps"),
     )
     return (
-        rel.join(div, ["wrel", "wdiv"], "left")
-        .select(
-            "wrel",
-            "wdiv",
-            "n_picks",
-            "sum_rel_e6",
-            F.coalesce("__ps", F.lit(0).cast("long")).alias(
+        per_q.groupBy("wrel", "wdiv")
+        .agg(
+            F.sum("__n").alias("n_picks"),
+            F.coalesce(F.sum("__rel"), F.lit(0)).alias("sum_rel_e6"),
+            F.coalesce(F.sum("__ps"), F.lit(0).cast("long")).alias(
                 "sum_pairsim_e6"
             ),
         )
