@@ -264,16 +264,20 @@ def ngram_jaccard_pairs(
             "n_a",
             "sh_b",
             "n_b",
-        )
+        ),
+        family=f"pairs:n{n}:t{threshold}",
     )
     census = None
     if with_census:
         # vocab-grain (s, df): one distinct over the SHARED cached
         # pre-filter frame -- no second corpus pass. Materialized so
         # idf consumers re-read it for free; owned by the lifecycle
-        # registry like the pair cache.
+        # registry like the pair cache. Family matches
+        # shingle_df_census's registration (same canonical plan -> one
+        # JVM cache entry -> one owner name).
         census = materialize_result(
-            flagged.select(F.col("sh_h").alias("s"), "df").distinct()
+            flagged.select(F.col("sh_h").alias("s"), "df").distinct(),
+            family=f"census:n{n}",
         )
     sh.unpersist()
     intermediate.unpersist()
@@ -389,7 +393,8 @@ def containment_pairs(
     # Same lifecycle as ngram_jaccard_pairs: materialize the (tiny)
     # verified pair set, then drop the wide shingle caches immediately.
     out = materialize_result(
-        verified.select("doc_a", "doc_b", "common", "m", "cont_e4")
+        verified.select("doc_a", "doc_b", "common", "m", "cont_e4"),
+        family=f"containment:n{n}:t{threshold}",
     )
     sh.unpersist()
     flagged.unpersist()
@@ -473,7 +478,8 @@ def minhash_lsh_pairs(
     # dropped now rather than leak until session eviction pressure --
     # same lifecycle as ngram_jaccard_pairs above.
     pairs = materialize_result(
-        verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")),
+        family=f"mh_pairs:n{n}:t{threshold}",
     )
     sigs.unpersist()
     return pairs
@@ -564,7 +570,8 @@ def simhash_pairs(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", "hamming"),
+        family=f"sh_pairs:h{max_hamming}",
     )
     fp.unpersist()
     return pairs

@@ -294,7 +294,7 @@ def incremental_agg(
     )
     # Materialize the (group-cardinality-sized) aggregate, then drop the
     # classify cache -- result-cache ownership lives in functions/cache.py.
-    out = materialize_result(out)
+    out = materialize_result(out, family="incr_agg")
     classified.unpersist()
     return out
 

@@ -1036,7 +1036,7 @@ def embedding_dup_pairs(
     )
     # Materialize the (tiny) pair set, then drop the vector/bucket cache
     # (result-cache ownership: functions/cache.py).
-    out = materialize_result(pairs)
+    out = materialize_result(pairs, family="emb_pairs")
     base.unpersist()
     return out
 

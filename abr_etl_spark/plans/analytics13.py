@@ -998,7 +998,8 @@ def _basket_census(
     l = materialize_result(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .distinct(),
+        family="rules",
     )
     a = l.select("l_orderkey", F.col("l_partkey").alias("ant"))
     b = l.select("l_orderkey", F.col("l_partkey").alias("cons"))
@@ -1006,7 +1007,8 @@ def _basket_census(
         a.join(b, "l_orderkey")
         .where(F.col("ant") != F.col("cons"))
         .groupBy("ant", "cons")
-        .agg(F.count("*").cast("long").alias("n_pair"))
+        .agg(F.count("*").cast("long").alias("n_pair")),
+        family="rules",
     )
     return l, pc_all
 

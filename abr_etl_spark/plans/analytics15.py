@@ -423,7 +423,8 @@ def quantile_merge_by_source(
         F.expr(f"n_chars DIV {Q_GRID}").alias("bucket"),
     )
     regs = materialize_result(
-        d.groupBy("scope", "bucket").agg(F.count("*").alias("cnt"))
+        d.groupBy("scope", "bucket").agg(F.count("*").alias("cnt")),
+        family="quantile_merge",
     )
     merged = regs.groupBy("bucket").agg(
         F.sum("cnt").alias("cnt")
@@ -439,7 +440,8 @@ def quantile_merge_by_source(
     # plan holds two tiny cache references instead of two copies of
     # the census tree.
     cum = materialize_result(
-        allregs.withColumn("cum", F.sum("cnt").over(wcum))
+        allregs.withColumn("cum", F.sum("cnt").over(wcum)),
+        family="quantile_merge",
     )
     totals = cum.groupBy("scope").agg(
         F.max("cum").cast("long").alias("n_rows")
@@ -572,7 +574,8 @@ def quantile_grid_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.col("gb.grid").alias("grid"), F.col("gb.bucket").alias("bucket"))
     census = materialize_result(
-        b.groupBy("grid", "bucket").agg(F.count("*").alias("cnt"))
+        b.groupBy("grid", "bucket").agg(F.count("*").alias("cnt")),
+        family="quantile_grid",
     )
     wcum = (
         Window.partitionBy("grid")
@@ -580,7 +583,8 @@ def quantile_grid_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = materialize_result(
-        census.withColumn("cum", F.sum("cnt").over(wcum))
+        census.withColumn("cum", F.sum("cnt").over(wcum)),
+        family="quantile_grid",
     )
     totals = cum.groupBy("grid").agg(
         F.max("cum").cast("long").alias("n_rows"),

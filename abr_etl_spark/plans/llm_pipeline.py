@@ -237,13 +237,21 @@ def jaccard_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     entry = _CC_CACHE.get(key)
     if entry is not None and entry[1]() is not None:
+        from abr_etl_spark.functions.cache import note_cache_touch
+
+        note_cache_touch("canon_cc")
+        if not entry[0].is_cached:
+            # a family-scoped release_result_caches() dropped the
+            # persisted blocks; re-mark for caching so consumers after
+            # the release pay the rebuild once, not per action
+            entry[0].persist()
         return entry[0]
     for k, (_, ref) in list(_CC_CACHE.items()):
         if ref() is None:
             _CC_CACHE.pop(k, None)
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU)
-    comp = materialize_result(canonicalize_pairs(pairs))
+    comp = materialize_result(canonicalize_pairs(pairs), family="canon_cc")
     _CC_CACHE[key] = (comp, weakref.ref(spark.sparkContext))
     return comp
 

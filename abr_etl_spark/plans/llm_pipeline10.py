@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from abr_etl_spark.functions import texthash as th
+from abr_etl_spark.functions.cache import register_cache
 from abr_etl_spark.sources.lake import load_table
 
 QUERIES: dict = {}
@@ -67,7 +68,12 @@ def minhash_perm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 th.sp_token_hashes("__tok"), 3
             )
         ).alias("grams"),
-    ).persist()
+    )
+    # Registered (family-owned) persists: these are CORPUS-scale frames
+    # (every doc's gram array) -- the r16 32-core bench showed unowned
+    # persists like these accumulating until execution memory thrashed
+    # the very caches in use (minhash_perm_sweep 1.0 -> 11.7 s).
+    base = register_cache(base, family="minhash_sweep")
     ex = base.select("doc_id", F.explode("grams").alias("g"))
     w_df = Window.partitionBy("g")
     kept = ex.withColumn("df", F.count("*").over(w_df)).where(
@@ -110,8 +116,8 @@ def minhash_perm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("exact_e4") >= int(MH_SWEEP_TAU * 10000))
         .select("doc_a", "doc_b", "exact_e4")
-        .persist()
     )
+    pairs_exact = register_cache(pairs_exact, family="minhash_sweep")
     pair_ids = (
         pairs_exact.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs_exact.select(F.col("doc_b").alias("doc_id")))

@@ -192,7 +192,8 @@ def link_prediction_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part",
             "cust",
             F.expr("1.0 / ln(CAST(deg AS DOUBLE))").alias("term"),
-        )
+        ),
+        family="linkpred",
     )
     pairs = (
         ed.alias("a")

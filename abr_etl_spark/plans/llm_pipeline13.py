@@ -87,7 +87,7 @@ def vocab_df_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read the census, so a cold standalone run must not tokenize and
     # shingle the corpus twice (r13 ADVICE). In a session where a dedup
     # key already ran, CacheManager dedups this to the existing entry.
-    census = materialize_result(shingle_df_census(d))
+    census = materialize_result(shingle_df_census(d), family="census:n3")
     base = census.agg(
         F.count("*").cast("long").alias("n_vocab"),
         F.coalesce(
@@ -171,7 +171,9 @@ def _doc_df_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from abr_etl_spark.functions.cache import materialize_result
 
     d = load_table(spark, sf_dir, "documents")
-    return materialize_result(shingle_doc_df(d).select("doc_id", "n_sh", "df"))
+    return materialize_result(
+        shingle_doc_df(d).select("doc_id", "n_sh", "df"), family="doc_df"
+    )
 
 
 def doc_idf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,7 +379,8 @@ def source_df_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     census = materialize_result(
         sh.select("source", F.explode("shingles").alias("s"))
         .groupBy("source", "s")
-        .agg(F.count("*").alias("df"))
+        .agg(F.count("*").alias("df")),
+        family="source_census",
     )
     from pyspark.sql import Window as _W
 

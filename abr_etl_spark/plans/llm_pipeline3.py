@@ -215,14 +215,26 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             if sc is None or getattr(sc, "_jsc", None) is None:
                 _INCR_INDEX_CACHE.pop(k, None)
         # lazy persist: the FIRST probe materializes the index in-flow
-        # (no separate build pass), later probes hit the cache.
-        index = dedup_incremental.build_minhash_index(corpus).persist()
+        # (no separate build pass), later probes hit the cache. The
+        # persist is REGISTERED (family-owned, functions/cache.py) so a
+        # long benchmark can reclaim it after the key's last rep.
+        from abr_etl_spark.functions.cache import register_cache
+
+        index = register_cache(
+            dedup_incremental.build_minhash_index(corpus),
+            family="dedup_incr",
+        )
         _INCR_INDEX_CACHE[cache_key] = (
             index,
             weakref.ref(spark.sparkContext),
         )
     else:
         index = entry[0]
+        from abr_etl_spark.functions.cache import note_cache_touch
+
+        note_cache_touch("dedup_incr")
+        if not index.is_cached:
+            index.persist()  # re-mark after a family-scoped release
     return dedup_incremental.probe_index(drop, index, threshold=INCR_TAU)
 
 

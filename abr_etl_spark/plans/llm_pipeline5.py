@@ -720,7 +720,7 @@ def _scatter_cmat(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return materialize_result(cm).coalesce(1)
+    return materialize_result(cm, family="lang_conf").coalesce(1)
 
 
 def _power_loop(

@@ -135,7 +135,8 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .select("query_id", "neighbor_id", "cos", "rd")
+        .select("query_id", "neighbor_id", "cos", "rd"),
+        family="ann_sweep",
     )
     wk = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

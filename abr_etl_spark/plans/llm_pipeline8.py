@@ -250,7 +250,10 @@ def _mmr_inputs(
     # ONE cached copy of each)
     from abr_etl_spark.functions.cache import materialize_result
 
-    return materialize_result(cand), materialize_result(sim)
+    return (
+        materialize_result(cand, family="mmr"),
+        materialize_result(sim, family="mmr"),
+    )
 
 
 #: picked-array element type of the greedy fold (_mmr_fold_expr).
@@ -1744,17 +1747,20 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 th.sp_shingle_hashes(th.sp_shingles("text"))
             ).alias("__shh"),
-        )
+        ),
+        family="lsh_sweep",
     )
     sigs = materialize_result(
         hashed.select(
             "doc_id", F.expr(th.sp_minhash("__shh")).alias("mh")
-        )
+        ),
+        family="lsh_sweep",
     )
     truth = materialize_result(
         dedup.ngram_jaccard_pairs(d, threshold=JACCARD_TAU).select(
             "doc_a", "doc_b"
-        )
+        ),
+        family="lsh_sweep",
     )
     n_true = truth.groupBy().agg(F.count("*").alias("n_true"))
     out = None
@@ -1773,7 +1779,8 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("x.doc_id").alias("doc_a"),
                 F.col("y.doc_id").alias("doc_b"),
             )
-            .distinct()
+            .distinct(),
+            family="lsh_sweep",
         )
         n_cand = cand.groupBy().agg(F.count("*").alias("n_candidates"))
         n_hits = cand.join(truth, ["doc_a", "doc_b"], "left_semi").groupBy().agg(

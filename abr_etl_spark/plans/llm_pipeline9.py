@@ -373,7 +373,7 @@ def simhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     map, zero joins beyond fetching the two fingerprints). 100 TB
     cost = the fingerprint scan + the truth pair set."""
     d = load_table(spark, sf_dir, "documents")
-    fp = materialize_result(dedup.simhash_fingerprints(d))
+    fp = materialize_result(dedup.simhash_fingerprints(d), family="simhash_sweep")
     pairs = dedup.simhash_pairs(d, max_hamming=SIMHASH_SWEEP_RADIUS)
     truth = materialize_result(
         pairs.join(
@@ -390,7 +390,8 @@ def simhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_b",
         )
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b", "sh_a", "sh_b"),
+        family="simhash_sweep",
     )
     n_true = truth.groupBy().agg(F.count("*").alias("n_true"))
     out = None
@@ -611,7 +612,8 @@ def _nprobe_report(
             "vec_id",
             "cell_rank",
             (F.col("qc_e6") + F.col("__s")).cast("long").alias("score_e6"),
-        )
+        ),
+        family="ivf_scored",
     )
     truth = similarity.cosine_topk(e, q, k=ANN_K).select(
         "query_id", "neighbor_id"
@@ -830,7 +832,8 @@ def _ivfadc_trained_parts(
                 "(a, b) -> cast(a as double) - cast(b as double)), "
                 "x -> cast(x as float))"
             ).alias("rvec"),
-        )
+        ),
+        family="ivfadc_trained",
     )
     cb = similarity.pq_index(
         spark,
@@ -1001,7 +1004,8 @@ def hll_merge_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_hll_rank_sql(f"{h} DIV {HLL_M}")).alias("rank"),
         )
         .groupBy("scope", "bucket")
-        .agg(F.max("rank").alias("max_rank"))
+        .agg(F.max("rank").alias("max_rank")),
+        family="sketch_merge",
     )
     merged = (
         regs.groupBy("bucket")
@@ -1105,7 +1109,8 @@ def kmv_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmin = materialize_result(
         h.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= KMV_K)
-        .select(F.col("source").alias("scope"), "h")
+        .select(F.col("source").alias("scope"), "h"),
+        family="sketch_merge",
     )
     per = kmin.groupBy("scope").agg(
         F.count("*").cast("long").alias("k"),
@@ -1204,7 +1209,8 @@ def cms_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cms_cells(occ)
         .groupBy("source", "j", "cell")
         .agg(F.count("*").cast("long").alias("n"))
-        .select(F.col("source").alias("scope"), "j", "cell", "n")
+        .select(F.col("source").alias("scope"), "j", "cell", "n"),
+        family="sketch_merge",
     )
     merged = (
         per.groupBy("j", "cell")

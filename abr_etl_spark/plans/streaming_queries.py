@@ -101,7 +101,8 @@ def q_stream_quantile_windowed(
     from abr_etl_spark.functions.cache import materialize_result
 
     cum = materialize_result(
-        census.withColumn("cum", F.sum("cnt").over(wcum))
+        census.withColumn("cum", F.sum("cnt").over(wcum)),
+        family="stream_cum",
     )
     totals = cum.groupBy("window_start").agg(
         F.max("cum").cast("long").alias("n_events")

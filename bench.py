@@ -262,6 +262,52 @@ HEADLINERS = [
 ]
 
 
+# Family-scoped cache release schedule (r16 verdict item 1). With ~150
+# headliners in one 8 GB local JVM and nothing ever released, every
+# operator family's materialized frames pile into the unified memory
+# region until execution memory starts evicting the caches the CURRENT
+# key is re-reading between its own reps -- the r16 32-core run measured
+# minhash_perm_sweep 1.04 s -> 11.7 s (all three reps slow) with
+# tfidf_cosine_pairs / ks_drift_by_source / join_cardinality_estimate as
+# collateral, while the SAME code at 8 cores (less execution-memory
+# demand) ran 3-5x faster. Releasing each family right after its LAST
+# consumer key keeps the documented cross-key warm-reuse contract (the
+# median is still the warm number: every consumer still reads the cache)
+# while bounding resident storage to the families still in play.
+#
+# Generated from tools/bench_cache_probe.py (which observes every
+# registration + memo touch while replaying HEADLINERS in order);
+# regenerate whenever HEADLINERS or a family's consumer set changes.
+# Releases happen OUTSIDE the timed region (after the key's rep loop),
+# so the timing methodology is unchanged.
+RELEASE_AFTER: dict[str, list[str]] = {
+    "ann_pareto_frontier": ["ann_sweep", "ivf_scored"],
+    "cms_merge_by_source": ["sketch_merge"],
+    "containment_pairs": ["containment:n3:t0.8"],
+    "dedup_cross_source_matrix": ["pairs:n3:t0.9"],
+    "dedup_embedding": ["emb_pairs"],
+    "dedup_incremental_probe": ["dedup_incr"],
+    "dedup_minhash_lsh": ["mh_pairs:n3:t0.9"],
+    "dedup_simhash_clusters": ["sh_pairs:h3", "simhash_cc"],
+    "doc_boilerplate_simpson": ["doc_df"],
+    "dup_inflation_report": ["canon_cc"],
+    "embedding_whiten_topk": ["lang_conf"],
+    "incremental_agg": ["incr_agg"],
+    "ivfadc_trained_nprobe": ["ivfadc_trained"],
+    "link_prediction_aa": ["linkpred"],
+    "lsh_band_sweep": ["lsh_sweep"],
+    "minhash_perm_sweep": ["minhash_sweep"],
+    "mmr_lambda_sweep": ["mmr"],
+    "quantile_grid_sweep": ["quantile_grid"],
+    "quantile_merge_by_source": ["quantile_merge"],
+    "rule_ancestor_prune": ["rules"],
+    "simhash_recall_by_tau": ["pairs:n3:t0.05"],
+    "source_df_zipf": ["source_census"],
+    "stratified_reservoir_alloc": ["strat_alloc"],
+    "vocab_df_zipf": ["census:n3"],
+}
+
+
 def _bench_weekly_pipeline(spark, sf_dir: str, reps: int) -> list[float]:
     """Time the COMPOSED weekly flow (r11 verdict item 6): ingest ->
     transform -> delta -> merge_snapshot -> compaction, replayed over
@@ -360,6 +406,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(2 * int(cpus)))
 
+    from abr_etl_spark.functions.cache import release_result_caches
     from abr_etl_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
@@ -410,6 +457,14 @@ def main() -> None:
             f"(runs: {[round(s, 3) for s in sorted(samples)]})",
             file=sys.stderr,
         )
+        fams = RELEASE_AFTER.get(name)
+        if fams:
+            release_result_caches(*fams)
+
+    # Catch-all for families the schedule misses (a future key added
+    # without regenerating RELEASE_AFTER) and a clean JVM for the
+    # composed weekly flow below.
+    release_result_caches()
 
     # Composed weekly flow (side-effecting sink chain; not a queries()
     # key, so priced here rather than in HEADLINERS).
