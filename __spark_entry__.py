@@ -20,94 +20,90 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-16 priority head (r15 verdict item 6), ordered by how badly
-# each key needs a fresh CORRECTNESS row under the driver's ~50-row
-# budget:
-# 1. r16-born keys (no driver row exists): the trading-name consumers;
-# 2. plan changed this round (r16): the narrow-before-shuffle Q9/Q5
-#    rewrites (r15 verdict item 1) and the resolve_chains
-#    functional-guard + cache-lifetime fix behind abn_current;
-# 3. stalest rotation -- every key whose newest driver row is STILL r9
-#    (the r15 budget line fell before them), alphabetical;
-# 4. the r10-row keys, alphabetical.
+# Round-17 priority head (r16 verdict items 2 and 4), ordered by how
+# badly each key needs a fresh CORRECTNESS row under the driver's
+# ~50-row budget:
+# 1. keys whose plans were RESTRUCTURED in r16 (MMR fold, shared doc-df
+#    frame, link-prediction edge cache, ann one-stream sweep, rule
+#    census) -- none of them landed in the r16 driver sample because
+#    the old priority head predated the rewrites;
+# 2. keys whose cache LIFECYCLE changed in r17 (family-scoped release,
+#    newly-registered persists) or whose internals r17 touches
+#    (minhash/lsh cold build, stratified one-pass, rule prefix filter);
+# 3. stalest rotation: keys with a row in NEITHER the r15 nor the r16
+#    driver sample, alphabetical.
 # Everything after the budget line keeps module order; all keys pass
 # the local full-registry gate regardless.
-_R16_PRIORITY: list[str] = [
-    # --- 1. r16-born keys (never driver-checked) ---
-    "trading_names_current",
-    "fuzzy_match_trading_names",
-    # --- 2. plan changed in r16 ---
-    "profit_by_nation_year",
-    "q5_local_supplier",
-    "abn_current",
-    "abn_chain_census",
-    # --- 3. stalest rotation: r9-row keys ---
-    "interval_coverage",
-    "kmv_distinct",
-    "min_price_supplier_per_part",
-    "ohlc_bars",
-    "outlier_filter",
-    "percentiles",
-    "pivot_table",
-    "q10_returned_items",
-    "q12_shipping_buckets",
-    "q14_promo_revenue",
-    "q16_supplier_diversity",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q22_idle_customers",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "range_join_buckets",
-    "regr_slope_per_user",
-    "scd2",
-    "sequence_pack",
-    "sessionize",
-    "snapshot_latest",
-    "spark_sql_interface",
-    "stream_attribution_join",
-    "stream_attribution_outer",
-    "top_n_per_group",
-    "trailing_range_window",
-    "window_running",
-    # --- 4. next-stalest (r10 rows), alphabetical ---
-    "ann_bruteforce",
-    "ann_lsh",
-    "ann_lsh_multiprobe",
-    "array_agg_per_group",
-    "asof_next_view",
-    "chunk_documents",
-    "corpus_mix",
-    "cumulative_distinct_users",
-    "datetime_funcs",
-    "dedup_canonical",
-    "dedup_exact",
+_R17_PRIORITY: list[str] = [
+    # --- 1. restructured in r16, no post-restructure driver row ---
+    "mmr_diversify_topk",
+    "mmr_lambda_sweep",
+    "link_prediction_aa",
+    "doc_idf_profile",
+    "doc_boilerplate_simpson",
+    "ann_nprobe_sweep",
+    "ann_pareto_frontier",
+    "association_rules",
+    "rule_conviction",
+    "rule_ancestor_prune",
+    "delta_updated",
+    "delta_added",
+    "delta_removed",
+    "delta_unchanged_count",
+    "delta_classify_lake",
+    # --- 2. r17 cache-lifecycle / internals changes ---
+    "minhash_perm_sweep",
+    "lsh_band_sweep",
+    "stratified_reservoir_alloc",
+    "dedup_simhash_clusters",
+    "incremental_agg",
+    "quantile_merge_by_source",
+    "quantile_grid_sweep",
+    "vocab_df_zipf",
+    "source_df_zipf",
+    "dedup_cross_source_matrix",
+    "simhash_recall_by_tau",
+    "dup_inflation_report",
+    "ivfadc_nprobe_sweep",
+    "ivfadc_trained_nprobe",
+    "hll_merge_by_type",
+    "kmv_merge_by_source",
+    "cms_merge_by_source",
+    "embedding_whiten_topk",
+    "containment_pairs",
+    "dedup_embedding",
     "dedup_incremental_probe",
-    "dedup_lines",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dq_completeness",
-    "dq_uniqueness",
-    "dup_spans",
-    "fingerprint",
-    "ingest_routed",
-    "json_props_agg",
-    "lang_id",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "null_semantics",
-    "q21_waiting_suppliers",
-    "quality_score",
-    "redact_pii",
-    "sample_deterministic",
-    "sample_stratified",
-    "sequence_pack_chunks",
-    "set_ops",
-    "string_funcs",
-    "text_stats",
-    "tfidf_top_terms",
-    "zscore_window",
+    # --- 3. stalest rotation (no r15/r16 driver row), alphabetical ---
+    "ab_test_conversion",
+    "abc_classification",
+    "acf_daily_lag",
+    "ann_ivf",
+    "ann_ivf_kmeans",
+    "ann_ivf_pq",
+    "ann_ivf_pq_kmeans",
+    "ann_pq_adc",
+    "ann_pq_kmeans",
+    "anomaly_mad",
+    "array_funcs",
+    "asof_interpolate",
+    "attribution_linear",
+    "attribution_position",
+    "basket_pairs",
+    "benford_first_digit",
+    "bigram_lm",
+    "bloom_fpr_sweep",
+    "bloom_membership",
+    "bm25_topk",
+    "boilerplate_line_census",
+    "bootstrap_ci_poisson",
+    "bpe_apply_merge",
+    "bpe_encode_corpus",
+    "bpe_learn_merges",
+    "bpe_pair_counts",
+    "bucketed_join_revenue",
+    "chi2_event_dow",
+    "cohort_ltv",
+    "collocations_pmi",
 ]
 
 
@@ -252,8 +248,8 @@ def _registry() -> tuple[dict, dict]:
 
     # Priority ordering: the driver checks queries in registry order under a
     # ~50-row budget, so put the keys that most need a fresh CORRECTNESS row
-    # first (see _R16_PRIORITY), then everything else in module order.
-    ordered = {k: queries[k] for k in _R16_PRIORITY if k in queries}
+    # first (see _R17_PRIORITY), then everything else in module order.
+    ordered = {k: queries[k] for k in _R17_PRIORITY if k in queries}
     ordered.update({k: v for k, v in queries.items() if k not in ordered})
     return ordered, oracles
 

@@ -271,32 +271,45 @@ def run_weekly(spark: SparkSession, cfg: WeeklyConfig) -> WeeklyConfig:
         new_df, old_df = delta.snapshot_pair(
             table, cfg.key_col, newest=newest, previous=previous
         )
-        updated = delta.delta_updated(new_df, old_df, cfg.key_col)
-        added = delta.delta_added(new_df, old_df, cfg.key_col)
+        # ONE fused full-outer classify join replaces the three separate
+        # updated/added/removed joins over the same snapshot pair (r16
+        # verdict item 8; opt guide 2.4 -- remove shuffles outright).
+        # Persisted because merge_snapshot evaluates the upsert frame
+        # twice (bucket stats collect, then the staging write) and the
+        # removed keys once more inside the survivor anti-join; with the
+        # fused frame cached, the week's whole CDC pays the snapshot
+        # join ONCE and every consumer is a cache filter. Bounded: the
+        # frame is the snapshot pair already being diffed, at the
+        # default MEMORY_AND_DISK level (spills, never OOMs); released
+        # in the finally.
+        wide = delta.delta_wide_classify(new_df, old_df, cfg.key_col)
+        new_side = F.col("__h_new").isNotNull()
+        differs = F.col("__h_old").isNull() | (
+            F.col("__h_new") != F.col("__h_old")
+        )
+        updated = wide.where(
+            new_side & F.col("__h_old").isNotNull() & differs
+        ).select(*new_df.columns)
+        added = wide.where(new_side & F.col("__h_old").isNull()).select(
+            *new_df.columns
+        )
         cfg.results[ds].update(
             {"newest": newest, "previous": previous}
         )
         if cfg.merge_dir:
-            ups = updated.unionByName(added).drop("importdate")
-            rem = delta.delta_removed(new_df, old_df, cfg.key_col).select(
-                cfg.key_col
+            wide = wide.persist()
+            ups = wide.where(new_side & differs).select(
+                *[c for c in new_df.columns if c != "importdate"]
             )
-            # merge_snapshot evaluates the upsert frame twice (bucket
-            # stats collect, then the staging write) and the removed
-            # keys once more inside the survivor anti-join; persisting
-            # the two delta frames turns those re-evaluations of the
-            # ingest+join lineage into cache reads (r16, opt guide 5 --
-            # reuse is real and bounded: deltas are the week's changed
-            # rows, released right after the merge).
-            ups = ups.persist()
-            rem = rem.persist()
+            rem = wide.where(F.col("__h_new").isNull()).select(
+                F.col("__k_old").alias(cfg.key_col)
+            )
             try:
                 cfg.results[ds]["merge"] = _merge_and_compact(
                     spark, cfg, ds, ups, rem, newest
                 )
             finally:
-                ups.unpersist()
-                rem.unpersist()
+                wide.unpersist()
         if cfg.export_dir:
             for action, frame in (("updated", updated), ("added", added)):
                 out_dir = os.path.join(

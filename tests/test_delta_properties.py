@@ -66,3 +66,40 @@ def test_added_removed_are_symmetric(spark, new, old):
     added = {r["pid"] for r in delta.delta_added(n, o, "pid").collect()}
     removed_rev = {r["pid"] for r in delta.delta_removed(o, n, "pid").collect()}
     assert added == removed_rev
+
+
+@_set
+@given(new=SNAPSHOT, old=SNAPSHOT)
+def test_wide_classify_matches_separate_deltas(spark, new, old):
+    """The fused full-outer classify frame (r17: the weekly pipeline's
+    one-join CDC) derives row-identical updated / added / removed /
+    upsert sets to the three separate join formulations."""
+    n, o = _df(spark, new, "d2"), _df(spark, old, "d1")
+    wide = delta.delta_wide_classify(n, o, "pid")
+    new_side = F.col("__h_new").isNotNull()
+    differs = F.col("__h_old").isNull() | (
+        F.col("__h_new") != F.col("__h_old")
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(
+        wide.where(new_side & F.col("__h_old").isNotNull() & differs)
+        .select(*n.columns)
+    ) == rows(delta.delta_updated(n, o, "pid"))
+    assert rows(
+        wide.where(new_side & F.col("__h_old").isNull()).select(*n.columns)
+    ) == rows(delta.delta_added(n, o, "pid"))
+    assert rows(
+        wide.where(F.col("__h_new").isNull()).select(
+            F.col("__k_old").alias("pid")
+        )
+    ) == rows(delta.delta_removed(n, o, "pid").select("pid"))
+    assert rows(
+        wide.where(new_side & differs).select("pid", "v")
+    ) == rows(
+        delta.delta_updated(n, o, "pid")
+        .unionByName(delta.delta_added(n, o, "pid"))
+        .select("pid", "v")
+    )
