@@ -102,3 +102,138 @@ def rule_ancestor_old(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ant_a", "ant_b", "cons")
     )
+
+
+# --- stratified_reservoir_alloc, r16 formulation (separate tot/base_sum
+# --- aggregates + double alloc broadcast) ---
+from pyspark.sql import Window
+from pyspark.sql.functions import broadcast
+
+from abr_etl_spark.plans.analytics14 import (
+    _BW, _P, SRA_K, WRS_A, WRS_B, WRS_TIER_HI, WRS_TIER_LO, _wrs_key,
+)
+from abr_etl_spark.sources.lake import load_table
+
+def sra_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted reservoir: ONE global budget of {SRA_K}
+    documents apportioned across (lang, source) strata by
+    largest-remainder (Hamilton) allocation on each stratum's total
+    tier weight, then drawn per stratum WITHOUT replacement by the
+    Efraimidis-Spirakis race -- the auditable stratified subsample a
+    corpus-mixing pipeline draws when one global reservoir would let a
+    heavy stratum starve the tail. Output (lang, source, quota, rn,
+    doc_id, w); a stratum smaller than its quota yields all its rows.
+
+    Determinism: quotas are pure integer apportionment -- base =
+    (K w_i) DIV W, remainders ranked (rem DESC, lang, source) fill the
+    deficit (ties pinned by name; quotas sum to exactly {SRA_K} when
+    the corpus is non-empty); the draw is weighted_reservoir_sample's
+    integer 4th-power race (u^(1/w) compared exactly through
+    DECIMAL(38,0)/HUGEINT -- no libm pow/ln on either engine; the
+    batch top-k by that key is the SAME sample the A-ExpJ stream
+    variant selects, the jump being an evaluation-count device, not a
+    different order).
+
+    Scale shape: the corpus is never globally sorted -- the strata
+    census and allocation run on |lang x source| rows (the ONE
+    single-partition window, strata-census-bounded -- whitelisted);
+    race keys histogram into bucket cells per stratum (map-side
+    combined), a stratum-partitioned prefix picks each cutoff cell at
+    its OWN quota, and only ~quota + one cell's occupancy reach the
+    top-k window. 100 TB cost = two key-column scans + a
+    reservoir-sized shuffle (the weighted_reservoir_sample trade).
+
+    Reference parity: SURVEY.md §2.C (training-data sampling); the
+    stratified A-ExpJ candidate from the r13 §7.19 pre-positioning."""
+    from abr_etl_spark.functions.cache import materialize_result
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "doc_id",
+        F.expr(
+            f"pmod({WRS_A} * pmod(doc_id, {_P}) + {WRS_B}, {_P}) + 1"
+        ).alias("h"),
+        F.expr(
+            f"CASE WHEN n_chars >= {WRS_TIER_HI} THEN 4"
+            f" WHEN n_chars >= {WRS_TIER_LO} THEN 2 ELSE 1 END"
+        ).alias("w"),
+    )
+    keyed = d.withColumn(
+        "key", F.expr(_wrs_key("h", "w", duck=False))
+    ).withColumn("b", F.expr(f"CAST(key DIV {_BW} AS INT)"))
+    # ONE corpus pass builds the combined (stratum, bucket) census
+    # carrying BOTH the row count (the cutoff prefix) and the weight
+    # mass (the allocation input); materialized, because every
+    # downstream frame -- strata masses, deficit, quotas, cutoffs --
+    # is an aggregate of THIS <= |strata| x 4096-row cache, and
+    # without the persist each consumer re-scanned the corpus (the
+    # r14 audit measured 18 file scans and ~4x WRS's warm wall).
+    cen = materialize_result(
+        keyed.groupBy("lang", "source", "b").agg(
+            F.count("*").alias("cnt"),
+            F.sum("w").cast("long").alias("wm"),
+        ),
+        family="strat_alloc",
+    )
+    strata = cen.groupBy("lang", "source").agg(
+        F.sum("wm").cast("long").alias("w_mass")
+    )
+    tot = strata.agg(F.sum("w_mass").cast("long").alias("wtot"))
+    alloc0 = (
+        strata.crossJoin(broadcast(tot))
+        .withColumn("base", F.expr(f"({SRA_K} * w_mass) DIV wtot"))
+        .withColumn("rem", F.expr(f"pmod({SRA_K} * w_mass, wtot)"))
+    )
+    base_sum = alloc0.agg(
+        F.sum("base").cast("long").alias("base_sum")
+    )
+    # single-partition window is BOUNDED: input is the strata census
+    # (|lang x source| rows)
+    wq = Window.orderBy(
+        F.col("rem").desc(), F.col("lang").asc(), F.col("source").asc()
+    )
+    alloc = (
+        alloc0.crossJoin(broadcast(base_sum))
+        .withColumn("rnk", F.row_number().over(wq))
+        .withColumn(
+            "quota",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("rnk") <= F.lit(SRA_K) - F.col("base_sum"), 1
+                ).otherwise(0)
+            ).cast("long"),
+        )
+        .select("lang", "source", "quota")
+    )
+    wc = Window.partitionBy("lang", "source").orderBy(F.col("b").desc())
+    cutoff = (
+        cen.withColumn("run", F.sum("cnt").over(wc))
+        .join(broadcast(alloc), ["lang", "source"])
+        .where(F.col("run") - F.col("cnt") < F.col("quota"))
+        .groupBy("lang", "source")
+        .agg(F.min("b").alias("cut_b"))
+    )
+    # SECOND corpus pass: only rows at or above their stratum's cutoff
+    # cell (~quota + one cell's occupancy) reach the top-k window.
+    survivors = keyed.join(
+        broadcast(cutoff.join(broadcast(alloc), ["lang", "source"])),
+        ["lang", "source"],
+    ).where(F.col("b") >= F.col("cut_b"))
+    wk = Window.partitionBy("lang", "source").orderBy(
+        F.col("key").desc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= F.col("quota"))
+        .select(
+            "lang",
+            "source",
+            "quota",
+            F.col("rn").cast("long").alias("rn"),
+            "doc_id",
+            F.col("w").cast("long").alias("w"),
+        )
+        .orderBy("lang", "source", "rn")
+    )
