@@ -1603,52 +1603,48 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdf = census.crossJoin(broadcast(tot)).select(
         "s", F.expr("__n DIV df").alias("w")
     )
-    # survivor-bounded frames, all read from the cached pair arrays
-    pair_docs = (
-        wide.select(F.col("doc_a").alias("doc_id"), F.col("sh_a").alias("sh"))
-        .unionByName(
-            wide.select(
-                F.col("doc_b").alias("doc_id"), F.col("sh_b").alias("sh")
-            )
-        )
-        .dropDuplicates(["doc_id"])
-    )
-    dex = pair_docs.select("doc_id", F.explode("sh").alias("s"))
-    per_doc = (
-        wdf.join(_hint(dex), "s").groupBy("doc_id").agg(F.sum("w").alias("wsum"))
-    )
-    com = wide.select(
+    # ONE survivor-bounded explode serves numerator AND denominator
+    # (r17; opt guide 1.2 stage shape): the weighted union mass
+    # wa + wb - wc IS sum_{union} w (the intersection is counted twice
+    # in wa + wb and removed once), so exploding array_union with an
+    # is-common flag replaces the old per-doc weight-sum chain (a
+    # second explode + dropDuplicates + two extra joins) -- integer
+    # sums and output identical, about half the tiny-stage jobs on a
+    # 249-survivor frame.
+    uni = wide.select(
         "doc_a",
         "doc_b",
-        F.explode(F.array_intersect("sh_a", "sh_b")).alias("s"),
+        F.explode(F.array_union("sh_a", "sh_b")).alias("s"),
+        F.col("sh_a").alias("__sh_a"),
+        F.col("sh_b").alias("__sh_b"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "s",
+        (
+            F.expr("array_contains(__sh_a, s)")
+            & F.expr("array_contains(__sh_b, s)")
+        ).alias("__both"),
     )
-    common_w = (
-        wdf.join(_hint(com), "s")
+    pair_w = (
+        wdf.join(_hint(uni), "s")
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum("w").alias("wc"))
+        .agg(
+            F.sum(F.when(F.col("__both"), F.col("w")).otherwise(0)).alias(
+                "wc"
+            ),
+            F.sum("w").alias("wu"),
+        )
     )
     return (
-        pairs.join(
-            per_doc.select(
-                F.col("doc_id").alias("doc_a"), F.col("wsum").alias("wa")
-            ),
-            "doc_a",
-        )
-        .join(
-            per_doc.select(
-                F.col("doc_id").alias("doc_b"), F.col("wsum").alias("wb")
-            ),
-            "doc_b",
-        )
-        .join(common_w, ["doc_a", "doc_b"])
+        pairs.join(pair_w, ["doc_a", "doc_b"])
         .select(
             "doc_a",
             "doc_b",
             "jaccard",
-            F.expr(
-                "(2 * 10000 * wc + (wa + wb - wc))"
-                " DIV (2 * (wa + wb - wc))"
-            ).alias("wjaccard_e4"),
+            F.expr("(2 * 10000 * wc + wu) DIV (2 * wu)").alias(
+                "wjaccard_e4"
+            ),
         )
         .orderBy("doc_a", "doc_b")
     )

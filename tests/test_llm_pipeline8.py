@@ -460,12 +460,12 @@ def test_weighted_jaccard_broadcast_guard(spark, monkeypatch):
 
     monkeypatch.setattr(l8, "WJ_PAIR_BROADCAST_CAP", 0)
     unhinted = l8.dedup_weighted_jaccard(spark, SF_ORACLE)
-    # survivors > 0 > cap: exactly the survivor-explode hints vanish
-    # -- pair-doc shingles (printed twice: per_doc's subtree appears
-    # under both the doc_a and doc_b assembly joins) plus the pair
-    # intersections (the bounded 1-row total-count hint remains; that
-    # frame is 1-row by construction, not survivor-scaled).
-    assert _n_hints(unhinted) == baseline - 3
+    # survivors > 0 > cap: exactly the ONE survivor-explode hint
+    # vanishes -- the fused union explode (r17: numerator and
+    # denominator ride one frame; the bounded 1-row total-count hint
+    # remains, that frame is 1-row by construction, not
+    # survivor-scaled).
+    assert _n_hints(unhinted) == baseline - 1
     assert unhinted.collect() == rows_hinted
 
 

@@ -237,3 +237,106 @@ def sra_old(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source", "rn")
     )
+
+
+
+# --- dedup_weighted_jaccard, r16 formulation (per-doc weight sums) ---
+from abr_etl_spark.plans.llm_pipeline8 import WJ_PAIR_BROADCAST_CAP
+from abr_etl_spark.functions import texthash as th
+
+def wj_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idf-WEIGHTED Jaccard rescoring of the near-dup pair set: every
+    surviving tau-pair gets, beside its plain jaccard, the weighted
+    score sum_{common} w(s) / sum_{union} w(s) with the rational
+    idf surrogate w(s) = N DIV df(s) (rare shingles weigh ~N, corpus
+    boilerplate weighs ~1; no libm). This is the ranking curation
+    teams review dup clusters by -- template-heavy pairs (high plain
+    jaccard, low weighted) sink below genuinely-copied prose.
+    Output (doc_a, doc_b, jaccard, wjaccard_e4), half-up 1e-4 units.
+
+    Scale shape: pairs come from the banded/df-capped candidate
+    machinery (shared pair cache with dedup_ngram_jaccard), read WITH
+    their verify-step shingle arrays (keep_shingles -- same cache
+    entry, no re-shingle); the survivor count rides along from the
+    cache's materializing count (zero extra jobs). The idf weights
+    come from the candidate machinery's OWN df census (with_census:
+    the cap window computes every shingle's df anyway, exposed as a
+    materialized vocab-grain table) -- so this key adds ZERO corpus
+    passes beyond candidate generation itself, and every frame it
+    builds (pair-doc shingles, intersections, weight sums) is
+    survivor- or vocab-bounded. The survivor-derived explode frames
+    carry an explicit broadcast() hint ONLY while the survivor count
+    is <= WJ_PAIR_BROADCAST_CAP; past the cap the hint is omitted and
+    AQE sizes the join, so a low-tau template-heavy corpus cannot OOM
+    the driver. Weight sums are BIGINT; at extreme corpora (sum w ~
+    N * shingles/doc > 2^49) apply the documented DECIMAL(38,0)
+    widening before the 2*10000 fold."""
+    from abr_etl_spark.operators import dedup
+    from abr_etl_spark.plans.llm_pipeline import JACCARD_TAU
+
+    d = load_table(spark, sf_dir, "documents")
+    wide, census = dedup.ngram_jaccard_pairs(
+        d, threshold=JACCARD_TAU, keep_shingles=True, with_census=True
+    )
+    n_survivors = getattr(wide, "_abr_result_count", None)
+    if n_survivors is None:  # non-materialized pair source
+        n_survivors = wide.count()
+    pairs = wide.select("doc_a", "doc_b", "jaccard")
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return broadcast(df) if n_survivors <= WJ_PAIR_BROADCAST_CAP else df
+
+    # integer idf weights off the cached vocab-grain census
+    tot = d.agg(F.count("*").alias("__n"))
+    wdf = census.crossJoin(broadcast(tot)).select(
+        "s", F.expr("__n DIV df").alias("w")
+    )
+    # survivor-bounded frames, all read from the cached pair arrays
+    pair_docs = (
+        wide.select(F.col("doc_a").alias("doc_id"), F.col("sh_a").alias("sh"))
+        .unionByName(
+            wide.select(
+                F.col("doc_b").alias("doc_id"), F.col("sh_b").alias("sh")
+            )
+        )
+        .dropDuplicates(["doc_id"])
+    )
+    dex = pair_docs.select("doc_id", F.explode("sh").alias("s"))
+    per_doc = (
+        wdf.join(_hint(dex), "s").groupBy("doc_id").agg(F.sum("w").alias("wsum"))
+    )
+    com = wide.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array_intersect("sh_a", "sh_b")).alias("s"),
+    )
+    common_w = (
+        wdf.join(_hint(com), "s")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("wc"))
+    )
+    return (
+        pairs.join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_a"), F.col("wsum").alias("wa")
+            ),
+            "doc_a",
+        )
+        .join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_b"), F.col("wsum").alias("wb")
+            ),
+            "doc_b",
+        )
+        .join(common_w, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.expr(
+                "(2 * 10000 * wc + (wa + wb - wc))"
+                " DIV (2 * (wa + wb - wc))"
+            ).alias("wjaccard_e4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

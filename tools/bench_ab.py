@@ -9,17 +9,19 @@ real when (nearly) every pair agrees on the sign, regardless of the
 absolute level the box happens to be at.
 
 Usage:
-    python tools/bench_ab.py A B [pairs]
+    python tools/bench_ab.py A B [pairs] [warm]
 where each arm is either
     key:<queries() key>           e.g. key:minhash_perm_sweep
     <module.path>:<fn>            e.g. tools.ab_variants:minhash_old
 (fn signature: (spark, sf_dir) -> DataFrame; timed to .count()).
 
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (bench contract defaults).
-Result caches are released between PAIRS (both arms rebuild equally);
-within a pair, A runs before B, so pass the OLD implementation as A --
-any shared-cache warmth then favours B's baseline... i.e. biases AGAINST
-the new code, which keeps a reported win conservative.
+Default (cold) mode releases every result cache between PAIRS, so each
+arm pays its own builds -- note A runs first inside a pair, so when the
+arms SHARE a cache family, A pays the build and B reads warm, biasing
+FOR B; use `warm` mode for such keys. Warm mode runs both arms once
+untimed (caches stay resident) and never releases: both arms read the
+same warm caches, which is exactly the bench-median contrast.
 """
 
 from __future__ import annotations
@@ -49,6 +51,7 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     a_spec, b_spec = sys.argv[1], sys.argv[2]
     pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    warm = len(sys.argv) > 4 and sys.argv[4] == "warm"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(2 * int(cpus)))
@@ -61,7 +64,10 @@ def main() -> None:
 
     # JVM/codegen warmup outside the measurement
     fa(spark, sf_dir).count()
-    release_result_caches()
+    if warm:
+        fb(spark, sf_dir).count()
+    else:
+        release_result_caches()
 
     rows = []
     for i in range(pairs):
@@ -73,7 +79,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fb(spark, sf_dir).count()
         tb = time.perf_counter() - t0
-        release_result_caches()
+        if not warm:
+            release_result_caches()
         rows.append((round(ta, 3), round(tb, 3)))
         print(f"  pair {i}: A={ta:.3f}s B={tb:.3f}s  B/A={tb / ta:.3f}",
               file=sys.stderr)
@@ -84,6 +91,7 @@ def main() -> None:
         "b": b_spec,
         "sf_dir": sf_dir,
         "cpus": int(cpus),
+        "mode": "warm" if warm else "cold",
         "pairs": rows,
         "a_median": round(statistics.median(r[0] for r in rows), 3),
         "b_median": round(statistics.median(r[1] for r in rows), 3),
