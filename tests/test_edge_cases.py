@@ -538,10 +538,10 @@ def test_all_registry_keys_survive_empty_tables(spark, tmp_path):
         spark.read.parquet(f"{src}/{t}.parquet").limit(0).coalesce(
             1
         ).write.mode("overwrite").parquet(str(tmp_path / f"{t}.parquet"))
-    failures = []
-    for name, fn in entry.queries().items():
-        try:
-            fn(spark, str(tmp_path)).collect()
-        except Exception as exc:  # noqa: BLE001 - collecting a report
-            failures.append((name, type(exc).__name__))
+    from tests.conftest import run_registry_parallel
+
+    failures = run_registry_parallel(
+        entry.queries().items(),
+        lambda name, fn: fn(spark, str(tmp_path)).collect(),
+    )
     assert not failures, failures

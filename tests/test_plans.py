@@ -315,9 +315,20 @@ def test_unpartitioned_windows_are_whitelisted_and_bounded(spark):
         walk(df._jdf.queryExecution().analyzed())
         return bool(found)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    def probe(item):
+        key, fn = item
+        return key, has_unpartitioned_window(
+            fn(spark, "/root/testdata/sf0.001")
+        )
+
+    # plan analysis is driver-side and per-query; a small pool overlaps
+    # the ~300 independent analyze passes (opt guide 2.6)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        hits = dict(pool.map(probe, list(entry.queries().items())))
     offenders, stale = [], []
-    for key, fn in entry.queries().items():
-        hit = has_unpartitioned_window(fn(spark, "/root/testdata/sf0.001"))
+    for key, hit in hits.items():
         if hit and key not in BOUNDED_GLOBAL_WINDOW_KEYS:
             offenders.append(key)
         if not hit and key in BOUNDED_GLOBAL_WINDOW_KEYS:

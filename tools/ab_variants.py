@@ -340,3 +340,177 @@ def wj_old(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- weekly CDC formulations (run_weekly's _weekly_cdc hook) ---
+
+
+def _weekly_cdc_threejoin(new_df, old_df, key):
+    """r16 run_weekly CDC: separate updated/added/removed joins."""
+    from abr_etl_spark.operators import delta
+
+    updated = delta.delta_updated(new_df, old_df, key)
+    added = delta.delta_added(new_df, old_df, key)
+    ups = updated.unionByName(added).drop("importdate")
+    rem = delta.delta_removed(new_df, old_df, key).select(key)
+    return updated, added, ups, rem
+
+
+def _run_weekly_once(spark, sf_dir, cdc=None):
+    import bench
+    from abr_etl_spark import pipeline
+
+    orig = pipeline._weekly_cdc
+    if cdc is not None:
+        pipeline._weekly_cdc = cdc
+    try:
+        bench._bench_weekly_pipeline(spark, sf_dir, 1)
+    finally:
+        pipeline._weekly_cdc = orig
+    return spark.range(1)
+
+
+def weekly_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_weekly_once(spark, sf_dir, _weekly_cdc_threejoin)
+
+
+def weekly_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_weekly_once(spark, sf_dir)
+
+
+
+# --- minhash_perm_sweep, r16 formulation (array-shipping verify) ---
+from pyspark.sql import Window as _W10
+from abr_etl_spark.plans.llm_pipeline10 import (
+    MH_PERM_GRID, MH_SWEEP_DF_CAP, MH_SWEEP_TAU,
+)
+from abr_etl_spark.functions.cache import register_cache
+
+def minhash_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The permutation-count axis of MinHash sizing (lsh_band_sweep
+    fixes K=64 and varies the banding; this varies K): for each k in
+    {MH_PERM_GRID}, the mean and max absolute error of the k-perm
+    estimate vs exact Jaccard over the tau>=0.5 pair population --
+    (k, n_pairs, mean_err_e4, max_err_e4). Error shrinks ~1/sqrt(k);
+    THE table an operator reads before paying 128 perms of signature
+    width at 100 TB when 32 hold the tau band.
+
+    Cross-engine contract: the dedup production path hashes shingles
+    with engine-native xxhash64 (its oracle checks verified OUTPUT
+    pairs, hash-free), but this sweep's OUTPUT is signature-level, so
+    everything here runs on the oracle-replayable polyhash chain
+    (token polyhash -> gram fold -> LCG permutations, texthash.py both
+    dialects); ONE 128-perm signature pass, sliced per grid row.
+
+    Scale shape: pair candidates come from a df-capped gram equi-join
+    (fan-out <= cap^2 per gram, never all-pairs); gram sets ride ONE
+    map-only pass; the 128-perm signature is computed ONLY for docs in
+    a tau-SURVIVING pair (exact-jaccard filter first, then a semi-join
+    -- survivor-scaled, not corpus-scaled); the per-k expansion
+    multiplies the (tiny) verified pair frame by 4, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.expr(th.sp_tokens("text")).alias("__tok")
+    ).select(
+        "doc_id",
+        F.expr(
+            th.sp_gram_hashes_from_token_hashes(
+                th.sp_token_hashes("__tok"), 3
+            )
+        ).alias("grams"),
+    )
+    # Registered (family-owned) persists: these are CORPUS-scale frames
+    # (every doc's gram array) -- the r16 32-core bench showed unowned
+    # persists like these accumulating until execution memory thrashed
+    # the very caches in use (minhash_perm_sweep 1.0 -> 11.7 s).
+    base = register_cache(base, family="minhash_sweep")
+    ex = base.select("doc_id", F.explode("grams").alias("g"))
+    w_df = _W10.partitionBy("g")
+    kept = ex.withColumn("df", F.count("*").over(w_df)).where(
+        F.col("df") <= MH_SWEEP_DF_CAP
+    )
+    cand = (
+        kept.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(kept.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    gside = base.select(
+        "doc_id", "grams", F.size("grams").alias("n_g")
+    )
+    pairs_exact = (
+        cand.join(
+            gside.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("grams").alias("g_a"),
+                F.col("n_g").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            gside.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("grams").alias("g_b"),
+                F.col("n_g").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn(
+            "exact_e4",
+            F.expr(
+                "CAST((2 * 10000 * common + (n_a + n_b - common))"
+                " DIV (2 * (n_a + n_b - common)) AS BIGINT)"
+            ),
+        )
+        .where(F.col("exact_e4") >= int(MH_SWEEP_TAU * 10000))
+        .select("doc_a", "doc_b", "exact_e4")
+    )
+    pairs_exact = register_cache(pairs_exact, family="minhash_sweep")
+    pair_ids = (
+        pairs_exact.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs_exact.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    side = base.join(pair_ids, "doc_id", "left_semi").select(
+        "doc_id", F.expr(th.sp_minhash("grams", 128)).alias("sig")
+    )
+    pairs = pairs_exact.join(
+        side.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("s_a")),
+        "doc_a",
+    ).join(
+        side.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("s_b")),
+        "doc_b",
+    )
+    kg = spark.createDataFrame([(k,) for k in MH_PERM_GRID], "k int")
+    est = (
+        pairs.crossJoin(broadcast(kg))
+        .withColumn(
+            "m",
+            F.expr(
+                "aggregate(transform(sequence(1, k), i -> "
+                "IF(element_at(s_a, i) = element_at(s_b, i), 1, 0)), "
+                "0, (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn(
+            "err",
+            F.expr(
+                "abs(CAST((2 * 10000 * m + k) DIV (2 * k) AS BIGINT)"
+                " - exact_e4)"
+            ),
+        )
+    )
+    return (
+        est.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr(
+                "CAST((2 * sum(err) + count(*)) DIV (2 * count(*))"
+                " AS BIGINT)"
+            ).alias("mean_err_e4"),
+            F.max("err").cast("long").alias("max_err_e4"),
+        )
+        .orderBy("k")
+    )
