@@ -600,11 +600,23 @@ def _merge_snapshot_locked(
         # bucket -- list them instead of re-running the upsert lineage
         # through a distinct().collect() (r16: one less evaluation of
         # the ingest+delta plan per bootstrap)
-        buckets = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(path)
-            if d.startswith(f"{_BUCKET_COL}=")
-        ]
+        buckets = []
+        for d in os.listdir(path):
+            if not d.startswith(f"{_BUCKET_COL}="):
+                continue
+            raw = d.split("=", 1)[1]
+            if not raw.isdigit():
+                # name the contract violation instead of a bare int()
+                # traceback (r16 ADVICE): _bucket_expr writes integer
+                # bucket ids only, so any other partition dir (e.g.
+                # __HIVE_DEFAULT_PARTITION__ from a NULL slipping past
+                # the pre-write check) means the table is not ours
+                raise ValueError(
+                    f"merge_snapshot: non-integer bucket partition "
+                    f"{d!r} under {path} -- bucket dirs must be "
+                    f"{_BUCKET_COL}=<int>"
+                )
+            buckets.append(int(raw))
         for b in buckets:
             _write_mark(path, b, epoch)
         return {"written": len(buckets), "skipped": 0, "cleared": 0}

@@ -207,17 +207,35 @@ def _merge_and_compact(
         # idle (opt guide 2.6 -- overlap independent jobs). Each job is
         # still the same crash-safe per-bucket rewrite.
         if len(todo) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+            from concurrent.futures import ThreadPoolExecutor, as_completed
 
+            # collect per-bucket outcomes so a failed weekly run states
+            # exactly which buckets were rewritten before re-raising
+            # (r16 ADVICE: pool.map surfaced only the first exception
+            # after in-flight work drained, with partial progress
+            # nondeterministic and unreported)
+            errors: list[tuple[str, Exception]] = []
+            done_ok: list[str] = []
             with ThreadPoolExecutor(max_workers=min(4, len(todo))) as pool:
-                list(
-                    pool.map(
-                        lambda bdir: maintenance.compact_partition(
-                            spark, bdir
-                        ),
-                        todo,
-                    )
-                )
+                futs = {
+                    pool.submit(
+                        maintenance.compact_partition, spark, bdir
+                    ): bdir
+                    for bdir in todo
+                }
+                for fut in as_completed(futs):
+                    bdir = futs[fut]
+                    try:
+                        fut.result()
+                        done_ok.append(bdir)
+                    except Exception as exc:  # noqa: BLE001 - reported
+                        errors.append((bdir, exc))
+            if errors:
+                raise RuntimeError(
+                    f"compaction failed for {len(errors)} bucket(s) "
+                    f"({[b for b, _ in errors]}); completed OK first: "
+                    f"{done_ok}"
+                ) from errors[0][1]
         elif todo:
             maintenance.compact_partition(spark, todo[0])
         rep = {**rep, "compacted": len(todo)}

@@ -992,7 +992,16 @@ def _basket_census(
     distinct shuffle run ONCE per session instead of once per key and
     per bench rep (r16 -- the docstring claim that CacheManager would
     share these was aspirational before: nothing ever persisted them;
-    opt guide 5)."""
+    opt guide 5).
+
+    Footprint (r16 ADVICE): pc_all is the UNFILTERED directed census,
+    dominated by singleton pairs (n_pair = 1) that association_rules /
+    rule_conviction immediately filter away -- only
+    rule_ancestor_prune's ancestor counts need the unfiltered frame.
+    The default MEMORY_AND_DISK level spills rather than OOMs, and the
+    'rules' family is released right after its last consumer
+    (bench.RELEASE_AFTER / release_result_caches), so the oversized
+    census is resident only while the three rule keys run."""
     from abr_etl_spark.functions.cache import materialize_result
 
     l = materialize_result(

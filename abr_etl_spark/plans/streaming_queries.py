@@ -9,6 +9,7 @@ so the oracle checks the shared semantics.
 from __future__ import annotations
 
 import itertools
+import threading
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -153,6 +154,10 @@ _STAGE_FILES = 4
 #: query works whatever the caller session's cwd/warehouse config is.
 _DERIVED_ROOT = Path(__file__).resolve().parents[2] / "spark-warehouse"
 _rc_names = itertools.count()
+#: serializes first-time staging: concurrent callers (a thread-pooled
+#: benchmark or test runner) must not race the check-marker-then-
+#: overwrite sequence on one staging directory.
+_STAGE_LOCK = threading.Lock()
 
 
 def _stage_root() -> Path:
@@ -199,7 +204,9 @@ def _stage_event_drops(spark: SparkSession, sf_dir: str) -> str:
     out = _stage_root() / f"stream_stage_{tag}"
     marker = out / "_STAGED_FP"
     fp = _events_fingerprint(sf_dir)
-    if not (marker.exists() and marker.read_text() == fp):
+    with _STAGE_LOCK:
+        if marker.exists() and marker.read_text() == fp:
+            return str(out)
         # raw read, NOT load_table: the staged files must keep the original
         # wire type for ts so read_event_stream normalizes exactly like the
         # batch reader does on the original file.
@@ -210,7 +217,7 @@ def _stage_event_drops(spark: SparkSession, sf_dir: str) -> str:
             .parquet(str(out))
         )
         marker.write_text(fp)
-    return str(out)
+        return str(out)
 
 
 def q_stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,7 +260,9 @@ def _stage_event_drops_with_dups(spark: SparkSession, sf_dir: str) -> str:
     out = _stage_root() / f"stream_stage_dup_{tag}"
     marker = out / "_DUPS_STAGED"
     fp = _events_fingerprint(sf_dir)
-    if not (marker.exists() and marker.read_text() == fp):
+    with _STAGE_LOCK:
+        if marker.exists() and marker.read_text() == fp:
+            return str(out)
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         (
             ev.repartition(_STAGE_FILES, "event_id")
@@ -267,7 +276,7 @@ def _stage_event_drops_with_dups(spark: SparkSession, sf_dir: str) -> str:
             .parquet(str(out))
         )
         marker.write_text(fp)
-    return str(out)
+        return str(out)
 
 
 def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,7 +67,11 @@ def get_spark(
         # empty arrays at runtime regardless, so excluding the rule is
         # result-neutral; arrays in this engine are computed per row, so
         # the inferred filter never prunes anything an upstream filter
-        # didn't already.
+        # didn't already. CAVEAT (r16 ADVICE): the argument covers
+        # COMPUTED arrays only -- if a future plan explodes a STORED
+        # array column, the lost inferred isnotnull/size filter can no
+        # longer prune that scan or its join inputs; re-evaluate the
+        # exclusion for such a key.
         .config(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer."

@@ -4,6 +4,7 @@ agency-delta.go:127-160 columns)."""
 
 from __future__ import annotations
 
+import pytest
 import datetime
 
 from pyspark.sql import functions as F
@@ -55,6 +56,7 @@ def _fill(dataset: str, pid: int) -> str:
     return "|".join(vals[c] for c in ab.DATASET_COLUMNS[dataset])
 
 
+@pytest.mark.slow
 def test_ingest_all_eight_datasets_by_name(spark, tmp_path):
     """One heterogeneous drop folder; every dataset ingests with ITS OWN
     columns and types (schema never leaks from another dataset's file)."""

@@ -98,6 +98,7 @@ def no_change_lake(spark, tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_all_registry_keys_survive_all_null_payloads(spark, null_lake):
     """EVERY queries() key must run on the all-NULL-payload lake --
     catches NULL-unsafe arithmetic/indexing the empty net (zero rows)
@@ -129,6 +130,7 @@ def test_delta_family_on_all_null_payloads(spark, null_lake):
     assert counts.get("unchanged", 0) > 0
 
 
+@pytest.mark.slow
 def test_all_registry_keys_survive_identical_snapshots(
     spark, no_change_lake
 ):

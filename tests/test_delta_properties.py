@@ -1,6 +1,7 @@
 """Property-based tests of the CDC delta engine (hypothesis): the
 algebraic laws that must hold for ANY pair of snapshots."""
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -25,6 +26,7 @@ def _df(spark, snap: dict, date: str):
     ).where(F.col("pid") != "__none__")
 
 
+@pytest.mark.slow
 @_set
 @given(new=SNAPSHOT, old=SNAPSHOT)
 def test_classify_partitions_key_space(spark, new, old):
@@ -47,6 +49,7 @@ def test_classify_partitions_key_space(spark, new, old):
         assert got[str(k)] == want, (k, new.get(k), old.get(k))
 
 
+@pytest.mark.slow
 @_set
 @given(snap=SNAPSHOT)
 def test_self_delta_is_all_unchanged(spark, snap):
@@ -59,6 +62,7 @@ def test_self_delta_is_all_unchanged(spark, snap):
     assert delta.delta_updated(n, o, "pid").count() == 0
 
 
+@pytest.mark.slow
 @_set
 @given(new=SNAPSHOT, old=SNAPSHOT)
 def test_added_removed_are_symmetric(spark, new, old):
@@ -68,6 +72,7 @@ def test_added_removed_are_symmetric(spark, new, old):
     assert added == removed_rev
 
 
+@pytest.mark.slow
 @_set
 @given(new=SNAPSHOT, old=SNAPSHOT)
 def test_wide_classify_matches_separate_deltas(spark, new, old):

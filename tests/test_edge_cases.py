@@ -1,6 +1,7 @@
 """Edge cases the 100 TB runs will hit: null keys, empty snapshots,
 unicode text, single-token docs, empty embeddings handled upstream."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from abr_etl_spark.operators import dedup, delta, text
@@ -472,6 +473,7 @@ def test_zorder_interleave_is_bijective_hypothesis(spark):
     check()
 
 
+@pytest.mark.slow
 def test_pca_family_survives_constant_corpus(spark, tmp_path):
     """A constant embedding column (zero scatter -- e.g. a stubbed
     encoder) must NOT kill the job with an ANSI divide-by-zero: the
@@ -498,6 +500,7 @@ def test_pca_family_survives_constant_corpus(spark, tmp_path):
     assert all(r.wnorm2 == 0.0 for r in wh)
 
 
+@pytest.mark.slow
 def test_lp7_keys_survive_empty_tables(spark, tmp_path):
     """An empty documents/embeddings partition (a plausible upstream
     filter result at 100 TB) must produce empty reports, never an ANSI
@@ -519,6 +522,7 @@ def test_lp7_keys_survive_empty_tables(spark, tmp_path):
         assert fn(spark, str(tmp_path)).collect() == [], name
 
 
+@pytest.mark.slow
 def test_all_registry_keys_survive_empty_tables(spark, tmp_path):
     """EVERY queries() key must run (not necessarily return rows) on a
     lake of empty tables with the production schemas -- the all-filtered

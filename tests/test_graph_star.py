@@ -4,6 +4,8 @@ at; cliques and stars are the near-dup shapes)."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from abr_etl_spark.operators.graph import (
@@ -23,6 +25,7 @@ def _assert_same(spark, edges):
     assert a == b, (sorted(a - b)[:5], sorted(b - a)[:5])
 
 
+@pytest.mark.slow
 def test_star_long_chain(spark):
     # 40-node chain: diameter 39 -- the shape star-contraction wins on
     _assert_same(spark, [(i, i + 1) for i in range(40)])

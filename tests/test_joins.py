@@ -80,6 +80,7 @@ def test_aqe_splits_skewed_join(spark):
     result must equal the unskewed ground truth."""
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
     spark.conf.set(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
@@ -110,6 +111,7 @@ def test_aqe_splits_skewed_join(spark):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan[:2000]
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
         spark.conf.unset(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"

@@ -4,6 +4,8 @@ language-mix entropy."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import duckdb
@@ -74,6 +76,7 @@ def test_minhash_perm_identical_docs_zero_error(spark, tmp_path):
         con.close()
 
 
+@pytest.mark.slow
 def test_minhash_perm_error_shrinks_with_k(spark, ddb):
     """On the shared corpus the mean estimator error at k=128 must sit
     at or below k=16's (the ~1/sqrt(k) contraction the sweep exists to

@@ -165,6 +165,7 @@ def test_inverted_postings_chunks_partition_postings(spark):
         assert chunks[0].df == len(ids)
 
 
+@pytest.mark.slow
 def test_pca_topk_orthogonal_and_rayleigh_ordered(spark):
     """Deflation quality (r7 verdict item 6): components are unit-norm,
     near-orthogonal, Rayleigh-ordered, and component 0 equals the

@@ -3,6 +3,8 @@ telemetry, MMR-diversified top-k."""
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -215,6 +217,7 @@ def test_waterfill_hand_case(spark, tmp_path):
         con.close()
 
 
+@pytest.mark.slow
 def test_waterfill_invariants_hypothesis():
     """Water-fill invariants over arbitrary small corpora, checked on
     the DuckDB text (the shared algorithm; Spark parity is the gate's

@@ -3,6 +3,8 @@ band layout -- the last three axes of the tuning-curve family."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import duckdb
@@ -41,6 +43,7 @@ def _lake(spark, tmp_path, docs=None, events=None):
 # --------------------------------------------------- shingle_size_sweep
 
 
+@pytest.mark.slow
 def test_shingle_sweep_identical_pair_all_orders(spark, tmp_path):
     """Two byte-identical long docs are jaccard=1 at EVERY shingle
     order, so each grid row reports the pair with a 10000 jaccard-e4
@@ -73,6 +76,7 @@ def test_shingle_sweep_identical_pair_all_orders(spark, tmp_path):
         con.close()
 
 
+@pytest.mark.slow
 def test_shingle_sweep_larger_n_separates_edited_pair(spark, tmp_path):
     """A single-token edit in an 80-token doc: 3-gram jaccard is
     75/81 ~ 0.926 (above tau=0.9) but 13-gram jaccard is 55/81 ~ 0.68
@@ -103,6 +107,7 @@ def test_shingle_sweep_larger_n_separates_edited_pair(spark, tmp_path):
         con.close()
 
 
+@pytest.mark.slow
 def test_shingle_sweep_short_doc_contract(spark, tmp_path):
     """Short-doc contract (r11 advice): more identical sub-n-token docs
     than df_cap would make the df-cap drop their whole-doc-shingle
@@ -237,6 +242,7 @@ def test_hll_sweep_empty_events(spark, tmp_path):
 # --------------------------------------------------- simhash_band_sweep
 
 
+@pytest.mark.slow
 def test_simhash_sweep_pigeonhole_and_nesting(spark, tmp_path):
     """Layouts with radius_guaranteed >= 3 must report recall 10000;
     the committed grid is NESTED (every wider band contains a narrower
@@ -274,6 +280,7 @@ def test_simhash_sweep_pigeonhole_and_nesting(spark, tmp_path):
         con.close()
 
 
+@pytest.mark.slow
 def test_simhash_sweep_no_pairs(spark, tmp_path):
     """A truthless corpus (every doc far in hamming): n_true = 0 rows
     report NULL recall, candidates still counted; oracle agrees."""

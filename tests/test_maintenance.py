@@ -1,5 +1,6 @@
 """Compaction and the per-dataset transform registry."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from abr_etl_spark.operators import maintenance
@@ -317,6 +318,7 @@ def test_stats_manifest_on_plain_lake_partition(spark, tmp_path):
     assert 0 < kept <= 3
 
 
+@pytest.mark.slow
 def test_merge_snapshot_weekly_replay(spark, tmp_path):
     """The CDC-apply SINK (r9 verdict item 6): replay two weeks of
     engine-computed deltas onto a materialized current-state table;

@@ -131,6 +131,7 @@ def test_unzip_drop_duplicate_basename_extracts_nothing(tmp_path):
     assert os.listdir(dest) == []
 
 
+@pytest.mark.slow
 def test_run_weekly_cdc_chain_two_drops(spark, tmp_path):
     """r10 verdict item 2: the WHOLE weekly chain composes -- ingest ->
     transform -> delta -> merge_snapshot -> compaction -- replayed over

@@ -3,6 +3,7 @@
 These read the physical plan, not timings -- a pushed filter or a
 broadcast join holds at any scale factor."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from abr_etl_spark.operators import delta
@@ -209,9 +210,16 @@ def test_sweep_plan_growth_is_linear_in_grid(spark, monkeypatch):
     def n_ex(df):
         return _plan(df).count("Exchange ")
 
-    e3 = n_ex(l8.lsh_band_sweep(spark, SF_ORACLE))
-    monkeypatch.setattr(l8, "LSH_GRID", l8.LSH_GRID[:2])
-    e2 = n_ex(l8.lsh_band_sweep(spark, SF_ORACLE))
+    # plan-SHAPE pin: run under the production AQE setting (the shared
+    # test session disables AQE for latency; this test's constants were
+    # tuned against production plans)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        e3 = n_ex(l8.lsh_band_sweep(spark, SF_ORACLE))
+        monkeypatch.setattr(l8, "LSH_GRID", l8.LSH_GRID[:2])
+        e2 = n_ex(l8.lsh_band_sweep(spark, SF_ORACLE))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     assert e2 < e3
     per3, per2 = e3 / 3, e2 / 2
     assert abs(per3 - per2) <= 1.0, (e2, e3)
@@ -285,6 +293,7 @@ BOUNDED_GLOBAL_WINDOW_KEYS = {
 }
 
 
+@pytest.mark.slow
 def test_unpartitioned_windows_are_whitelisted_and_bounded(spark):
     """Walk the ANALYZED plan of every registered query (subqueries
     included) and collect Window nodes with an empty partitionSpec.

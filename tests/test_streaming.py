@@ -2,6 +2,7 @@
 maintains keyed state across microbatches; oracle check for the shared
 windowed-count semantics."""
 
+import pytest
 import shutil
 
 from pyspark.sql import functions as F
@@ -273,6 +274,7 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
     """leftOuter stream-stream join: never-converted clicks emit ONLY
     after the watermark proves no match can arrive -- two far-future
@@ -331,6 +333,7 @@ def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_stream_stream_full_outer_join_equals_batch(spark, tmp_path):
     """fullOuter stream-stream join: BOTH unmatched sides (clicks with
     no purchase, purchases with no preceding click) emit once the
